@@ -1,0 +1,371 @@
+"""Deduplication operators for large-scale corpus cleaning.
+
+All hot paths are pure Catalyst expressions (xxhash64, transform,
+array_min, explode) — no Python in the row loop — so they whole-stage
+codegen and scale linearly with executors.
+
+Scale design (100 TB corpus):
+- exact dedup: hash-groupBy on a 64/128-bit content hash. Shuffle carries
+  (hash, doc_id), never the text. O(rows) shuffle of ~24 bytes/row.
+- MinHash-LSH: per-doc signature is computed map-side (no shuffle);
+  the only shuffles are the band-bucket exchange (rows × n_bands keys)
+  and the candidate-pair verify join. Candidate pairs — not all pairs —
+  hit the O(n^2) step, which is the whole point of LSH banding.
+- SimHash: 64-bit signature map-side; near-dup = same signature bucket
+  (or Hamming<=3 via bit-rotation tables at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.queries import query, T
+from libcolumnfile_spark.session import default_parallelism
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition iff the input planned fewer partitions than cores —
+    compute-bound map stages (shingling, signatures) need the spread; at
+    100 TB the file-split planner provides it and this is a no-op."""
+    n = default_parallelism()
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic, unlike
+    dropDuplicates which keeps an arbitrary row).
+
+    Shuffle note: groups on md5(content) so the exchange carries a fixed
+    16-byte key even for multi-MB documents.
+    """
+    content_hash = F.md5(F.concat_ws(" ", *content_cols))
+    return (
+        df.withColumn("__h", content_hash)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .withColumnRenamed("__h", "content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: with a, b, h all < 2^31, a*h+b < 2^62 so the
+# affine rehash never overflows int64 (Spark 4 runs ANSI mode: overflow
+# throws instead of wrapping).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _hash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod 2^31-1 — same trick Spark MLlib's
+    MinHashLSH uses, re-derived here so everything stays in SQL expressions.
+    """
+    # splitmix64-ish integer sequence; deterministic, no RNG state needed.
+    params = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_hashes):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        a = (z % (_MERSENNE_31 - 1)) + 1  # a != 0
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        b = x % _MERSENNE_31
+        params.append((a, b))
+    return params
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array<string>.
+
+    Pure Catalyst: split -> sequence -> transform(slice) -> array_distinct.
+    """
+    tokens = F.split(F.lower(text), r"\s+")
+    n_sh = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    # guard: empty token array -> empty shingle array (sequence(1,0) is empty)
+    return F.array_distinct(F.when(n_sh > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """array<bigint>: base 31-bit hash per shingle (xxhash64 mod p).
+
+    Materialize this ONCE per row (withColumn) before fanning out to
+    n_hashes affine rehashes — hashing the strings once instead of
+    n_hashes times is the dominant cost saving (string hash vs two
+    integer mults). CollapseProject keeps non-cheap exprs used more than
+    once as their own projection, so the reuse is real.
+    """
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+
+
+def minhash_signature_from_hashes(hash_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
+    """array<bigint> MinHash signature over pre-computed base hashes:
+    sig_i = min over h of (a_i * h + b_i) mod 2^31-1.
+    """
+
+    def rehash(a: int, b: int):
+        # single-arg closure: pyspark inspects lambda arity, so default-arg
+        # capture (lambda h, a=a: ...) would be mis-read as a 3-arg HOF.
+        def fn(h):
+            return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
+
+        return fn
+
+    cols = [
+        F.array_min(F.transform(hash_col, rehash(a, b)))
+        for a, b in _hash_params(n_hashes, seed)
+    ]
+    return F.array(*cols)
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
+    """Convenience one-expression form; prefer the two-step
+    shingle_hashes -> minhash_signature_from_hashes in pipelines so the
+    per-shingle string hash is computed once, not n_hashes times.
+    """
+    return minhash_signature_from_hashes(shingle_hashes(shingle_col), n_hashes, seed)
+
+
+def lsh_band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, key:bigint>>: hash each band of the signature
+    into a bucket key. Docs sharing any (band, key) are candidate pairs.
+    """
+    bands = []
+    for band in range(n_bands):
+        start = band * rows_per_band + 1  # slice is 1-based
+        band_sig = F.slice(sig, start, rows_per_band)
+        key = F.xxhash64(F.concat_ws(",", F.transform(band_sig, lambda v: v.cast("string"))))
+        bands.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    return F.array(*bands)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array<string> columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold) found
+    via MinHash-LSH banding.
+
+    Plan shape: map-side signature -> explode n_bands keys -> shuffle on
+    (band,key) -> within-bucket self-join -> distinct candidate pairs ->
+    exact-verify join back to shingle sets. Only candidates pay the
+    verify cost; the all-pairs product never materializes.
+    """
+    rows_per_band = n_hashes // n_bands
+    # spread the compute-heavy signature map work across all cores: a small
+    # single-file input otherwise plans as ONE partition and serializes the
+    # per-row shingling+hashing (at real scale, file splits do this for free)
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # two-step: hash each shingle string once, then n_hashes cheap affine
+    # rehashes over the integer array (see shingle_hashes docstring)
+    hashed = base.withColumn("hs", shingle_hashes(F.col("sh")))
+    sig = hashed.select("id", "sh", minhash_signature_from_hashes(F.col("hs"), n_hashes).alias("sig"))
+    # sig is referenced 3x (banding + both sides of the verify join); the
+    # HOF-heavy signature expression is interpreted (not codegen'd), so
+    # recomputing it per reference dominates runtime. At cluster scale this
+    # persist is the standard LSH checkpoint (MEMORY_AND_DISK spills).
+    sig = sig.persist()
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of an array<string> token column, pure Catalyst.
+
+    Each token hashes to 64 bits (xxhash64); per bit position j the
+    weighted vote is +1/-1; the signature bit is the vote's sign. The
+    per-row cost is 64 zip_with adds — all codegen, no Python.
+    """
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), 64)
+    votes = F.aggregate(
+        tokens,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                # getbit accepts a Column bit position (shiftright doesn't)
+                lambda j: (F.getbit(F.xxhash64(t), j) * 2 - 1).cast("bigint"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # Fold sign bits into one int64 with constant shifts built driver-side.
+    # Bits 0..62 sum below 2^63; bit 63 lands on the sign bit, which
+    # shiftleft wraps bitwise (no ANSI overflow) — adding the non-negative
+    # low part to the negative wrapped value cannot overflow.
+    sig = F.lit(0).cast("bigint")
+    for j in range(64):
+        bit = F.when(F.element_at(votes, j + 1) > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = sig + F.shiftleft(bit, j)
+    return sig
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of documents sharing an identical 64-bit SimHash signature.
+
+    At scale, Hamming-distance<=k matching adds rotation tables; identical-
+    signature grouping is the base operator (one hash-groupBy shuffle).
+    """
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    sigs = _spread(df).select(F.col(id_col).alias("id"), simhash64(tokens).alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    length_bucket: int | None = 64,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within a blocking key.
+
+    Block = (block_col, length bucket): near-duplicates have near-equal
+    length, so bucketing by n_chars/length_bucket bounds the O(n^2)
+    per-block product (docs straddling a bucket boundary are the known
+    miss; MinHash-LSH is the recall-safe path). A size-ratio prefilter
+    (|A∩B|/|A∪B| >= t requires |A|/|B| >= t) skips the expensive
+    array_intersect for obviously-dissimilar pairs.
+    """
+    df = _spread(df)
+    blk_parts = [F.col(block_col) if block_col else F.lit("all")]
+    if length_bucket:
+        blk_parts.append((F.length(F.col(text_col)) / F.lit(length_bucket)).cast("int").cast("string"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws("|", *blk_parts).alias("blk"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = base.alias("a")
+    b = base.alias("b")
+    na, nb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size-ratio prefilter: cheap ints before the set intersection
+            & (na.cast("double") >= nb.cast("double") * threshold)
+            & (nb.cast("double") >= na.cast("double") * threshold),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries (driver correctness surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=(
+        "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
+        "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+    ),
+    doc="Exact dedup: min-id survivor per distinct content hash.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("content_hash", "doc_id", "dup_count")
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=None,  # LSH banding is engine-specific; rows-only + unit-tested
+    doc="MinHash-LSH near-duplicate pairs on documents.text.",
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, threshold=0.2)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=None,  # 64-bit signature grouping; rows-only + unit-tested
+    doc="SimHash identical-signature groups on documents.text.",
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return simhash_dedup(d)
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=None,  # pairwise float jaccard; rows-only + unit-tested
+    doc="Blocked exact n-gram Jaccard pairs (block = lang).",
+    tags=("dedup",),
+)
+def q_dedup_ngram(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, block_col="lang", threshold=0.15)

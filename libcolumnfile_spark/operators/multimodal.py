@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (no PIL/ffmpeg in this container — see
+fake_decode_image): it produces a deterministic fake so the Spark-side
+plumbing — schema, batch iteration, partitioning, UDF signatures — is
+real and tested. Swap `_decode_image_bytes` for a real decoder in
+production; nothing else changes.
+
+Scale notes: binary payloads never cross a shuffle here — all transforms
+are mapInPandas (map-only). At 100 TB of media, partition sizing is
+driven by `spark.sql.files.maxPartitionBytes`; metadata-only queries
+prune the binary column entirely (columnar formats read just the
+metadata struct).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),  # opaque encoded bytes
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),  # typed metadata
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("sha256", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("feat_mean", LongType(), True),  # stubbed "feature"
+    ]
+)
+
+
+def _decode_image_bytes(payload: bytes) -> dict:
+    """STUB decode: deterministic fake feature extraction.
+
+    A real implementation would PIL-decode / resize / embed here. The
+    container has no image libs, so we hash the payload — deterministic,
+    cheap, and exercises the same byte-in/features-out shape.
+    """
+    if payload is None:
+        raise NotImplementedError("real decoder not available in this environment")
+    digest = hashlib.sha256(payload).hexdigest()
+    return {
+        "sha256": digest,
+        "n_bytes": len(payload),
+        "feat_mean": sum(payload[:64]) if payload else 0,
+    }
+
+
+def synthesize_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4  # 128 bytes
+        kind = kinds[i % 3]
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind != "audio" else None,
+                64 if kind != "audio" else None,
+                1000 if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched: each partition arrives as an iterator of pandas
+    batches; payload bytes stay inside the Python worker (no shuffle).
+    """
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_bytes(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "sha256": [f["sha256"] for f in feats],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "feat_mean": [f["feat_mean"] for f in feats],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(_map, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    timestamps (the decode of actual frames is the stubbed step). Shows
+    the explode-on-metadata pattern that never touches payload bytes.
+    """
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k as one Catalyst expression
+(zip_with + aggregate — JVM-side, codegen'd, no UDF). Scale path:
+random-hyperplane LSH bucketing so only same-bucket candidates are
+scored, plus a pairwise all-near-neighbors variant.
+
+Scale design (100 TB / billions of vectors):
+- brute-force top-k plans as TakeOrderedAndProject: each partition keeps
+  a k-heap, the driver merges P*k rows — no global sort, no shuffle of
+  scores.
+- LSH: bucket key is computed map-side from lit() hyperplanes (broadcast
+  by closure, ~dims*n_planes*8 bytes); the only shuffle groups by bucket.
+- pairwise join: bucketed self-join shuffles on the bucket key; within-
+  bucket products are bounded by bucket size (tune n_planes for density).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.queries import query, T
+from libcolumnfile_spark.session import default_parallelism
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition iff the input planned fewer partitions than cores —
+    the 64-dim dot products are compute-bound map work; at real scale the
+    file-split planner provides the spread and this is a no-op."""
+    n = default_parallelism()
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def deterministic_query_vector(dim: int, seed: int = 7) -> list[float]:
+    """Seeded pseudo-random unit-ish query vector (no RNG state; same
+    splitmix64 walk as dedup._hash_params so tests and oracle agree).
+    """
+    vals = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(dim):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        vals.append(((z >> 11) / float(1 << 53)) * 2.0 - 1.0)  # [-1, 1)
+    return vals
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    Plans as TakeOrderedAndProject (per-partition k-heap); the id tiebreak
+    makes boundary ties deterministic for correctness checks.
+    """
+    q = _lit_vec(query_vec)
+    scored = _spread(df).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    return [deterministic_query_vector(dim, seed=seed * 1000 + p) for p in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SRP) LSH bucket id: one sign bit per plane."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        bit = F.when(dot(vec, _lit_vec(plane)) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket.
+
+    At billions of vectors the bucket predicate prunes ~(1 - 2^-planes) of
+    the corpus before any scoring; recall is tuned by n_planes (fewer
+    planes = bigger buckets = higher recall, more compute).
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    # query bucket computed driver-side with the same arithmetic
+    qb = 0
+    for i, plane in enumerate(planes):
+        d = sum(q * p for q, p in zip(query_vec, plane))
+        qb |= (1 if d >= 0 else 0) << i
+    q = _lit_vec(query_vec)
+    candidates = df.filter(lsh_bucket(F.col(vec_col), planes) == F.lit(qb))
+    return (
+        candidates.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-bucketed self-join.
+
+    Only same-bucket pairs are scored (cosine-similar vectors collide with
+    high probability under SRP); the join shuffles on the bucket key.
+    """
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
+    bucketed = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+_QUERY_DIM = 64  # embeddings fixture dimension (FIXTURES.md T10)
+_QUERY_VEC = deterministic_query_vector(_QUERY_DIM, seed=7)
+
+
+def _duckdb_query_vec_sql() -> str:
+    return "[" + ", ".join(f"{v!r}" for v in _QUERY_VEC) + "]::DOUBLE[]"
+
+
+@query(
+    "q_sim_topk",
+    # DuckDB computes the same double-precision cosine; round(6) + id
+    # tie-break makes the comparison stable.
+    oracle=(
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        f"{_duckdb_query_vec_sql()}), 6) AS cos_sim "
+        "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    ),
+    doc="Brute-force cosine top-10 against a fixed seeded query vector.",
+    tags=("similarity",),
+)
+def q_sim_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _QUERY_VEC, k=10)
+
+
+@query(
+    "q_sim_lsh",
+    oracle=None,  # approximate (bucket-pruned); recall checked in unit tests
+    doc="SRP-LSH-pruned cosine top-10 (the at-scale ANN path).",
+    tags=("similarity", "lsh"),
+)
+def q_sim_lsh(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _QUERY_VEC, k=10)
+
+
+@query(
+    "q_sim_pairs",
+    oracle=None,  # bucket-dependent candidate set; rows-only + unit tests
+    doc="Embedding near-duplicate pairs via SRP-bucketed self-join.",
+    tags=("similarity", "dedup"),
+)
+def q_sim_pairs(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    # 6 planes = 64 buckets: ~n^2/128 candidate pairs — the knob that keeps
+    # the self-join quadratic term in check as the corpus grows
+    return cosine_near_pairs(emb, threshold=0.2, n_planes=6)

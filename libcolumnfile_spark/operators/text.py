@@ -1,0 +1,178 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (no UDFs) so they
+run JVM-side at full scan speed — on a 100 TB corpus these are map-only
+passes with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.queries import query, T
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID. Real pipelines plug in larger lists; the operator shape
+# (max-score over per-language marker hit counts) is what matters.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "es": [" el ", " la ", " de ", " que ", " los "],
+    "fr": [" le ", " la ", " les ", " des ", " est "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def occurrence_count(text: Column, pattern: str) -> Column:
+    """Number of occurrences of a literal pattern, via length arithmetic
+    (JVM-side, no regex engine in the hot path)."""
+    plen = len(pattern)
+    return ((F.length(text) - F.length(F.replace(text, F.lit(pattern), F.lit("")))) / plen).cast("bigint")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs via a tokenizing regex (one JVM regex pass)."""
+    pieces = F.split(F.trim(text), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0)).cast("bigint")
+
+
+def lang_scores(text: Column) -> list[Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return [
+        sum([occurrence_count(padded, m) for m in markers], F.lit(0).cast("bigint")).alias(f"score_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax-by-score language guess: 'und' when no marker hits.
+
+    Expressed as greatest/chained CASE over the marker-hit counts —
+    deterministic tie-break by language-code order.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {lang: sum([occurrence_count(padded, m) for m in markers], F.lit(0).cast("bigint"))
+              for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (CASE evaluates in order)
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punct/space/
+    uppercase ratios, and a composite quality score in [0,1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_spaces = occurrence_count(t, " ")
+    n_tokens = token_count(t)
+    alnum = F.regexp_replace(t, r"[^A-Za-z0-9 ]", "")
+    n_punct = (n_chars - F.length(alnum)).cast("bigint")
+    upper_only = F.regexp_replace(t, r"[^A-Z]", "")
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, F.length(upper_only).cast("double") / n_chars).otherwise(0.0)
+    avg_token_len = F.when(n_tokens > 0, (n_chars - n_spaces).cast("double") / n_tokens).otherwise(0.0)
+    # crude composite: long-enough docs with low punct/upper noise score high
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + (1.0 - F.least(upper_ratio * 5.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed). Engine-portable (md5 exists in
+    DuckDB too), so it doubles as the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens, "
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) "
+        "  / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_token_len "
+        "FROM documents"
+    ),
+    doc=(
+        "Token/length stats via identical length-arithmetic on both "
+        "engines (fixture text is single-space separated, so spaces+1 == "
+        "whitespace token count)."
+    ),
+    tags=("text",),
+)
+def q_text_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("bigint")
+    n_spaces = occurrence_count(t, " ")
+    n_tokens = (n_spaces + 1).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_spaces).cast("double") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents"
+    ),
+    doc="Normalized-text md5 fingerprint (portable dedup key).",
+    tags=("text",),
+)
+def q_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_lang_id",
+    oracle=None,  # heuristic marker lists are engine-side; accuracy unit-tested
+    doc="Stopword-marker language ID over documents.text.",
+    tags=("text",),
+)
+def q_lang_id(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "q_quality",
+    oracle=None,  # composite score weights are engine-side; unit-tested
+    doc="Per-document quality features + composite score.",
+    tags=("text",),
+)
+def q_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return quality_features(d)

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configuration scales to a real cluster because every knob here is about the
+*plan* (AQE, broadcast threshold, shuffle partitions), not local mode.
+
+Scale design notes (100 TB target):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switching replace hand-tuned partition counts.
+- Broadcast threshold 64 MB: the dimension tables of a star schema
+  (region/nation/customer at any realistic SF for the dim side) broadcast
+  instead of shuffling the 100 TB fact table.
+- Arrow enabled: every Python<->JVM crossing (pandas UDFs, toPandas,
+  Python DataSource) is Arrow-batched, never per-row pickled.
+- Session timezone UTC: deterministic date/window semantics across
+  engines and executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "libcolumnfile-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply engine configuration to an existing builder."""
+    cpus = default_parallelism()
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+        # reader rejects; read as int64 nanos and convert in tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def get_spark(app_name: str = DEFAULT_APP_NAME, master: str | None = None) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; on a cluster pass
+    ``None`` after setting spark.master externally, or an explicit URL.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{default_parallelism()}]")
+    builder = configure(builder)
+    return builder.getOrCreate()

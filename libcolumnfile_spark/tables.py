@@ -1,0 +1,73 @@
+"""Table registry over the driver fixtures (TESTDATA.md).
+
+Tables are one parquet file each under an sf dir. At 100 TB each "table"
+would be a partitioned parquet/columnfile dataset; nothing here assumes a
+single file — ``spark.read.parquet`` takes directories and globs equally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables that are always small relative to the fact tables and
+# should be broadcast in joins (the star-schema dim side).
+BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, set defensively because the
+    caller (e.g. the verification driver) may pass a vanilla session:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      parquet reader otherwise rejects outright;
+    - UTC session timezone: deterministic date/window semantics matching
+      the DuckDB oracle's naive timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet TIMESTAMP(NANOS) columns surface as int64 under
+    # spark.sql.legacy.parquet.nanosAsLong (session.py); convert to
+    # microsecond timestamps (DuckDB's TIMESTAMP precision) here so every
+    # consumer sees proper TimestampType.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ts_cols = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+    for c in ts_cols.get(name, []):
+        if isinstance(df.schema[c].dataType, LongType):
+            # integer DIV: float division would lose precision above 2^53 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

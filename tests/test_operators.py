@@ -1,0 +1,177 @@
+"""Unit tests for the LLM-pipeline operators on crafted in-memory data
+(the fixtures contain no true near-duplicates, so we synthesize them
+here to assert the operators actually find what they claim to find).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.operators import dedup, multimodal, similarity, text
+from libcolumnfile_spark.operators.udfs import zscore_by_group
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("afternoon", "morning")),  # near-dup of 1
+        (4, "completely different text about databases and distributed query engines and shuffles"),
+        (5, "short one"),
+        (6, ""),  # empty doc must not crash any operator
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups_exact_duplicates(self, docs):
+        out = dedup.exact_dedup(docs, ["text"], "doc_id")
+        rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+        assert rows[1] == 2  # docs 1 and 2 collapse; min id survives
+        assert 2 not in rows
+        assert rows[3] == 1
+
+
+class TestMinHashLSH:
+    def test_finds_exact_and_near_dups(self, docs):
+        pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+        got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs.collect()}
+        assert got.get((1, 2)) == 1.0  # identical -> jaccard 1
+        assert (1, 3) in got and got[(1, 3)] >= 0.5  # near-dup found
+        assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3} for a, b in got)
+
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+        sig_col = dedup.minhash_signature(dedup.shingles(F.col("text")), n_hashes=8)
+        a = df.select(sig_col.alias("s")).first()["s"]
+        b = df.select(sig_col.alias("s")).first()["s"]
+        assert a == b
+        assert len(a) == 8
+        assert all(0 <= v < (1 << 31) - 1 for v in a)
+
+
+class TestSimHash:
+    def test_identical_docs_same_signature(self, docs):
+        groups = dedup.simhash_dedup(docs)
+        rows = groups.collect()
+        assert any(set(r["ids"]) >= {1, 2} for r in rows)
+
+    def test_near_dup_signatures_close(self, spark):
+        df = spark.createDataFrame([(1, BASE), (3, BASE.replace("afternoon", "morning"))], ["doc_id", "text"])
+        tokens = F.split(F.lower(F.col("text")), r"\s+")
+        sigs = [r["s"] for r in df.select(dedup.simhash64(tokens).alias("s")).collect()]
+        hamming = bin((sigs[0] ^ sigs[1]) & ((1 << 64) - 1)).count("1")
+        assert hamming <= 16  # one-word change flips few bits
+
+
+class TestNgramJaccard:
+    def test_blocked_pairs(self, docs):
+        d = docs.withColumn("lang", F.lit("en"))
+        pairs = dedup.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) in got
+
+
+class TestSimilarity:
+    def test_topk_self_similarity(self, spark):
+        # vec 0 IS the query vector -> must rank first with cos 1.0
+        q = similarity.deterministic_query_vector(8, seed=3)
+        rows = [(0, [float(x) for x in q]), (1, [float(-x) for x in q]), (2, [1.0] * 8)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        top = similarity.brute_force_topk(df, q, k=2).collect()
+        assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+        assert top[1]["cos_sim"] < 1.0
+
+    def test_lsh_recall_on_fixture(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        exact = similarity.brute_force_topk(emb, q, k=10).collect()
+        approx = similarity.lsh_topk(emb, q, k=10, n_planes=1).collect()
+        # random fixture embeddings are near-orthogonal, so SRP recall is
+        # modest; assert the semantic guarantees: full k returned, scores
+        # bounded by the exact optimum, and non-trivial overlap at 1 plane
+        # (~half the corpus in-bucket).
+        assert len(approx) == 10
+        assert approx[0]["cos_sim"] <= exact[0]["cos_sim"]
+        overlap = {r["vec_id"] for r in exact} & {r["vec_id"] for r in approx}
+        assert len(overlap) >= 2
+
+    def test_near_pairs_symmetric_dup(self, spark):
+        v = [1.0, 2.0, 3.0, 4.0]
+        df = spark.createDataFrame([(1, v), (2, v), (3, [-x for x in v])], ["vec_id", "embedding"])
+        pairs = similarity.cosine_near_pairs(df, threshold=0.99, n_planes=2)
+        got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+        assert got.get((1, 2)) == 1.0
+        assert (1, 3) not in got
+
+
+class TestText:
+    def test_token_count_and_stats(self, spark):
+        df = spark.createDataFrame([(1, "a bb ccc"), (2, ""), (3, "   ")], ["doc_id", "text"])
+        out = df.select("doc_id", text.token_count(F.col("text")).alias("n"))
+        got = {r["doc_id"]: r["n"] for r in out.collect()}
+        assert got == {1: 3, 2: 0, 3: 0}
+
+    def test_lang_id_accuracy_on_fixture(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = docs.select("lang", text.lang_id(F.col("text")).alias("guess"))
+        agg = out.groupBy().agg(
+            F.sum(F.when(F.col("lang") == F.col("guess"), 1).otherwise(0)).alias("hit"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        # fixture text is synthetic word soup: just assert the operator
+        # runs on all rows and yields only known labels
+        labels = {r["guess"] for r in out.select("guess").distinct().collect()}
+        assert labels <= set(text._LANG_MARKERS) | {"und"}
+        assert agg["n"] == docs.count()
+
+    def test_quality_bounds(self, spark):
+        df = spark.createDataFrame([(1, "Normal sentence here."), (2, "!!!???;;;"), (3, "")], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+        assert 0.0 <= out[1]["quality"] <= 1.0
+        assert out[2]["punct_ratio"] > 0.5
+        assert out[3]["n_tokens"] == 0
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame([(1, "Hello  World"), (2, "hello world "), (3, "other")], ["doc_id", "text"])
+        out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]
+
+
+class TestMultimodal:
+    def test_decode_features_roundtrip(self, spark):
+        media = multimodal.synthesize_media(spark, n=30)
+        feats = multimodal.decode_features(media)
+        rows = feats.collect()
+        assert len(rows) == 30
+        assert all(len(r["sha256"]) == 64 and r["n_bytes"] == 128 for r in rows)
+        # deterministic: same payload -> same sha
+        again = {r["media_id"]: r["sha256"] for r in multimodal.decode_features(media).collect()}
+        assert all(again[r["media_id"]] == r["sha256"] for r in rows)
+
+    def test_frame_sample_counts(self, spark):
+        media = multimodal.synthesize_media(spark, n=9)
+        frames = multimodal.frame_sample(media, every_ms=250)
+        per_video = frames.groupBy("media_id").count().collect()
+        assert all(r["count"] == 5 for r in per_video)  # 0..1000 step 250
+
+
+class TestApplyInPandas:
+    def test_zscore_by_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)], ["g", "v"]
+        )
+        out = zscore_by_group(df, "g", "v").collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["zscore"])
+        assert sorted(round(z, 4) for z in by_g["a"]) == [-1.2247, 0.0, 1.2247]
+        assert by_g["b"] == [0.0]
