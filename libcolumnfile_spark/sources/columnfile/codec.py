@@ -1,0 +1,368 @@
+"""Low-level codecs for the columnfile on-disk format.
+
+Re-implements, from the published format description, the reference's
+variable-length integer (reference src/columnfile.h:15-26, encoder
+src/columnfile-internal.h:59-81, decoder :28-52), zigzag signed form
+(:54-57, :83-87), the per-run value encoding (src/columnfile.h:28-56;
+writer src/columnfile-writer.cc:259-318; reader
+src/columnfile-reader.cc:573-614), and the five per-column block
+compressions (src/columnfile-writer.cc:320-397, reader :471-567).
+
+Varint layout: the number is split into a 6-bit first chunk and 7-bit
+continuation chunks; every byte except the last has its most significant
+bit set, and the first byte's bit 6 is always 0 — so a varint's first
+byte is always < 0xc0 and can never collide with the 0xc0..0xff control
+range used by the value encoding.
+
+Run layout (one run = one value repeated N times):
+  varint  repeat count
+  varint  reserved (must be 0)
+  byte    control: 0xff = NULL; 0xc0..0xfe = copy (control - 0xbe)
+          prefix bytes from the previous value, then varint suffix
+          length + suffix bytes; 0x00..0xbf = the byte is the first
+          byte of the varint value length, followed by the bytes.
+"""
+
+from __future__ import annotations
+
+import lzma
+import zlib
+
+try:
+    import pyarrow as _pa
+
+    _SNAPPY = _pa.Codec("snappy")
+    _LZ4_RAW = _pa.Codec("lz4_raw")
+except Exception:  # pragma: no cover - pyarrow is baked into the env
+    _pa = None
+    _SNAPPY = None
+    _LZ4_RAW = None
+
+MAGIC = b'\n\t"\x00'  # breaks CSV parsers by design (columnfile-internal.h:21-22)
+
+COMPRESSION_NONE = 0
+COMPRESSION_SNAPPY = 1
+COMPRESSION_LZ4 = 2
+COMPRESSION_LZMA = 3
+COMPRESSION_ZLIB = 4
+COMPRESSION_DEFAULT = COMPRESSION_LZ4
+
+COMPRESSION_NAMES = {
+    "none": COMPRESSION_NONE,
+    "snappy": COMPRESSION_SNAPPY,
+    "lz4": COMPRESSION_LZ4,
+    "lzma": COMPRESSION_LZMA,
+    "zlib": COMPRESSION_ZLIB,
+}
+
+CODE_NULL = 0xFF
+
+# Corrupt-input guards (the reference trusts sizes and lets huge repeats
+# spin; a Python reader must bound allocations to replay the fuzz corpus
+# safely).
+MAX_DECOMPRESSED_BYTES = 1 << 30
+MAX_ROWS_PER_COLUMN_SEGMENT = 1 << 27
+
+
+class ColumnFileFormatError(Exception):
+    """Clean parse error for corrupt or unsupported input (the analog of
+    the reference's ColumnFileException)."""
+
+
+# ---------------------------------------------------------------------------
+# Varint / zigzag
+# ---------------------------------------------------------------------------
+
+
+def put_uint(out: bytearray, value: int) -> None:
+    """Append the 6+7-bit varint encoding of a uint32."""
+    if value < 0 or value > 0xFFFFFFFF:
+        raise ValueError(f"uint32 out of range: {value}")
+    if value < 1 << 7:
+        out.append(value)
+    elif value < 1 << 13:
+        out.append((value & 0x3F) | 0x80)
+        out.append(value >> 6)
+    elif value < 1 << 20:
+        out.append((value & 0x3F) | 0x80)
+        out.append(((value >> 6) & 0x7F) | 0x80)
+        out.append(value >> 13)
+    elif value < 1 << 27:
+        out.append((value & 0x3F) | 0x80)
+        out.append(((value >> 6) & 0x7F) | 0x80)
+        out.append(((value >> 13) & 0x7F) | 0x80)
+        out.append(value >> 20)
+    else:
+        out.append((value & 0x3F) | 0x80)
+        out.append(((value >> 6) & 0x7F) | 0x80)
+        out.append(((value >> 13) & 0x7F) | 0x80)
+        out.append(((value >> 20) & 0x7F) | 0x80)
+        out.append(value >> 27)  # <= 0x1f for any uint32
+
+
+def get_uint(data: bytes, pos: int) -> tuple[int, int]:
+    """Decode one varint at ``pos``; returns (value, new_pos).
+
+    Mirrors the reference decoder exactly, including the out-of-range
+    check on the fifth byte.
+    """
+    try:
+        b = data[pos]
+        pos += 1
+        result = b & 127
+        if b >= 0x80:
+            b = data[pos]
+            pos += 1
+            result |= (b & 127) << 6
+            if b >= 0x80:
+                b = data[pos]
+                pos += 1
+                result |= (b & 127) << 13
+                if b >= 0x80:
+                    b = data[pos]
+                    pos += 1
+                    result |= (b & 127) << 20
+                    if b >= 0x80:
+                        b = data[pos]
+                        pos += 1
+                        if b > 0x1F:
+                            raise ColumnFileFormatError(
+                                "corrupt input: integer out of range"
+                            )
+                        result |= b << 27
+    except IndexError:
+        raise ColumnFileFormatError("corrupt input: truncated varint") from None
+    return result, pos
+
+
+def zigzag_encode(value: int) -> int:
+    """int32 -> uint32 zigzag."""
+    if value < -(1 << 31) or value >= 1 << 31:
+        raise ValueError(f"int32 out of range: {value}")
+    return ((value << 1) ^ (value >> 31)) & 0xFFFFFFFF
+
+
+def zigzag_decode(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+def put_int(out: bytearray, value: int) -> None:
+    put_uint(out, zigzag_encode(value))
+
+
+def get_int(data: bytes, pos: int) -> tuple[int, int]:
+    u, pos = get_uint(data, pos)
+    return zigzag_decode(u), pos
+
+
+# ---------------------------------------------------------------------------
+# Block compression (per column, per segment)
+# ---------------------------------------------------------------------------
+
+
+def _require_codec(codec, name: str):
+    if codec is None:
+        raise ColumnFileFormatError(f"{name} codec unavailable (pyarrow missing)")
+    return codec
+
+
+def _snappy_uncompressed_length(blob: bytes) -> int:
+    """Snappy raw streams embed their uncompressed length as a standard
+    7-bit LEB128 preamble; pyarrow needs it passed explicitly."""
+    result = 0
+    shift = 0
+    for i in range(min(len(blob), 5)):
+        b = blob[i]
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result
+        shift += 7
+    raise ColumnFileFormatError("corrupt input: bad snappy preamble")
+
+
+def compress_block(data: bytes, compression: int) -> bytes:
+    """Encoded column buffer -> stored blob (with the varint uncompressed
+    size prefix for lz4/lzma/zlib; snappy self-describes)."""
+    if compression == COMPRESSION_NONE:
+        return bytes(data)
+    if compression == COMPRESSION_SNAPPY:
+        return _require_codec(_SNAPPY, "snappy").compress(data, asbytes=True)
+    out = bytearray()
+    put_uint(out, len(data))
+    if compression == COMPRESSION_LZ4:
+        out += _require_codec(_LZ4_RAW, "lz4").compress(data, asbytes=True)
+    elif compression == COMPRESSION_LZMA:
+        out += lzma.compress(bytes(data), format=lzma.FORMAT_XZ, preset=1, check=lzma.CHECK_CRC32)
+    elif compression == COMPRESSION_ZLIB:
+        out += zlib.compress(bytes(data), 6)
+    else:
+        raise ColumnFileFormatError(f"unknown compression scheme {compression}")
+    return bytes(out)
+
+
+def decompress_block(blob: bytes, compression: int) -> bytes:
+    if compression == COMPRESSION_NONE:
+        return blob
+    if compression == COMPRESSION_SNAPPY:
+        n = _snappy_uncompressed_length(blob)
+        if n > MAX_DECOMPRESSED_BYTES:
+            raise ColumnFileFormatError("corrupt input: decompressed size too large")
+        try:
+            return _require_codec(_SNAPPY, "snappy").decompress(
+                blob, decompressed_size=n, asbytes=True
+            )
+        except Exception as e:
+            raise ColumnFileFormatError(f"snappy decompression failed: {e}") from None
+    n, pos = get_uint(blob, 0)
+    if n > MAX_DECOMPRESSED_BYTES:
+        raise ColumnFileFormatError("corrupt input: decompressed size too large")
+    body = blob[pos:]
+    try:
+        if compression == COMPRESSION_LZ4:
+            out = _require_codec(_LZ4_RAW, "lz4").decompress(
+                body, decompressed_size=n, asbytes=True
+            )
+        elif compression == COMPRESSION_LZMA:
+            out = lzma.decompress(body)
+        elif compression == COMPRESSION_ZLIB:
+            out = zlib.decompress(body)
+        else:
+            raise ColumnFileFormatError(f"unknown compression scheme {compression}")
+    except ColumnFileFormatError:
+        raise
+    except Exception as e:
+        raise ColumnFileFormatError(f"decompression failed: {e}") from None
+    if len(out) != n:
+        raise ColumnFileFormatError("decompressed length mismatch")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Run (value) codec
+# ---------------------------------------------------------------------------
+
+
+class RunEncoder:
+    """Per-column run encoder: RLE + shared-prefix elision.
+
+    State machine identical to the reference FieldWriter
+    (src/columnfile-writer.cc:259-318): a pending (value, repeat) run is
+    flushed when a different value (or a null/non-null flip) arrives; the
+    control byte records up to 0x40 bytes of prefix shared with the
+    previous run's value (only when the shared prefix exceeds 2 bytes).
+    """
+
+    __slots__ = ("data", "_value", "_is_null", "_repeat", "_shared_prefix")
+
+    def __init__(self) -> None:
+        self.data = bytearray()
+        self._value = b""
+        self._is_null = True
+        self._repeat = 0
+        self._shared_prefix = 0
+
+    def put(self, value: bytes) -> None:
+        if self._is_null:
+            mismatch = True
+            shared = 0
+        elif value == self._value:
+            self._repeat += 1
+            return
+        else:
+            n = min(len(value), len(self._value))
+            shared = 0
+            while shared < n and value[shared] == self._value[shared]:
+                shared += 1
+            mismatch = True
+        if mismatch:
+            self.flush_run()
+            self._value = bytes(value)
+            self._is_null = False
+            self._shared_prefix = shared
+        self._repeat += 1
+
+    def put_null(self) -> None:
+        if not self._is_null:
+            self.flush_run()
+            self._is_null = True
+        self._repeat += 1
+
+    def flush_run(self) -> None:
+        if not self._repeat:
+            return
+        put_uint(self.data, self._repeat)
+        put_uint(self.data, 0)  # reserved
+        if self._is_null:
+            self.data.append(CODE_NULL)
+        else:
+            sp = self._shared_prefix
+            if sp > 2:
+                # never emit 0xff (that means NULL); cap at 0x40
+                if sp > 0x40:
+                    sp = 0x40
+                self.data.append(0xC0 | (sp - 2))
+                put_uint(self.data, len(self._value) - sp)
+                self.data += self._value[sp:]
+            else:
+                put_uint(self.data, len(self._value))
+                self.data += self._value
+        self._repeat = 0
+        self._is_null = True
+
+    def finalize(self, compression: int) -> bytes:
+        self.flush_run()
+        return compress_block(bytes(self.data), compression)
+
+
+def decode_runs(buf: bytes) -> list[tuple[bytes | None, int]]:
+    """Decode a (decompressed) column buffer into [(value|None, repeat)].
+
+    Mirrors the reference FieldReader::Fill loop
+    (src/columnfile-reader.cc:573-614), keeping an explicit previous-value
+    copy instead of the memmove aliasing trick.
+    """
+    runs: list[tuple[bytes | None, int]] = []
+    pos = 0
+    n = len(buf)
+    value = b""
+    total_rows = 0
+    while pos < n:
+        repeat, pos = get_uint(buf, pos)
+        reserved, pos = get_uint(buf, pos)
+        if reserved != 0:
+            raise ColumnFileFormatError(
+                "incompatible format: reserved value not zero"
+            )
+        total_rows += repeat
+        if total_rows > MAX_ROWS_PER_COLUMN_SEGMENT:
+            raise ColumnFileFormatError("corrupt input: implausible repeat count")
+        if pos >= n:
+            raise ColumnFileFormatError("corrupt input: truncated run")
+        b0 = buf[pos]
+        if (b0 & 0xC0) == 0xC0:
+            pos += 1
+            if b0 == CODE_NULL:
+                runs.append((None, repeat))
+                continue
+            shared_prefix = (b0 & 0x3F) + 2
+            suffix_length, pos = get_uint(buf, pos)
+            if shared_prefix > len(value):
+                raise ColumnFileFormatError(
+                    "corrupt input: shared prefix longer than previous value"
+                )
+            if pos + suffix_length > n:
+                raise ColumnFileFormatError("corrupt input: truncated value")
+            value = value[:shared_prefix] + buf[pos : pos + suffix_length]
+            pos += suffix_length
+        else:
+            size, pos = get_uint(buf, pos)
+            if pos + size > n:
+                raise ColumnFileFormatError("corrupt input: truncated value")
+            value = buf[pos : pos + size]
+            pos += size
+        runs.append((value, repeat))
+    return runs
+
+
+def run_count(runs: list[tuple[bytes | None, int]]) -> int:
+    return sum(r for _, r in runs)

@@ -1,0 +1,379 @@
+"""Spark Python DataSource for the columnfile format.
+
+Usage:
+    from libcolumnfile_spark.sources.columnfile import register
+    register(spark)
+    df.write.format("columnfile").option("compression", "lz4").save(path)
+    spark.read.format("columnfile").load(path)          # schema from sidecar
+    spark.read.format("columnfile").schema(ddl).load(p) # explicit schema
+
+Layout: ``path`` is a directory of ``part-*.col`` files (bit-compatible
+with the reference format — each is magic + self-contained segments,
+reference src/columnfile-writer.cc:55-111), plus sidecars that the
+reference leaves to caller convention:
+
+- ``_schema.json``: the Spark schema; field position i = column index i
+  (the format itself is typeless, src/columnfile.h:63).
+- ``part-*.col.stats.json``: per-segment row counts + min/max/nulls for
+  planner-side segment skipping (see stats.py).
+- ``_manifest.json``: committed part files (makes task retries safe:
+  uncommitted stragglers are ignored by readers).
+
+A bare ``.col`` file path (e.g. written by the reference
+implementation) is also readable — pass an explicit schema; field i
+maps to column index i.
+
+Scale design:
+- one InputPartition per ~``partition_bytes`` of consecutive segments,
+  so a large file fans out across executors exactly like Parquet
+  row-group splits;
+- pushed filters prune whole segments via sidecar stats before any I/O
+  (planner-side analog of the reference's ColumnFileSelect chunk skip,
+  src/columnfile-select.cc:172-176); all filters are also returned to
+  Spark as unsupported so FilterExec re-applies them — pruning is an
+  optimization, never a correctness dependency;
+- data crosses into the JVM as Arrow RecordBatches (one per segment).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from libcolumnfile_spark.sources.columnfile.codec import (
+    COMPRESSION_NAMES,
+    ColumnFileFormatError,
+)
+from libcolumnfile_spark.sources.columnfile.format import (
+    ColumnFileWriter,
+    read_segment_columns,
+    scan_segments,
+)
+from libcolumnfile_spark.sources.columnfile.stats import (
+    ColumnStats,
+    read_stats,
+    segment_can_be_skipped,
+    segment_stats_entry,
+    write_stats,
+    _to_stats_value,
+)
+from libcolumnfile_spark.sources.columnfile.typed import (
+    decode_runs_to_arrow,
+    encoder_for,
+)
+
+SCHEMA_FILE = "_schema.json"
+MANIFEST_FILE = "_manifest.json"
+DEFAULT_SEGMENT_BYTES = 16 << 20  # reference kFlushLimit, columnfile-cat.cc:49
+DEFAULT_PARTITION_BYTES = 128 << 20
+DEFAULT_BATCH_ROWS = 1 << 16
+
+
+def _is_col_file(path: str) -> bool:
+    return path.endswith(".col")
+
+
+def _data_files(path: str) -> list[str]:
+    """Resolve the part files for a dataset path (manifest-aware)."""
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        raise ColumnFileFormatError(f"no such columnfile dataset: {path}")
+    manifest = os.path.join(path, MANIFEST_FILE)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            names = json.load(f)["files"]
+        return [os.path.join(path, n) for n in names]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if fnmatch.fnmatch(n, "*.col")
+    )
+
+
+def _load_sidecar_schema(path: str) -> StructType | None:
+    base = path if os.path.isdir(path) else os.path.dirname(path)
+    sidecar = os.path.join(base, SCHEMA_FILE)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return StructType.fromJson(json.load(f)["schema"])
+
+
+@dataclass
+class ColumnFilePartition(InputPartition):
+    file: str
+    # (offset, rows_hint) per segment; rows_hint -1 when unknown
+    segments: list[tuple[int, int]]
+
+
+@dataclass
+class ColumnFileCommitMessage(WriterCommitMessage):
+    file_name: str
+    stats_entries: list[dict]
+    rows: int
+
+
+class ColumnFileDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "columnfile"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ColumnFileFormatError("columnfile: 'path' option is required")
+        schema = _load_sidecar_schema(path)
+        if schema is None:
+            raise ColumnFileFormatError(
+                "columnfile: no _schema.json sidecar; pass an explicit "
+                ".schema(...) (field position i = column index i)"
+            )
+        return schema
+
+    def reader(self, schema: StructType) -> "ColumnFileReader":
+        return ColumnFileReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ColumnFileArrowWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ColumnFileFormatError("columnfile: 'path' option is required")
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for n in os.listdir(path):
+                if n.endswith(".col") or n.endswith(".json"):
+                    os.remove(os.path.join(path, n))
+        return ColumnFileArrowWriter(self.options, schema)
+
+
+class ColumnFileReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.read_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ColumnFileFormatError("columnfile: 'path' option is required")
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        self._filters: list[Filter] = []
+        # map schema field name -> on-disk column index, via the stored
+        # full schema when present (supports reading a column subset),
+        # else positional.
+        stored = _load_sidecar_schema(self.path)
+        if stored is not None:
+            by_name = {f.name: i for i, f in enumerate(stored.fields)}
+            try:
+                self.col_indexes = [by_name[f.name] for f in schema.fields]
+            except KeyError as e:
+                raise ColumnFileFormatError(
+                    f"columnfile: column {e} not in stored schema"
+                ) from None
+        else:
+            self.col_indexes = list(range(len(schema.fields)))
+
+    def pushFilters(self, filters: list[Filter]):
+        # Keep every filter for stats-based segment pruning, but report
+        # all of them unsupported: Spark re-evaluates, so pruning can
+        # never break correctness (exactly Parquet's row-group model).
+        self._filters = list(filters)
+        return filters
+
+    def partitions(self):
+        parts: list[ColumnFilePartition] = []
+        for file in _data_files(self.path):
+            entries = read_stats(file)
+            if entries is None:
+                entries = [
+                    {"offset": s.offset, "length": s.end_offset - s.offset, "rows": -1}
+                    for s in scan_segments(file)
+                ]
+            current: list[tuple[int, int]] = []
+            current_bytes = 0
+            for e in entries:
+                if self._filters and segment_can_be_skipped(e, self._filters):
+                    continue
+                current.append((e["offset"], e.get("rows", -1)))
+                current_bytes += e.get("length") or 0
+                if current_bytes >= self.partition_bytes:
+                    parts.append(ColumnFilePartition(file, current))
+                    current, current_bytes = [], 0
+            if current:
+                parts.append(ColumnFilePartition(file, current))
+        # zero matching segments: one empty partition keeps Spark happy
+        if not parts:
+            parts.append(ColumnFilePartition("", []))
+        return parts
+
+    def read(self, partition: ColumnFilePartition):
+        if not partition.file:
+            return
+        fields = self.read_schema.fields
+        wanted = set(self.col_indexes)
+        want_offsets = {off for off, _ in partition.segments}
+        with open(partition.file, "rb") as f:
+            # segment headers must be parsed in file order (cheap: header
+            # bytes only); blobs of unselected segments are seeked past.
+            for seg in scan_segments(partition.file):
+                if seg.offset not in want_offsets:
+                    continue
+                runs_by_idx = read_segment_columns(f, seg, wanted)
+                arrays = []
+                n_rows = None
+                for field, idx in zip(fields, self.col_indexes):
+                    runs = runs_by_idx.get(idx, [])
+                    arr = decode_runs_to_arrow(runs, field.dataType)
+                    if n_rows is None:
+                        n_rows = len(arr)
+                    elif len(arr) != n_rows:
+                        # dynamic column sets: null-fill short columns
+                        # (reference reader just drops exhausted fields,
+                        # src/columnfile-reader.cc:381-388; a rectangular
+                        # engine must pad instead)
+                        if len(arr) < n_rows:
+                            pad = pa.nulls(n_rows - len(arr), type=arr.type)
+                            arr = pa.concat_arrays([arr, pad])
+                        else:
+                            n_rows = len(arr)
+                            arrays = [
+                                pa.concat_arrays(
+                                    [a, pa.nulls(n_rows - len(a), type=a.type)]
+                                )
+                                if len(a) < n_rows
+                                else a
+                                for a in arrays
+                            ]
+                    arrays.append(arr)
+                if n_rows is None:
+                    continue
+                arrays = [
+                    pa.concat_arrays([a, pa.nulls(n_rows - len(a), type=a.type)])
+                    if len(a) < n_rows
+                    else a
+                    for a in arrays
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=[f.name for f in fields]
+                )
+
+
+class ColumnFileArrowWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.schema = schema
+        self.path = options.get("path")
+        self.compression = options.get("compression", "lz4")
+        if self.compression not in COMPRESSION_NAMES:
+            raise ColumnFileFormatError(
+                f"unsupported compression algorithm {self.compression!r}"
+            )
+        self.segment_bytes = int(options.get("segment_bytes", DEFAULT_SEGMENT_BYTES))
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.col"
+        full = os.path.join(self.path, name)
+        fields = self.schema.fields
+        encoders = [encoder_for(f.dataType) for f in fields]
+        stats_entries: list[dict] = []
+        seg_stats = {f.name: ColumnStats() for f in fields}
+        total_rows = 0
+
+        writer = ColumnFileWriter(full, compression=self.compression)
+        # slice incoming Arrow batches so the segment-size policy can
+        # trigger mid-batch (Spark may deliver one huge batch per task);
+        # slice granularity scales with the target segment size
+        slice_rows = min(4096, max(64, self.segment_bytes // 256))
+        try:
+            for batch in iterator:
+                for start in range(0, batch.num_rows, slice_rows):
+                    part = batch.slice(start, slice_rows)
+                    cols = [part.column(i).to_pylist() for i in range(len(fields))]
+                    for i, (field, enc) in enumerate(zip(fields, encoders)):
+                        cs = seg_stats[field.name]
+                        for v in cols[i]:
+                            if v is None:
+                                writer.put_null(i)
+                                cs.update(None)
+                            else:
+                                writer.put(i, enc(v))
+                                cs.update(_to_stats_value(v))
+                    writer.add_rows(part.num_rows)
+                    total_rows += part.num_rows
+                    if writer.pending_size >= self.segment_bytes:
+                        flushed = writer.flush()
+                        if flushed:
+                            off, length, rows = flushed
+                            entry = segment_stats_entry(off, rows, seg_stats)
+                            entry["length"] = length
+                            stats_entries.append(entry)
+                        seg_stats = {f.name: ColumnStats() for f in fields}
+            flushed = writer.flush()
+            if flushed:
+                off, length, rows = flushed
+                entry = segment_stats_entry(off, rows, seg_stats)
+                entry["length"] = length
+                stats_entries.append(entry)
+            writer.finalize()
+        except BaseException:
+            writer.finalize()
+            if os.path.exists(full):
+                os.remove(full)
+            raise
+        if total_rows == 0:
+            os.remove(full)
+            return ColumnFileCommitMessage(file_name="", stats_entries=[], rows=0)
+        write_stats(full, stats_entries)
+        return ColumnFileCommitMessage(
+            file_name=name, stats_entries=stats_entries, rows=total_rows
+        )
+
+    def commit(self, messages):
+        files = [m.file_name for m in messages if m and m.file_name]
+        existing: list[str] = []
+        manifest = os.path.join(self.path, MANIFEST_FILE)
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                existing = json.load(f)["files"]
+        with open(os.path.join(self.path, SCHEMA_FILE), "w") as f:
+            json.dump({"version": 1, "schema": self.schema.jsonValue()}, f)
+        with open(manifest, "w") as f:
+            json.dump({"version": 1, "files": existing + files}, f)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.file_name:
+                for p in (
+                    os.path.join(self.path, m.file_name),
+                    os.path.join(self.path, m.file_name + ".stats.json"),
+                ):
+                    if os.path.exists(p):
+                        os.remove(p)
+
+
+def register(spark) -> None:
+    """Register the 'columnfile' format on a SparkSession (idempotent).
+
+    Also enables Python-DataSource filter pushdown (off by default in
+    Spark 4.1; runtime-settable), which our reader requires for its
+    stats-based segment pruning."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ColumnFileDataSource)

@@ -1,0 +1,151 @@
+"""Spark DataSource integration: write fixture tables to the columnfile
+format and read them back — schema, values, nulls, compression options,
+column-subset reads, and stats-based segment pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.sources.columnfile import register
+from libcolumnfile_spark.sources.columnfile.stats import (
+    read_stats,
+    segment_can_be_skipped,
+)
+from libcolumnfile_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _roundtrip(spark, df, path, **options):
+    df.write.format("columnfile").options(**options).mode("overwrite").save(path)
+    return spark.read.format("columnfile").load(path)
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+def test_nation_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    back = _roundtrip(spark, nation, str(tmp_path / "nation"))
+    assert back.schema == nation.schema
+    assert _sorted_rows(back, "n_nationkey") == _sorted_rows(nation, "n_nationkey")
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "lz4", "lzma", "zlib"])
+def test_orders_roundtrip_all_codecs(spark, tmp_path, codec):
+    orders = load_table(spark, SF, "orders")
+    back = _roundtrip(spark, orders, str(tmp_path / f"o_{codec}"), compression=codec)
+    assert back.count() == orders.count()
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+
+
+def test_timestamp_and_double_fidelity(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    back = _roundtrip(spark, li, str(tmp_path / "li"))
+    key = ["l_orderkey", "l_linenumber"]
+    assert _sorted_rows(back, key) == _sorted_rows(li, key)
+
+
+def test_nulls_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", 0.0), (4, None, 2.5)],
+        "id bigint, s string, d double",
+    )
+    back = _roundtrip(spark, df, str(tmp_path / "nulls"))
+    assert _sorted_rows(back, "id") == _sorted_rows(df, "id")
+
+
+def test_column_subset_read(spark, tmp_path):
+    """Reading a subset schema must map names to stored column indexes
+    and only decode those columns."""
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "subset")
+    orders.write.format("columnfile").mode("overwrite").save(path)
+    sub = (
+        spark.read.format("columnfile")
+        .schema("o_orderkey bigint, o_totalprice double")
+        .load(path)
+    )
+    expected = [
+        tuple(r) for r in orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").collect()
+    ]
+    assert _sorted_rows(sub, "o_orderkey") == expected
+
+
+def test_filter_correct_through_datasource(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "filtered")
+    orders.write.format("columnfile").mode("overwrite").save(path)
+    back = spark.read.format("columnfile").load(path)
+    got = back.filter(F.col("o_totalprice") > 200000.0).count()
+    want = orders.filter(F.col("o_totalprice") > 200000.0).count()
+    assert got == want
+
+
+def test_stats_sidecar_written_and_prunes(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "stats")
+    (
+        orders.orderBy("o_orderkey")
+        .coalesce(1)
+        .write.format("columnfile")
+        .option("segment_bytes", 16 * 1024)  # force many segments
+        .mode("overwrite")
+        .save(path)
+    )
+    with open(os.path.join(path, "_manifest.json")) as f:
+        files = json.load(f)["files"]
+    assert len(files) == 1
+    entries = read_stats(os.path.join(path, files[0]))
+    assert entries and len(entries) > 2
+    # stats must carry orderkey bounds and partition them disjointly
+    mins = [e["columns"]["o_orderkey"]["min"] for e in entries]
+    assert mins == sorted(mins)
+
+    # a selective filter must allow skipping all but one segment
+    from pyspark.sql.datasource import EqualTo
+
+    probe = [EqualTo(("o_orderkey",), mins[-1])]
+    skippable = sum(1 for e in entries if segment_can_be_skipped(e, probe))
+    assert skippable == len(entries) - 1
+
+    # and the query still returns the right rows
+    back = spark.read.format("columnfile").load(path)
+    assert back.filter(F.col("o_orderkey") == mins[-1]).count() == orders.filter(
+        F.col("o_orderkey") == mins[-1]
+    ).count()
+
+
+def test_append_mode(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    path = str(tmp_path / "append")
+    nation.write.format("columnfile").mode("overwrite").save(path)
+    nation.write.format("columnfile").mode("append").save(path)
+    back = spark.read.format("columnfile").load(path)
+    assert back.count() == 2 * nation.count()
+
+
+def test_schema_sidecar_enables_schemaless_read(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs")
+    docs.write.format("columnfile").mode("overwrite").save(path)
+    back = spark.read.format("columnfile").load(path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
