@@ -160,6 +160,20 @@ class ColumnFileDataSource(DataSource):
                     os.remove(os.path.join(path, n))
         return ColumnFileArrowWriter(self.options, schema)
 
+    def streamReader(self, schema: StructType):
+        from libcolumnfile_spark.sources.columnfile.stream import (
+            ColumnFileStreamReader,
+        )
+
+        return ColumnFileStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from libcolumnfile_spark.sources.columnfile.stream import (
+            ColumnFileStreamWriter,
+        )
+
+        return ColumnFileStreamWriter(self.options, schema)
+
 
 class ColumnFileReader(DataSourceReader):
     def __init__(self, options, schema: StructType):

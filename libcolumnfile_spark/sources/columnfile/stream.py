@@ -1,0 +1,168 @@
+"""Streaming read/write for the columnfile format.
+
+The reference's streaming story (O23) is structural: segments are
+self-contained and appended atomically (writer pubsync per segment,
+src/columnfile-writer.cc:84), so a directory of ``.col`` files is
+tail-able. This module turns that into Structured Streaming sources and
+sinks:
+
+- ``ColumnFileStreamReader``: offsets are ``{file -> end byte of last
+  complete segment}``; each micro-batch reads exactly the segments that
+  appeared since the previous offset — new files AND segments appended
+  to existing files. Segment discovery touches only headers (4-byte
+  size + header bytes, blobs seeked past), so ``latestOffset`` is cheap
+  even on large files.
+- ``ColumnFileStreamWriter``: each micro-batch commit appends its part
+  files to the manifest (exactly-once via Spark's checkpointed batch
+  ids: an already-committed batchId is skipped).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+from libcolumnfile_spark.sources.columnfile.format import scan_segments
+
+
+@dataclass
+class ColumnFileStreamPartition(InputPartition):
+    file: str
+    segments: list[tuple[int, int]]  # (offset, rows_hint)
+
+
+def _complete_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if fnmatch.fnmatch(n, "*.col")
+    )
+
+
+class ColumnFileStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        from libcolumnfile_spark.sources.columnfile.datasource import (
+            ColumnFileReader as _BatchReader,
+        )
+
+        self.options = options
+        self.schema = schema
+        self.path = options.get("path")
+        # reuse the batch reader for schema->column-index mapping + read()
+        self._batch = _BatchReader(options, schema)
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        files = {}
+        for f in _complete_files(self.path):
+            try:
+                segs = scan_segments(f)
+            except Exception:
+                continue  # torn tail or mid-write file: pick it up next batch
+            if segs:
+                files[os.path.basename(f)] = segs[-1].end_offset
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict):
+        start_files = start.get("files", {})
+        parts = []
+        for name, end_byte in end.get("files", {}).items():
+            full = self.path if os.path.isfile(self.path) else os.path.join(self.path, name)
+            from_byte = start_files.get(name, 0)
+            if end_byte <= from_byte:
+                continue
+            segs = [
+                (s.offset, -1)
+                for s in scan_segments(full)
+                if s.offset >= max(from_byte, 4) and s.end_offset <= end_byte
+            ]
+            if segs:
+                parts.append(ColumnFileStreamPartition(full, segs))
+        if not parts:
+            parts.append(ColumnFileStreamPartition("", []))
+        return parts
+
+    def read(self, partition: ColumnFileStreamPartition):
+        from libcolumnfile_spark.sources.columnfile.datasource import (
+            ColumnFilePartition,
+        )
+
+        yield from self._batch.read(
+            ColumnFilePartition(partition.file, partition.segments)
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derived from the files themselves
+
+
+class ColumnFileStreamWriter:
+    """DataSourceStreamWriter facade over the batch Arrow writer.
+
+    Implemented lazily (class created at call time) because the base
+    class for streaming writers shares the batch writer's write()
+    semantics; only commit carries a batchId.
+    """
+
+    def __new__(cls, options, schema):
+        from pyspark.sql.datasource import DataSourceStreamWriter
+
+        from libcolumnfile_spark.sources.columnfile.datasource import (
+            MANIFEST_FILE,
+            SCHEMA_FILE,
+            ColumnFileArrowWriter,
+        )
+
+        class _Writer(DataSourceStreamWriter):
+            def __init__(self, options, schema):
+                self._delegate = ColumnFileArrowWriter(options, schema)
+                self.path = self._delegate.path
+
+            def write(self, iterator):
+                import pyarrow as pa
+
+                # streaming writers receive Rows; convert to one batch
+                rows = list(iterator)
+                if not rows:
+                    from libcolumnfile_spark.sources.columnfile.datasource import (
+                        ColumnFileCommitMessage,
+                    )
+
+                    return ColumnFileCommitMessage("", [], 0)
+                names = schema.fieldNames()
+                cols = {n: [getattr(r, n) for r in rows] for n in names}
+                from libcolumnfile_spark.sources.columnfile.typed import (
+                    arrow_schema_for,
+                )
+
+                batch = pa.RecordBatch.from_pydict(
+                    cols, schema=arrow_schema_for(schema)
+                )
+                return self._delegate.write(iter([batch]))
+
+            def commit(self, messages, batchId: int) -> None:
+                ledger = os.path.join(self.path, "_batches.json")
+                seen = []
+                if os.path.exists(ledger):
+                    with open(ledger) as f:
+                        seen = json.load(f)["batches"]
+                if batchId in seen:
+                    return  # replayed micro-batch: drop for exactly-once
+                self._delegate.commit(messages)
+                with open(ledger, "w") as f:
+                    json.dump({"batches": seen + [batchId]}, f)
+
+            def abort(self, messages, batchId: int) -> None:
+                self._delegate.abort(messages)
+
+        os.makedirs(options.get("path"), exist_ok=True)
+        return _Writer(options, schema)

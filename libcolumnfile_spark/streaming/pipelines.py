@@ -1,0 +1,167 @@
+"""Streaming transformations: watermarked tumbling/sliding/session
+windows, watermark-bounded dedup, and custom stateful processing.
+
+Every transform here takes a DataFrame and returns a DataFrame — the
+SAME function works on a batch frame (where watermarks are no-ops) and
+on a streaming frame. That is the engine's batch/stream unification
+claim, and it's what the oracle-checked batch-equivalent queries in
+queries.py pin down; tests/test_streaming.py runs the genuinely
+streaming side (micro-batches, checkpoints, incremental offsets, late
+data) over the same functions.
+
+Scale notes (100 TB/day stream):
+- windowed aggregations keep O(open windows x groups) state, bounded by
+  the watermark — late data past the delay is dropped, state is evicted;
+- dropDuplicatesWithinWatermark state is likewise watermark-bounded
+  (exact dedup over an unbounded stream is unbounded state);
+- applyInPandasWithState shuffles once on the grouping key; state lives
+  in the state store (RocksDB on a real cluster), not executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def with_event_time_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Watermark wrapper; on a batch DataFrame this is a no-op marker."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    key_col: str = "event_type",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count + sum(value) per key."""
+    d = with_event_time_watermark(df, ts_col, delay)
+    return (
+        d.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    key_col: str = "event_type",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide windows."""
+    d = with_event_time_watermark(df, ts_col, delay)
+    return (
+        d.groupBy(F.window(ts_col, window, slide).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events")
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    key_col: str = "user_id",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: a session extends while events arrive within
+    ``gap`` of the previous one (dynamic-length windows — state merges
+    adjacent sessions as events arrive)."""
+    d = with_event_time_watermark(df, ts_col, delay)
+    return (
+        d.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Iterable[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with watermark-bounded state; exact dedup on a
+    batch frame."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def running_totals_stateful(df: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total that survives across micro-batches
+    (the canonical arbitrary-state pattern; the reference has no
+    streaming state at all).
+    """
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,110 @@
+"""Oracle-checked batch equivalents of the streaming pipelines.
+
+Each declared query runs the SAME transform function the streaming side
+uses (pipelines.py) on the batch events table — the watermark is a
+no-op on batch frames, everything else is identical. The genuinely
+streaming behaviors (micro-batches, checkpoints, incremental offsets,
+watermark-dropped late data, stateful updates) are exercised in
+tests/test_streaming.py where a driver oracle can't reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.streaming import pipelines as P
+
+# DuckDB: make_timestamp takes micros; epoch() returns (fractional)
+# seconds. Window start for a grid offset by `off` seconds with period
+# `per` = floor((epoch - off)/per)*per + off, epoch-aligned like Spark's
+# F.window.
+_GRID = (
+    "make_timestamp(CAST((floor((epoch(ts) - {off})/{per})*{per} + {off}) "
+    "AS BIGINT) * 1000000)"
+)
+
+
+@query(
+    "q_stream_sliding",
+    oracle=(
+        "SELECT "
+        + _GRID.format(off=0, per=3600)
+        + " AS window_start, event_type, count(*) AS n_events "
+        "FROM events GROUP BY 1, 2 "
+        "UNION ALL "
+        "SELECT "
+        + _GRID.format(off=1800, per=3600)
+        + " AS window_start, event_type, count(*) AS n_events "
+        "FROM events GROUP BY 1, 2"
+    ),
+    doc=(
+        "Sliding 1h/30m windows (each event lands in 2 windows). Oracle "
+        "= union of the two 30-minute-offset hourly grids; Spark side is "
+        "the streaming sliding_counts transform run on the batch frame."
+    ),
+    tags=("streaming", "window"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.sliding_counts(T(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_session",
+    # Session semantics: a new session starts when the gap from the
+    # previous event reaches the timeout (Spark session_window end is
+    # exclusive: last_ts + gap). lag+cumsum reproduces that exactly.
+    oracle=(
+        "WITH gaps AS ("
+        "  SELECT user_id, ts, value, CASE WHEN ts - lag(ts) OVER "
+        "    (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE "
+        "    THEN 1 ELSE 0 END AS new_session FROM events), "
+        "sess AS ("
+        "  SELECT user_id, ts, value, sum(new_session) OVER "
+        "    (PARTITION BY user_id ORDER BY ts "
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid "
+        "  FROM gaps) "
+        "SELECT min(ts) AS session_start, user_id, count(*) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value "
+        "FROM sess GROUP BY user_id, sid"
+    ),
+    doc=(
+        "Session windows (10-minute gap) per user: dynamic-length "
+        "windows, the one window type with merge-on-arrival state. "
+        "Spark side is the streaming session_counts transform on batch."
+    ),
+    tags=("streaming", "window", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = T(spark, sf_dir, "events")
+    return (
+        d.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle=None,  # dropDuplicates keeps an arbitrary row; rows-only
+    doc=(
+        "Batch face of dropDuplicatesWithinWatermark: exact dedup on "
+        "(user_id, event_type). Row count (= distinct key count) is the "
+        "stable property; the surviving row is engine-arbitrary."
+    ),
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.dedup_within_watermark(T(spark, sf_dir, "events"))

@@ -1,0 +1,293 @@
+"""Genuinely-streaming tests: micro-batches, checkpoints, incremental
+offset discovery, watermark dedup, and custom state — the behaviors the
+batch oracle can't check.
+
+All queries run with trigger(availableNow=True) so they process what
+exists and stop; incremental behavior is tested by running the SAME
+checkpointed query again after appending input.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.sources.columnfile import register
+from libcolumnfile_spark.streaming import pipelines as P
+
+SF = "/root/testdata/sf0.001"
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from libcolumnfile_spark.tables import load_table
+
+    return load_table(spark, SF, "events").cache()
+
+
+def _run_stream(sq):
+    sq.awaitTermination(120)
+
+
+def _write_parquet_source(events, path, parts=2):
+    n = events.count()
+    half = n // parts
+    slices = []
+    for i in range(parts):
+        lo, hi = i * half, (i + 1) * half if i < parts - 1 else n
+        slices.append(
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        )
+    return slices
+
+
+def test_tumbling_stream_equals_batch(spark, events, tmp_path):
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    out = P.tumbling_counts(stream)
+    sq = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in P.tumbling_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, events, tmp_path):
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sq = (
+        P.sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_t").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in P.sliding_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark, events, tmp_path):
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sq = (
+        P.session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_t").collect()
+    }
+    want = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in P.session_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_incremental_file_discovery(spark, events, tmp_path):
+    """Second availableNow run on the same checkpoint must process ONLY
+    the newly-appended files (no reprocessing, no loss)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = _write_parquet_source(events, src + "_stage", parts=2)
+    os.makedirs(src, exist_ok=True)
+    first.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        sq = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(sq)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()
+    # exactly-once: no event_id appears twice
+    assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_columnfile_stream_source_incremental(spark, events, tmp_path):
+    """Streaming read of a columnfile directory: newly appended part
+    files are discovered as new offsets (reference O23: appendable
+    self-contained segments)."""
+    register(spark)
+    src = str(tmp_path / "colsrc")
+    sink = str(tmp_path / "colsink")
+    ckpt = str(tmp_path / "colckpt")
+    first, second = _write_parquet_source(events, src + "_stage", parts=2)
+    first.write.format("columnfile").mode("overwrite").save(src)
+
+    def run_once():
+        stream = spark.readStream.format("columnfile").schema(EVENTS_DDL).load(src)
+        sq = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(sq)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == first.count()
+
+    second.write.format("columnfile").mode("append").save(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_columnfile_stream_sink(spark, events, tmp_path):
+    """writeStream into the columnfile format; batch read returns
+    exactly the streamed rows."""
+    register(spark)
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "colout")
+    ckpt = str(tmp_path / "ckpt")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sq = (
+        stream.select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("columnfile")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    back = spark.read.format("columnfile").load(out_dir)
+    assert back.count() == events.count()
+    assert back.select("event_id").distinct().count() == events.count()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (user_id, event_type) rows arriving within the
+    watermark window must be emitted once."""
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "2024-01-01 00:00:01", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:00:02", 10, "click", 2.0, "{}"),  # dup key
+        (3, "2024-01-01 00:00:03", 10, "view", 3.0, "{}"),
+        (4, "2024-01-01 00:00:04", 11, "click", 4.0, "{}"),
+        (5, "2024-01-01 00:00:05", 11, "click", 5.0, "{}"),  # dup key
+    ]
+    df = spark.createDataFrame(rows, EVENTS_DDL.replace("ts timestamp", "ts string"))
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sq = (
+        P.dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = spark.sql("SELECT user_id, event_type FROM dedup_t").collect()
+    keys = [(r["user_id"], r["event_type"]) for r in got]
+    assert sorted(keys) == [(10, "click"), (10, "view"), (11, "click")]
+
+
+def test_stateful_running_totals(spark, events, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    with maxFilesPerTrigger=1 the two source files process as two
+    micro-batches in one run; the final update per user must equal the
+    batch totals over ALL data (i.e. state carried across batches)."""
+    src = str(tmp_path / "src")
+    first, second = _write_parquet_source(events, src + "_stage", parts=2)
+    os.makedirs(src, exist_ok=True)
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sq = (
+        P.running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("state_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+
+    # update mode appends one row per (user, micro-batch); the row with
+    # the highest n_events is the final running total
+    rows = spark.sql("SELECT * FROM state_t").collect()
+    assert len(rows) > events.select("user_id").distinct().count()  # >1 batch
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert final == want
