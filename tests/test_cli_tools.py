@@ -1,0 +1,185 @@
+"""CLI tool tests (reference tools/columnfile-cat.cc and
+columnfile-sort.cc semantics): TSV output with --format typed
+reinterpretation, substring --filter, multi-file concatenation,
+recompression, external sort with spill runs, and --merge of
+pre-sorted inputs. No Spark needed."""
+
+from __future__ import annotations
+
+import io
+import struct
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from libcolumnfile_spark.sources.columnfile.format import (
+    ColumnFileReader,
+    ColumnFileWriter,
+)
+from tools import columnfile_cat, columnfile_sort
+
+
+def write_table(path, rows, compression="lz4"):
+    w = ColumnFileWriter(str(path), compression=compression)
+    for row in rows:
+        w.put_row(sorted(row.items()))
+    w.finalize()
+
+
+def cat(argv):
+    buf = io.BytesIO()
+    rc = columnfile_cat.run(argv, stdout=buf)
+    assert rc == 0
+    return buf.getvalue()
+
+
+def sort_tool(argv):
+    buf = io.BytesIO()
+    rc = columnfile_sort.run(argv, stdout=buf)
+    assert rc == 0
+    return buf.getvalue()
+
+
+@pytest.fixture
+def simple(tmp_path):
+    p = tmp_path / "simple.col"
+    write_table(
+        p,
+        [
+            {0: b"2000-01-01", 1: b"January", 2: b"First"},
+            {0: b"2000-01-02", 1: b"January", 2: b"Second"},
+            {0: b"2000-02-02", 1: b"February", 2: b"Second"},
+        ],
+    )
+    return str(p)
+
+
+def test_cat_text_output(simple):
+    out = cat([simple]).decode()
+    lines = out.strip().split("\n")
+    assert lines == [
+        "2000-01-01\tJanuary\tFirst",
+        "2000-01-02\tJanuary\tSecond",
+        "2000-02-02\tFebruary\tSecond",
+    ]
+
+
+def test_cat_filter_substring(simple):
+    out = cat(["--filter", "1:Feb", simple]).decode()
+    assert out.strip() == "2000-02-02\tFebruary\tSecond"
+
+
+def test_cat_format_skip_column(simple):
+    out = cat(["--format", "s_s", simple]).decode()
+    lines = out.strip().split("\n")
+    assert lines[0] == "2000-01-01\tFirst"
+
+
+def test_cat_typed_formats(tmp_path):
+    p = tmp_path / "typed.col"
+    write_table(
+        p,
+        [
+            {
+                0: struct.pack("<H", 7),
+                1: struct.pack("<q", -42),
+                2: struct.pack("<d", 2.5),
+                3: b"\xde\xad",
+            }
+        ],
+    )
+    out = cat(["--format", "Hqdx", str(p)]).decode()
+    assert out.strip() == "7\t-42\t2.5\tdead"
+
+
+def test_cat_multi_file_concat(simple, tmp_path):
+    p2 = tmp_path / "second.col"
+    write_table(p2, [{0: b"2001-01-01", 1: b"March", 2: b"Third"}])
+    out = cat([simple, str(p2)]).decode()
+    assert len(out.strip().split("\n")) == 4
+    assert out.strip().split("\n")[-1] == "2001-01-01\tMarch\tThird"
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "lzma", "zlib"])
+def test_cat_recompress_roundtrip(simple, codec):
+    blob = cat(["--output-format", "columnfile", "--compression", codec, simple])
+    with ColumnFileReader(blob) as r:
+        rows = list(r.rows())
+    assert len(rows) == 3
+    assert rows[0] == {0: b"2000-01-01", 1: b"January", 2: b"First"}
+
+
+def test_cat_nulls_render_empty(tmp_path):
+    p = tmp_path / "nulls.col"
+    write_table(p, [{0: b"a", 1: None}, {0: None, 1: b"b"}])
+    out = cat([str(p)]).decode()
+    assert out.strip().split("\n") == ["a\t", "\tb"]
+
+
+# ---------------------------------------------------------------------------
+# columnfile-sort
+# ---------------------------------------------------------------------------
+
+
+def _read_rows(blob):
+    with ColumnFileReader(blob) as r:
+        return [sorted(row.items()) for row in r.rows()]
+
+
+def test_sort_in_memory(tmp_path):
+    p = tmp_path / "unsorted.col"
+    rows = [{0: f"{(i * 37) % 100:03d}".encode(), 1: str(i).encode()} for i in range(100)]
+    write_table(p, rows)
+    out = sort_tool([str(p)])
+    got = _read_rows(out)
+    keys = [r[0][1] for r in got]
+    assert keys == sorted(keys)
+    assert len(got) == 100
+
+
+def test_sort_nulls_first(tmp_path):
+    p = tmp_path / "n.col"
+    write_table(p, [{0: b"b"}, {0: None}, {0: b"a"}])
+    out = sort_tool([str(p)])
+    got = _read_rows(out)
+    assert got[0] == [(0, None)]  # disengaged optional sorts first
+    assert [r[0][1] for r in got[1:]] == [b"a", b"b"]
+
+
+def test_sort_with_spill_runs(tmp_path):
+    """--buffer-size=0 forces a spill per row: exercises run generation
+    + batched k-way merge (reference columnfile-sort.cc:87-230)."""
+    p = tmp_path / "big.col"
+    rows = [{0: f"{(i * 73) % 500:04d}".encode()} for i in range(500)]
+    write_table(p, rows)
+    out = sort_tool(["--buffer-size", "0", str(p)])
+    got = _read_rows(out)
+    keys = [r[0][1] for r in got]
+    assert keys == sorted(keys)
+    assert len(keys) == 500
+
+
+def test_merge_presorted(tmp_path):
+    a = tmp_path / "a.col"
+    b = tmp_path / "b.col"
+    write_table(a, [{0: k.encode()} for k in ["a", "c", "e"]])
+    write_table(b, [{0: k.encode()} for k in ["b", "d", "f"]])
+    out = sort_tool(["--merge", str(a), str(b)])
+    got = [r[0][1] for r in _read_rows(out)]
+    assert got == [b"a", b"b", b"c", b"d", b"e", b"f"]
+
+
+def test_sort_then_cat_pipeline(tmp_path):
+    """sort | cat --format: the reference's composable-tools story."""
+    p = tmp_path / "pipe.col"
+    write_table(p, [{0: struct.pack("<i", v)} for v in [3, 1, 2]])
+    sorted_blob = sort_tool([str(p)])
+    tmp = tmp_path / "sorted.col"
+    tmp.write_bytes(sorted_blob)
+    out = cat(["--format", "i", str(tmp)]).decode()
+    # NOTE: byte-lexicographic sort of little-endian ints is not numeric
+    # order — same as the reference (sorting is on raw cell bytes)
+    got = [int(line) for line in out.strip().split("\n")]
+    assert sorted(got) == [1, 2, 3]
