@@ -1,0 +1,115 @@
+"""Extended join operators beyond plain equi-joins: as-of joins and
+range (interval) joins — the time-series surface a training-data /
+telemetry pipeline needs (absent in the reference, which has no joins
+at all; standard-engine extension per SURVEY.md §2.2).
+
+Scale design:
+- as-of join via union + carry-forward window: ONE shuffle on the key,
+  no point-in-time self-join explosion. This is the classic distributed
+  as-of formulation (a sort-merge within each key partition); at 100 TB
+  it scales exactly like any windowed aggregation. The naive
+  alternative (theta self-join ts_r <= ts_l) is quadratic per key.
+- range join via equi-key + bounded interval predicate: Catalyst plans
+  the user_id equality as the shuffle key and evaluates the interval
+  as a join residual — candidate pairs are bounded per key, never a
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.ts <= left.ts (direction='backward'), per key.
+
+    Implementation: tag both sides, union, and carry the right side's
+    values forward with a last(ignorenulls) window ordered by
+    (ts, side) — right rows at an equal timestamp sort before left
+    rows, so ties are INCLUSIVE (matches ASOF JOIN ... ON l.ts >= r.ts).
+    One shuffle on the key; no self-join.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    lcols = left.columns
+
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            tagged_left.schema["__row"].dataType
+        ).alias("__row"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        "__row",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__row.{c}").alias(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_minutes: int = 5,
+) -> DataFrame:
+    """Pairs of rows with the same key whose timestamps fall within
+    ``max_gap_minutes`` (a < b). Equi-join on the key carries the
+    shuffle; the interval predicate is the join residual."""
+    a = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_a"),
+        F.col(ts_col).alias("ts_a"),
+    )
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_b"),
+        F.col(ts_col).alias("ts_b"),
+    )
+    gap = F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+    return (
+        a.join(
+            b,
+            (a.k == b.k)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + gap),
+        )
+        .select(a.k.alias(key_col), "id_a", "id_b")
+    )

@@ -1,0 +1,184 @@
+"""Relational surface extensions: cube, pivot, UDTF, as-of / range join
+declared queries (standard-engine operators absent in the reference —
+SURVEY.md §2.2; the reference's only extension hook is the AddFilter
+lambda, src/columnfile.h:290-291).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.operators.joins import asof_join, range_join_pairs
+from libcolumnfile_spark.queries import T, query
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: CUBE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    doc=(
+        "CUBE grouping sets: all 4 grouping combinations in one pass "
+        "(Spark expands to a union of partial aggregates over one scan)."
+    ),
+    tags=("agg", "grouping"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (o_orderstatus = 'F') AS cnt_f, "
+        "count(*) FILTER (o_orderstatus = 'O') AS cnt_o, "
+        "count(*) FILTER (o_orderstatus = 'P') AS cnt_p "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Pivot (rows -> columns) with explicit value list: explicit "
+        "values keep it a single-pass aggregate (no values-discovery "
+        "scan, which at 100 TB would double the I/O)."
+    ),
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).agg(
+        F.count(F.lit(1))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof",
+    oracle=(
+        "WITH r AS (SELECT user_id, ts, max_by(value, event_id) AS value "
+        "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+        "l AS (SELECT event_id, user_id, ts FROM events "
+        "  WHERE event_type = 'click') "
+        "SELECT l.event_id, l.user_id, r.value AS asof_value "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    doc=(
+        "As-of join: each click gets the most recent preceding purchase "
+        "value per user. Spark has no ASOF JOIN; ours is the union + "
+        "carry-forward-window formulation — one shuffle on the key, no "
+        "quadratic self-join (operators/joins.py). Right side pre-"
+        "deduped per (user, ts) by max event_id for determinism."
+    ),
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "q_join_range",
+    oracle=(
+        "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND a.event_id < b.event_id "
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE"
+    ),
+    doc=(
+        "Range (interval) join: same-user event pairs within 5 minutes. "
+        "The user_id equality is the shuffle key; the interval predicate "
+        "is a join residual on already-co-located rows — never a cross "
+        "product."
+    ),
+    tags=("join", "range"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_join_pairs(T(spark, sf_dir, "events"), max_gap_minutes=5)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function; Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+
+class BigramsUDTF:
+    """Yield (pos, bigram) for consecutive single-space-separated word
+    pairs — a UDTF so one input row fans out to many output rows."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102
+        if not text:
+            return
+        tokens = text.split(" ")
+        for i in range(len(tokens) - 1):
+            yield doc_id, i + 1, tokens[i] + " " + tokens[i + 1]
+
+
+def _register_udtf(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "cf_bigrams",
+        udtf(BigramsUDTF, returnType="doc_id bigint, pos int, bigram string"),
+    )
+
+
+@query(
+    "q_udtf",
+    oracle=(
+        "SELECT d.doc_id, CAST(g.i AS INTEGER) AS pos, "
+        "d.tokens[g.i] || ' ' || d.tokens[g.i+1] AS bigram "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS tokens "
+        "      FROM documents WHERE doc_id < 100) d, "
+        "LATERAL (SELECT unnest(generate_series(1, len(d.tokens)-1)) AS i) g"
+    ),
+    doc=(
+        "Python UDTF (one row -> many rows) via LATERAL table-function "
+        "call: word bigrams with positions. Arrow-batched like any "
+        "Python-source operator; prefer built-in explode when semantics "
+        "allow (this exists to cover the UDTF API surface)."
+    ),
+    tags=("udf", "udtf"),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_udtf(spark)
+    view = "cf_docs_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT b.doc_id, b.pos, b.bigram FROM {view} v, "
+        "LATERAL cf_bigrams(v.doc_id, v.text) b"
+    )
