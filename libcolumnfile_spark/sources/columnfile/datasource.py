@@ -75,6 +75,9 @@ from libcolumnfile_spark.sources.columnfile.stats import (
 from libcolumnfile_spark.sources.columnfile.typed import (
     decode_runs_to_arrow,
     encoder_for,
+    flatten_batch_arrays,
+    flatten_schema,
+    rebuild_column,
 )
 
 SCHEMA_FILE = "_schema.json"
@@ -186,20 +189,32 @@ class ColumnFileReader(DataSourceReader):
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
         self._filters: list[Filter] = []
-        # map schema field name -> on-disk column index, via the stored
-        # full schema when present (supports reading a column subset),
-        # else positional.
+        # Map each top-level read-schema field to its on-disk leaf column
+        # indexes (a struct spans several consecutive leaves — reference
+        # record shredding, columnfile-capnp.cc:94-149). Mapping comes
+        # from the stored schema when present (supports subset reads),
+        # else it's positional over the read schema's own flattening.
         stored = _load_sidecar_schema(self.path)
-        if stored is not None:
-            by_name = {f.name: i for i, f in enumerate(stored.fields)}
-            try:
-                self.col_indexes = [by_name[f.name] for f in schema.fields]
-            except KeyError as e:
+        base = stored if stored is not None else schema
+        stored_leaves = flatten_schema(base)
+        by_field: dict[str, list[int]] = {}
+        for i, (name, _dt) in enumerate(stored_leaves):
+            by_field.setdefault(name.split(".", 1)[0], []).append(i)
+        self.field_leaves: list[tuple[list[int], list]] = []
+        for f in schema.fields:
+            if f.name not in by_field:
                 raise ColumnFileFormatError(
-                    f"columnfile: column {e} not in stored schema"
-                ) from None
-        else:
-            self.col_indexes = list(range(len(schema.fields)))
+                    f"columnfile: column {f.name!r} not in stored schema"
+                )
+            idxs = by_field[f.name]
+            # leaf dtypes come from the READ schema (flattened the same
+            # way), so casts the user requests are honored per leaf
+            leaf_dts = [dt for _, dt in flatten_schema(StructType([f]))]
+            if len(leaf_dts) != len(idxs):
+                raise ColumnFileFormatError(
+                    f"columnfile: column {f.name!r} shape mismatch vs stored schema"
+                )
+            self.field_leaves.append((idxs, leaf_dts))
 
     def pushFilters(self, filters: list[Filter]):
         # Keep every filter for stats-based segment pruning, but report
@@ -238,7 +253,7 @@ class ColumnFileReader(DataSourceReader):
         if not partition.file:
             return
         fields = self.read_schema.fields
-        wanted = set(self.col_indexes)
+        wanted = {i for idxs, _ in self.field_leaves for i in idxs}
         want_offsets = {off for off, _ in partition.segments}
         with open(partition.file, "rb") as f:
             # segment headers must be parsed in file order (cheap: header
@@ -247,39 +262,28 @@ class ColumnFileReader(DataSourceReader):
                 if seg.offset not in want_offsets:
                     continue
                 runs_by_idx = read_segment_columns(f, seg, wanted)
-                arrays = []
-                n_rows = None
-                for field, idx in zip(fields, self.col_indexes):
-                    runs = runs_by_idx.get(idx, [])
-                    arr = decode_runs_to_arrow(runs, field.dataType)
-                    if n_rows is None:
-                        n_rows = len(arr)
-                    elif len(arr) != n_rows:
-                        # dynamic column sets: null-fill short columns
-                        # (reference reader just drops exhausted fields,
-                        # src/columnfile-reader.cc:381-388; a rectangular
-                        # engine must pad instead)
-                        if len(arr) < n_rows:
-                            pad = pa.nulls(n_rows - len(arr), type=arr.type)
-                            arr = pa.concat_arrays([arr, pad])
-                        else:
-                            n_rows = len(arr)
-                            arrays = [
-                                pa.concat_arrays(
-                                    [a, pa.nulls(n_rows - len(a), type=a.type)]
-                                )
-                                if len(a) < n_rows
-                                else a
-                                for a in arrays
-                            ]
-                    arrays.append(arr)
-                if n_rows is None:
+                # decode every wanted leaf, tracking the segment row count
+                leaf_arrays: dict[int, pa.Array] = {}
+                n_rows = 0
+                for (idxs, leaf_dts) in self.field_leaves:
+                    for idx, dt in zip(idxs, leaf_dts):
+                        arr = decode_runs_to_arrow(runs_by_idx.get(idx, []), dt)
+                        leaf_arrays[idx] = arr
+                        n_rows = max(n_rows, len(arr))
+                if n_rows == 0:
                     continue
+                # dynamic column sets: null-fill short leaves (reference
+                # reader just drops exhausted fields,
+                # src/columnfile-reader.cc:381-388; a rectangular engine
+                # pads instead)
+                for idx, arr in leaf_arrays.items():
+                    if len(arr) < n_rows:
+                        leaf_arrays[idx] = pa.concat_arrays(
+                            [arr, pa.nulls(n_rows - len(arr), type=arr.type)]
+                        )
                 arrays = [
-                    pa.concat_arrays([a, pa.nulls(n_rows - len(a), type=a.type)])
-                    if len(a) < n_rows
-                    else a
-                    for a in arrays
+                    rebuild_column(field.dataType, [leaf_arrays[i] for i in idxs])
+                    for field, (idxs, _) in zip(fields, self.field_leaves)
                 ]
                 yield pa.RecordBatch.from_arrays(
                     arrays, names=[f.name for f in fields]
@@ -305,10 +309,12 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
         pid = ctx.partitionId() if ctx else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.col"
         full = os.path.join(self.path, name)
-        fields = self.schema.fields
-        encoders = [encoder_for(f.dataType) for f in fields]
+        # structs shred into consecutive leaf columns; leaf position =
+        # on-disk column index (reference columnfile-capnp.cc:94-149)
+        leaves = flatten_schema(self.schema)
+        encoders = [encoder_for(dt) for _, dt in leaves]
         stats_entries: list[dict] = []
-        seg_stats = {f.name: ColumnStats() for f in fields}
+        seg_stats = {name: ColumnStats() for name, _ in leaves}
         total_rows = 0
 
         writer = ColumnFileWriter(full, compression=self.compression)
@@ -320,10 +326,10 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
             for batch in iterator:
                 for start in range(0, batch.num_rows, slice_rows):
                     part = batch.slice(start, slice_rows)
-                    cols = [part.column(i).to_pylist() for i in range(len(fields))]
-                    for i, (field, enc) in enumerate(zip(fields, encoders)):
-                        cs = seg_stats[field.name]
-                        for v in cols[i]:
+                    leaf_arrays = flatten_batch_arrays(part, self.schema)
+                    for i, ((lname, _dt), enc) in enumerate(zip(leaves, encoders)):
+                        cs = seg_stats[lname]
+                        for v in leaf_arrays[i].to_pylist():
                             if v is None:
                                 writer.put_null(i)
                                 cs.update(None)
@@ -339,7 +345,7 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
                             entry = segment_stats_entry(off, rows, seg_stats)
                             entry["length"] = length
                             stats_entries.append(entry)
-                        seg_stats = {f.name: ColumnStats() for f in fields}
+                        seg_stats = {n: ColumnStats() for n, _ in leaves}
             flushed = writer.flush()
             if flushed:
                 off, length, rows = flushed

@@ -105,3 +105,29 @@ def q_columnfile_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("o_orderkey bigint, o_orderdate timestamp")
         .load(path)
     )
+
+
+@query(
+    "q_columnfile_nested",
+    oracle=(
+        "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS emb_dim, "
+        "round(CAST(embedding[1] AS DOUBLE), 6) AS e0 FROM embeddings"
+    ),
+    doc=(
+        "Array column through the columnfile format (reference O21/O22 "
+        "record shredding analog, columnfile-capnp.cc:50-256): "
+        "embeddings.embedding roundtrips the u64-count + packed-floats "
+        "cell encoding, then element access + cardinality are computed "
+        "on the read-back frame and checked against the oracle on the "
+        "original parquet."
+    ),
+    tags=("columnfile", "nested"),
+)
+def q_columnfile_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = columnfile_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("emb_dim"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("e0"),
+    )

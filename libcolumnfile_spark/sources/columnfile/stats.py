@@ -40,6 +40,8 @@ class ColumnStats:
         if value is None:
             self.nulls += 1
             return
+        if not isinstance(value, (int, float, str)):
+            return  # arrays/binary: no bounds tracked
         if isinstance(value, float) and math.isnan(value):
             return  # NaN never participates in bounds
         if self.min is None or value < self.min:

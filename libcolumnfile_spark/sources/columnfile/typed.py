@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     ByteType,
@@ -84,10 +85,13 @@ def _kind_of(dt: DataType) -> str:
         return "timestamp"
     if isinstance(dt, DecimalType):
         return "decimal"
+    if isinstance(dt, ArrayType):
+        return "array"
     raise ColumnFileFormatError(
         f"unsupported columnfile type {dt.simpleString()}; supported: "
         "byte/short/int/long/float/double/boolean/string/binary/date/"
-        "timestamp/decimal"
+        "timestamp/decimal/array (structs flatten to columns at the "
+        "datasource layer)"
     )
 
 
@@ -127,7 +131,79 @@ def encoder_for(dt: DataType):
         return enc_ts
     if kind == "decimal":
         return lambda v: str(v).encode("ascii")
+    if kind == "array":
+        return _array_encoder(dt)
     raise AssertionError(kind)
+
+
+def _array_encoder(dt: ArrayType):
+    """array<T> cell = u64 LE element count + packed elements.
+
+    The reference's list convention (columnfile-capnp.cc:76-92) also
+    leads with a little-endian u64 count, but appends elements as EXTRA
+    ROWS in the child columns — which makes segments non-rectangular and
+    unsplittable without reassembly state. We keep the count prefix and
+    pack the elements into the same cell instead: segments stay
+    rectangular (any segment range is independently decodable), which is
+    what lets a distributed scanner split files. Elements: fixed-width
+    types packed back-to-back; strings/binary each u32-length-prefixed.
+    """
+    ekind = _kind_of(dt.elementType)
+    cnt = struct.Struct("<Q").pack
+    if ekind in _FIXED:
+        npdt = _FIXED[ekind][1]
+
+        def enc_fixed(v):
+            arr = np.asarray(list(v), dtype=npdt)
+            return cnt(len(arr)) + arr.tobytes()
+
+        return enc_fixed
+    if ekind in ("string", "binary"):
+        lp = struct.Struct("<I").pack
+
+        def enc_var(v):
+            parts = [cnt(len(v))]
+            for e in v:
+                b = e.encode("utf-8") if isinstance(e, str) else bytes(e)
+                parts.append(lp(len(b)))
+                parts.append(b)
+            return b"".join(parts)
+
+        return enc_var
+    raise ColumnFileFormatError(
+        f"unsupported array element type {dt.elementType.simpleString()}"
+    )
+
+
+def _array_decoder(dt: ArrayType):
+    ekind = _kind_of(dt.elementType)
+    if ekind in _FIXED:
+        npdt = _FIXED[ekind][1]
+
+        def dec_fixed(v: bytes):
+            n = struct.unpack_from("<Q", v)[0]
+            arr = np.frombuffer(v, dtype=npdt, count=n, offset=8)
+            return arr
+        return dec_fixed
+    if ekind in ("string", "binary"):
+        as_str = ekind == "string"
+
+        def dec_var(v: bytes):
+            n = struct.unpack_from("<Q", v)[0]
+            out = []
+            pos = 8
+            for _ in range(n):
+                (ln,) = struct.unpack_from("<I", v, pos)
+                pos += 4
+                e = v[pos : pos + ln]
+                pos += ln
+                out.append(e.decode("utf-8") if as_str else e)
+            return out
+
+        return dec_var
+    raise ColumnFileFormatError(
+        f"unsupported array element type {dt.elementType.simpleString()}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +266,15 @@ def decode_runs_to_arrow(runs, dt: DataType) -> pa.Array:
         run_vals = np.frombuffer(buf, dtype=np.int64)
         return pa.array(np.repeat(run_vals, reps), type=pa.timestamp("us"), mask=mask)
 
+    if kind == "array":
+        dec = _array_decoder(dt)
+        vals: list = []
+        for v, r in runs:
+            e = None if v is None else dec(v)
+            vals.extend([e] * r)
+        etype = _arrow_type(_kind_of(dt.elementType), dt.elementType)
+        return pa.array(vals, type=pa.list_(etype))
+
     # variable-width kinds: python-level expansion
     out: list = []
     if kind == "string":
@@ -211,6 +296,9 @@ def decode_runs_to_arrow(runs, dt: DataType) -> pa.Array:
 def _arrow_type(kind: str, dt: DataType):
     if kind in _FIXED:
         return _FIXED[kind][2]
+    if kind == "array":
+        assert isinstance(dt, ArrayType)
+        return pa.list_(_arrow_type(_kind_of(dt.elementType), dt.elementType))
     return {
         "bool": pa.bool_(),
         "string": pa.string(),
@@ -227,6 +315,85 @@ def arrow_schema_for(schema: StructType) -> pa.Schema:
             for f in schema.fields
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Struct shredding: nested schema <-> flat leaf columns
+# ---------------------------------------------------------------------------
+
+
+def flatten_schema(schema: StructType) -> list[tuple[str, DataType]]:
+    """Depth-first flattening of structs into consecutive leaf columns
+    (the reference's record shredding: nested structs flatten to
+    consecutive column indexes, columnfile-capnp.cc:94-149). Leaf names
+    are dotted paths; the leaf's position IS its on-disk column index.
+    """
+    out: list[tuple[str, DataType]] = []
+
+    def walk(prefix: str, dt: DataType) -> None:
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f"{prefix}.{f.name}" if prefix else f.name, f.dataType)
+        else:
+            _kind_of(dt)  # validate leaf support early
+            out.append((prefix, dt))
+
+    for f in schema.fields:
+        walk(f.name, f.dataType)
+    return out
+
+
+def flatten_batch_arrays(batch: pa.RecordBatch, schema: StructType) -> list[pa.Array]:
+    """Arrow batch -> leaf arrays in flatten_schema order, with parent
+    struct nulls propagated into children."""
+    import pyarrow.compute as pc
+
+    out: list[pa.Array] = []
+
+    def walk(arr: pa.Array, dt: DataType) -> None:
+        if isinstance(dt, StructType):
+            valid = pc.is_valid(arr) if arr.null_count else None
+            for i, f in enumerate(dt.fields):
+                child = arr.field(i) if isinstance(arr, pa.StructArray) else arr.field(f.name)
+                if valid is not None:
+                    child = pc.if_else(valid, child, pa.scalar(None, type=child.type))
+                walk(child, f.dataType)
+        else:
+            out.append(arr)
+
+    for i, f in enumerate(schema.fields):
+        walk(batch.column(i), f.dataType)
+    return out
+
+
+def rebuild_column(dt: DataType, leaves: list[pa.Array]) -> pa.Array:
+    """Inverse of flattening: consume leaf arrays (in order) and rebuild
+    the (possibly nested) column. A struct row is NULL iff every leaf
+    under it is null — the same ambiguity the reference's record
+    assembly has (NULL fields are skipped on rebuild,
+    columnfile-capnp.cc:157-256)."""
+    import pyarrow.compute as pc
+
+    pos = 0
+
+    def walk(dt: DataType) -> pa.Array:
+        nonlocal pos
+        if isinstance(dt, StructType):
+            children = [walk(f.dataType) for f in dt.fields]
+            all_null = None
+            for c in children:
+                isnull = pc.is_null(c)
+                all_null = isnull if all_null is None else pc.and_(all_null, isnull)
+            return pa.StructArray.from_arrays(
+                children,
+                names=[f.name for f in dt.fields],
+                mask=all_null,
+            )
+        arr = leaves[pos]
+        pos += 1
+        return arr
+
+    return walk(dt)
 
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,53 @@ def test_schema_sidecar_enables_schemaless_read(spark, tmp_path):
     back = spark.read.format("columnfile").load(path)
     assert back.schema == docs.schema
     assert back.count() == docs.count()
+
+
+def test_array_column_roundtrip(spark, tmp_path):
+    """embeddings.embedding (array<float>) through the u64-count +
+    packed-elements cell encoding."""
+    emb = load_table(spark, SF, "embeddings")
+    back = _roundtrip(spark, emb, str(tmp_path / "emb"))
+    assert back.schema == emb.schema
+    assert _sorted_rows(back, "vec_id") == _sorted_rows(emb, "vec_id")
+
+
+def test_array_of_strings_and_null_arrays(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ["a", "bb"], [1.5, 2.5]), (2, [], []), (3, None, None)],
+        "id bigint, tags array<string>, xs array<double>",
+    )
+    back = _roundtrip(spark, df, str(tmp_path / "arr"))
+    assert _sorted_rows(back, "id") == _sorted_rows(df, "id")
+
+
+def test_struct_shredding_roundtrip(spark, tmp_path):
+    """Structs shred into consecutive leaf columns and reassemble
+    (reference capnp bridge semantics: a struct whose leaves are all
+    NULL reassembles as NULL, columnfile-capnp.cc:157-256)."""
+    df = spark.createDataFrame(
+        [
+            (1, ("alice", 30, ("x", 1.0))),
+            (2, ("bob", None, ("y", 2.0))),
+            (3, None),
+        ],
+        "id bigint, person struct<name:string, age:int, "
+        "meta:struct<tag:string, score:double>>",
+    )
+    back = _roundtrip(spark, df, str(tmp_path / "nested"))
+    assert back.schema == df.schema
+    got = {r["id"]: r["person"] for r in back.collect()}
+    assert got[1] == ("alice", 30, ("x", 1.0))
+    assert got[2] == ("bob", None, ("y", 2.0))
+    assert got[3] is None
+
+
+def test_struct_leaf_subset_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ("alice", 30)), (2, ("bob", 41))],
+        "id bigint, person struct<name:string, age:int>",
+    )
+    path = str(tmp_path / "subsel")
+    df.write.format("columnfile").mode("overwrite").save(path)
+    sub = spark.read.format("columnfile").schema("id bigint").load(path)
+    assert [r["id"] for r in sub.orderBy("id").collect()] == [1, 2]
