@@ -109,6 +109,42 @@ def shingle_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
 
 
+def token_hashes(text: Column) -> Column:
+    """array<bigint>: one 31-bit hash per whitespace token."""
+    tokens = F.split(F.lower(text), r"\s+")
+    return F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_31)))
+
+
+def hashed_grams(th: Column, n: int = 3) -> Column:
+    """array<bigint>: distinct hashed word n-gram shingles from a
+    PRE-MATERIALIZED token-hash column — shingle strings never exist; a
+    shingle hash is a small-coefficient combination of n consecutive
+    token hashes (pure integer ops).
+
+    IMPORTANT: ``th`` must be a materialized column reference, not an
+    inline expression — it's referenced n times inside the transform
+    lambda, and Catalyst inlines (re-evaluates) non-attribute
+    subexpressions per reference, turning O(tokens) hashing into
+    O(tokens * shingles). That inlining was a measured 2x regression.
+
+    Overflow safety under ANSI mode: each element is already below 2^31,
+    coefficients are 31^k (k < n), so sums stay far below 2^63.
+    """
+    m = F.greatest(F.size(th) - (n - 1), F.lit(0))
+
+    def gram(i: Column) -> Column:
+        acc = None
+        for k in range(n):
+            term = F.element_at(th, i + k) * F.lit(31 ** (n - 1 - k))
+            acc = term if acc is None else acc + term
+        return F.pmod(acc, F.lit(_MERSENNE_31))
+
+    grams = F.transform(F.sequence(F.lit(1), m), gram)
+    return F.array_distinct(
+        F.when(m > 0, grams).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def minhash_signature_from_hashes(hash_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
     """array<bigint> MinHash signature over pre-computed base hashes:
     sig_i = min over h of (a_i * h + b_i) mod 2^31-1.
@@ -178,34 +214,75 @@ def minhash_lsh_dedup(
     # spread the compute-heavy signature map work across all cores: a small
     # single-file input otherwise plans as ONE partition and serializes the
     # per-row shingling+hashing (at real scale, file splits do this for free)
-    base = _spread(df).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    # two-step: hash each shingle string once, then n_hashes cheap affine
-    # rehashes over the integer array (see shingle_hashes docstring)
-    hashed = base.withColumn("hs", shingle_hashes(F.col("sh")))
-    sig = hashed.select("id", "sh", minhash_signature_from_hashes(F.col("hs"), n_hashes).alias("sig"))
-    # sig is referenced 3x (banding + both sides of the verify join); the
-    # HOF-heavy signature expression is interpreted (not codegen'd), so
-    # recomputing it per reference dominates runtime. At cluster scale this
-    # persist is the standard LSH checkpoint (MEMORY_AND_DISK spills).
-    sig = sig.persist()
+    # Pre-filter on the CHEAP token-count proxy (== "has >= 1 shingle"),
+    # never on size(hs): Catalyst pushes filters through projections by
+    # inlining the aliased expression, so filtering on the shingle array
+    # would re-run the whole hashing pipeline inside the pushed filter —
+    # below the repartition, i.e. serially. Measured 5x regression.
+    spread = _spread(df).filter(
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= shingle_n
+    )
+    # token-hash shingles: the whole signature pipeline runs in integer
+    # ops, no shingle strings ever materialize. Two-step projection so
+    # the token-hash array is a bound attribute when hashed_grams
+    # references it n times (see hashed_grams docstring).
+    toks = spread.select(
+        F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th")
+    )
+    # One persisted artifact feeds everything downstream (banding AND the
+    # verify stage): (id, token-hash array) — compact integers, a tiny
+    # fraction of the raw text. Every later stage replays from this
+    # cache instead of re-scanning + re-tokenizing the corpus.
+    toks = toks.persist()
+    toks.count()
+    hashed = toks.select("id", hashed_grams(F.col("th"), shingle_n).alias("hs"))
+    sig = hashed.select("id", minhash_signature_from_hashes(F.col("hs"), n_hashes).alias("sig"))
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Candidate pairs via ONE groupBy shuffle (not a self-join, which
+    # would shuffle banded twice): collect ids per (band, key) bucket,
+    # expand within-bucket pairs. Bucket sizes bound the quadratic term
+    # explicitly — a skewed bucket is visible as a hot key here, which
+    # AQE splits; the within-bucket pair expansion is pure codegen.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p.id_a < p.id_b,
+    )
     candidates = (
-        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
-    sh_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify stage recomputes shingles ONLY for candidate docs: semi-join
+    # the corpus down to candidate ids first (candidates are the tiny
+    # side — broadcast), then compute exact Jaccard. At 100 TB this is
+    # the whole point of LSH: the expensive exact step touches
+    # O(candidates), not O(corpus).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cand_docs = toks.join(F.broadcast(cand_ids), "id", "left_semi").select(
+        "id", hashed_grams(F.col("th"), shingle_n).alias("sh")
+    )
+    sh_a = cand_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = cand_docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -293,27 +370,45 @@ def ngram_jaccard_pairs(
     blk_parts = [F.col(block_col) if block_col else F.lit("all")]
     if length_bucket:
         blk_parts.append((F.length(F.col(text_col)) / F.lit(length_bucket)).cast("int").cast("string"))
-    base = df.select(
+    # Candidate stage carries only (id, blk, n_tokens) — the shingle
+    # arrays are NOT built here. Token count is the cheap proxy for
+    # shingle-set size in the size-ratio prefilter (|sh| = n_tokens-n+1).
+    keys = df.select(
         F.col(id_col).alias("id"),
         F.concat_ws("|", *blk_parts).alias("blk"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a = base.alias("a")
-    b = base.alias("b")
-    na, nb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+        (F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - (shingle_n - 1)).alias("nsh"),
+    ).filter(F.col("nsh") > 0)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    na, nb = F.col("a.nsh"), F.col("b.nsh")
+    candidates = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.id") < F.col("b.id"))
+        # size-ratio prefilter: |A n B| / |A u B| >= t needs |A|/|B| >= t
+        & (na.cast("double") >= nb.cast("double") * threshold)
+        & (nb.cast("double") >= na.cast("double") * threshold),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # Verify stage: shingle ONLY the candidate docs (semi-join on the
+    # broadcast candidate-id set), then exact Jaccard — the expensive
+    # array work touches O(candidates), not O(corpus).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cand_docs = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == cand_ids.id, "left_semi"
+    ).select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    sh_a = cand_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = cand_docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id"))
-            # size-ratio prefilter: cheap ints before the set intersection
-            & (na.cast("double") >= nb.cast("double") * threshold)
-            & (nb.cast("double") >= na.cast("double") * threshold),
-        )
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard_sim"),
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )

@@ -155,6 +155,11 @@ def cosine_near_pairs(
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    # the n_planes dot products feed both sides of the self-join;
+    # persist so each vector is bucketed once, not twice (count()
+    # force-fills the cache before the self-join scans twice)
+    bucketed = bucketed.persist()
+    bucketed.count()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (

@@ -275,16 +275,24 @@ def decode_runs_to_arrow(runs, dt: DataType) -> pa.Array:
         etype = _arrow_type(_kind_of(dt.elementType), dt.elementType)
         return pa.array(vals, type=pa.list_(etype))
 
-    # variable-width kinds: python-level expansion
+    # variable-width kinds: decode each RUN value once, expand via a
+    # dictionary array (np.repeat'd indices), then flatten C++-side —
+    # per-row Python never runs
+    if kind in ("string", "binary"):
+        if kind == "string":
+            run_vals = pa.array(
+                ["" if v is None else v.decode("utf-8") for v, _ in runs],
+                type=pa.string(),
+            )
+        else:
+            run_vals = pa.array(
+                [b"" if v is None else v for v, _ in runs], type=pa.binary()
+            )
+        indices = pa.array(
+            np.repeat(np.arange(len(runs), dtype=np.int32), reps), mask=mask
+        )
+        return pa.DictionaryArray.from_arrays(indices, run_vals).dictionary_decode()
     out: list = []
-    if kind == "string":
-        for v, r in runs:
-            out.extend([None if v is None else v.decode("utf-8")] * r)
-        return pa.array(out, type=pa.string())
-    if kind == "binary":
-        for v, r in runs:
-            out.extend([None if v is None else v] * r)
-        return pa.array(out, type=pa.binary())
     if kind == "decimal":
         assert isinstance(dt, DecimalType)
         for v, r in runs:
