@@ -117,6 +117,54 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_map, schema=DECODED_SCHEMA)
 
 
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table DERIVED from the documents fixture: the
+    payload is the UTF-8 text bytes (opaque to everything downstream),
+    kind/dimensions/duration are pure functions of doc_id / n_chars.
+    This keeps the multimodal declared queries oracle-checkable — DuckDB
+    can recompute every derivation from the same parquet.
+
+    Scale note: in production this table IS the 100 TB side (payload =
+    real encoded media); everything below treats payload as opaque bytes
+    and never shuffles it, so the derivation swap is free.
+    """
+    from libcolumnfile_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_visual = F.col("kind").isin("image", "video")
+    return (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            kind.alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.col("n_chars"),
+        )
+        .select(
+            "media_id",
+            "kind",
+            "payload",
+            F.element_at(
+                F.create_map(
+                    F.lit("image"), F.lit("image/png"),
+                    F.lit("audio"), F.lit("audio/wav"),
+                    F.lit("video"), F.lit("video/mp4"),
+                ),
+                F.col("kind"),
+            ).alias("mime"),
+            F.when(is_visual, (F.col("n_chars") % 64 + 16).cast("int")).alias("width"),
+            F.when(is_visual, (F.col("n_chars") % 64 + 16).cast("int")).alias("height"),
+            F.when(
+                F.col("kind").isin("audio", "video"),
+                ((F.col("n_chars") % 5 + 1) * 1000).cast("int"),
+            ).alias("duration_ms"),
+        )
+    )
+
+
 def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
     """Video frame-sampling plumbing: expands each video row into frame
     timestamps (the decode of actual frames is the stubbed step). Shows
@@ -129,3 +177,54 @@ def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries (driver contract). The decode step itself is the stub;
+# the Spark-side plumbing (binary column, mapInPandas batch shape, schema,
+# metadata-only pruning) is what these queries pin down.
+# ---------------------------------------------------------------------------
+
+from libcolumnfile_spark.queries import query  # noqa: E402
+
+
+@query(
+    "q_media_features",
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind, "
+        "sha256(text) AS sha256, "
+        "CAST(length(text) AS BIGINT) AS n_bytes "
+        "FROM documents"
+    ),
+    doc=(
+        "Multimodal feature extraction: opaque binary payloads through "
+        "Arrow-batched mapInPandas (decode stubbed as sha256+byte stats; "
+        "the documents text is ASCII so DuckDB's sha256(varchar) hashes "
+        "the identical bytes). Map-only — payloads never shuffle."
+    ),
+    tags=("multimodal", "udf"),
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = decode_features(media_table(spark, sf_dir))
+    return feats.select("media_id", "kind", "sha256", "n_bytes")
+
+
+@query(
+    "q_media_frames",
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "CAST(unnest(generate_series(0, ((n_chars % 5) + 1) * 1000, 250)) AS INT) "
+        "AS frame_ts_ms "
+        "FROM documents WHERE doc_id % 3 = 2"
+    ),
+    doc=(
+        "Video frame sampling: explode-on-metadata generates frame "
+        "timestamps without touching payload bytes (columnar scan prunes "
+        "the binary column entirely — the plan reads only media_id/kind/"
+        "duration_ms)."
+    ),
+    tags=("multimodal",),
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(media_table(spark, sf_dir), every_ms=250)

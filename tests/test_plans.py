@@ -103,3 +103,13 @@ def test_text_operators_no_python_in_plan(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_media_frames_prunes_payload(spark):
+    """Metadata-only media queries must never read the binary payload
+    column — at 100 TB of media, this is the difference between scanning
+    kilobytes of metadata and the whole corpus."""
+    plan = plan_of(spark, "q_media_frames")
+    assert "payload" not in plan
+    # only the columns the derivation needs reach the parquet scan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
