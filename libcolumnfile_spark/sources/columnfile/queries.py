@@ -131,3 +131,33 @@ def q_columnfile_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("emb_dim"),
         F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("e0"),
     )
+
+
+@query(
+    "q_columnfile_recompress",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    doc=(
+        "Format conversion / recompression (reference O11, "
+        "tools/columnfile-cat.cc:328-341): a columnfile dataset written "
+        "with the default LZ4 codec is read back and rewritten with the "
+        "zlib codec, then queried — the oracle on the original parquet "
+        "validates the full codec round-trip (decode lz4 -> re-encode "
+        "zlib -> decode zlib). Distributed recompression is a map-only "
+        "job: each task rewrites its own segments, no shuffle."
+    ),
+    tags=("columnfile", "codec"),
+)
+def q_columnfile_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark)
+    src = columnfile_table(spark, sf_dir, "supplier")
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, key, "supplier_zlib")
+    if not os.path.exists(os.path.join(path, MANIFEST_FILE)):
+        src.write.format("columnfile").option("compression", "zlib").mode(
+            "overwrite"
+        ).save(path)
+    return (
+        spark.read.format("columnfile")
+        .load(path)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
