@@ -20,6 +20,21 @@ from libcolumnfile_spark.tables import load_table
 _CACHE_ROOT = "/tmp/libcolumnfile_spark/colcache"
 
 
+def _parallel_partition_bytes(path: str) -> int:
+    """Partition-size target that spreads the dataset across the
+    session's cores — the same adaptation Spark's parquet planner does
+    via defaultParallelism/minPartitionNum. At real scale the 128 MiB
+    default dominates (data >> cores); this only matters when a small
+    dataset would otherwise plan a single Python-worker partition."""
+    from libcolumnfile_spark.session import default_parallelism
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".col"):
+            total += os.path.getsize(os.path.join(path, f))
+    return max(64 * 1024, min(128 * 1024 * 1024, total // max(1, default_parallelism())))
+
+
 def columnfile_table(
     spark: SparkSession, sf_dir: str, name: str, segment_bytes: int | None = None
 ) -> DataFrame:
@@ -34,7 +49,11 @@ def columnfile_table(
         if segment_bytes:
             w = w.option("segment_bytes", str(segment_bytes))
         w.mode("overwrite").save(path)
-    return spark.read.format("columnfile").load(path)
+    return (
+        spark.read.format("columnfile")
+        .option("partition_bytes", str(_parallel_partition_bytes(path)))
+        .load(path)
+    )
 
 
 @query(
@@ -103,6 +122,7 @@ def q_columnfile_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("columnfile")
         .schema("o_orderkey bigint, o_orderdate timestamp")
+        .option("partition_bytes", str(_parallel_partition_bytes(path)))
         .load(path)
     )
 
@@ -158,6 +178,7 @@ def q_columnfile_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).save(path)
     return (
         spark.read.format("columnfile")
+        .option("partition_bytes", str(_parallel_partition_bytes(path)))
         .load(path)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
