@@ -56,5 +56,15 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, master: str | None = None) -> Sp
     """
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{default_parallelism()}]")
+    # local mode: the driver JVM IS the executor; the 1g default heap is
+    # undersized for 32 task threads (GC thrash — full bench 37s vs 28s —
+    # and broadcast-build OOMs: a 10x-documents LSH verify join failed
+    # outright). 4g measured best; much larger heaps (8-32g) regressed
+    # small queries (G1 region-size ergonomics). Only effective before
+    # the JVM starts — a cluster deployment sets executor/driver memory
+    # in spark-submit instead.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    )
     builder = configure(builder)
     return builder.getOrCreate()
