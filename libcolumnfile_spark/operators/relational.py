@@ -182,3 +182,112 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT b.doc_id, b.pos, b.bigram FROM {view} v, "
         "LATERAL cf_bigrams(v.doc_id, v.text) b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Set difference, explicit grouping sets, exact percentiles, range frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_except",
+    oracle=(
+        "SELECT c_custkey FROM customer "
+        "EXCEPT ALL "
+        "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0"
+    ),
+    doc=(
+        "Set difference with multiplicity (exceptAll): customers minus "
+        "custkeys with a high-value order. Plans as a single "
+        "hash-partitioned exchange on the full row (like distinct); no "
+        "driver involvement."
+    ),
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    ords = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(ords)
+
+
+@query(
+    "q_grouping_sets",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))"
+    ),
+    doc=(
+        "Explicit GROUPING SETS (the general form of rollup/cube): two "
+        "chosen grouping combinations over ONE scan — Spark's Expand "
+        "operator replicates each input row once per grouping set before "
+        "the partial aggregate, so shuffle volume is O(groups), not "
+        "O(rows x sets)."
+    ),
+    tags=("agg", "grouping"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("cf_lineitem_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM cf_lineitem_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))"
+    )
+
+
+@query(
+    "q_percentile",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_quantity, 0.5), 4) AS p50, "
+        "round(quantile_cont(l_quantity, 0.95), 4) AS p95 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    doc=(
+        "Exact percentiles (linear interpolation — Spark percentile() == "
+        "DuckDB quantile_cont). Exact percentile holds per-group sorted "
+        "buffers; at 100 TB prefer approx_percentile (t-digest sketch, "
+        "mergeable map-side) — exact is the oracle-checkable surface."
+    ),
+    tags=("agg",),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query(
+    "q_window_range",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS INT) AS n_similar "
+        "FROM orders"
+    ),
+    doc=(
+        "RANGE window frame (value-based, not row-based): per customer, "
+        "how many of their orders fall within 10k below this order's "
+        "price. One partitionBy shuffle; the frame is evaluated over the "
+        "sorted run per partition."
+    ),
+    tags=("window",),
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL form: the DataFrame rangeBetween API only accepts long offsets,
+    # but the frame bound here is a double (price)
+    T(spark, sf_dir, "orders").createOrReplaceTempView("cf_orders_wr")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS INT) AS n_similar "
+        "FROM cf_orders_wr"
+    )
