@@ -132,6 +132,20 @@ class TestText:
         assert labels <= set(text._LANG_MARKERS) | {"und"}
         assert agg["n"] == docs.count()
 
+    def test_lang_id_frame_matches_column_form(self, spark):
+        # the staged-projection frame form must produce byte-identical
+        # guesses to the single-Column form it optimizes
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        col_form = {
+            r["doc_id"]: r["g"]
+            for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("g")).collect()
+        }
+        frame_form = {
+            r["doc_id"]: r["lang_guess"]
+            for r in text.lang_id_frame(docs).select("doc_id", "lang_guess").collect()
+        }
+        assert col_form == frame_form
+
     def test_quality_bounds(self, spark):
         df = spark.createDataFrame([(1, "Normal sentence here."), (2, "!!!???;;;"), (3, "")], ["doc_id", "text"])
         out = {r["doc_id"]: r for r in text.quality_features(df).collect()}
