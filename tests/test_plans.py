@@ -4,60 +4,55 @@ queries viable at 100 TB — filter pushdown reaching the scan, column
 pruning in ReadSchema, broadcast joins for dims, TakeOrderedAndProject
 for top-k, partial+final aggregation — so a regression that silently
 degrades the plan (e.g. a lost pushdown after a refactor) fails CI, not
-the cluster."""
+the cluster. Assertions go through libcolumnfile_spark.plans, the
+library form of these audits."""
 
 from __future__ import annotations
 
-import contextlib
-import io
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
 
+from libcolumnfile_spark import plans
 from libcolumnfile_spark.registry import REGISTRY
 
 SF = "/root/testdata/sf0.01"
 
 
+def q(spark, name: str):
+    return REGISTRY[name].spark_fn(spark, SF)
+
+
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].spark_fn(spark, SF)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return plans.formatted_plan(q(spark, name))
 
 
 def test_project_prunes_columns(spark):
-    plan = plan_of(spark, "q_project")
     # the parquet scan must read ONLY the two projected columns
-    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in plan
+    plans.assert_read_schema_only(q(spark, "q_project"), ["l_orderkey", "l_extendedprice"])
 
 
 def test_filter_pushed_to_scan(spark):
-    plan = plan_of(spark, "q_filter")
-    assert "PushedFilters" in plan
-    assert "GreaterThan(l_quantity" in plan
+    plans.assert_pushed_filter(q(spark, "q_filter"), "GreaterThan(l_quantity")
 
 
 def test_filter_contains_pushed(spark):
-    plan = plan_of(spark, "q_filter_contains")
-    assert "StringContains(text,window)" in plan
+    plans.assert_pushed_filter(q(spark, "q_filter_contains"), "StringContains(text,window)")
 
 
 def test_join_inner_broadcasts_dim(spark):
-    plan = plan_of(spark, "q_join_inner")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # dim side must not shuffle the fact
+    plans.assert_broadcast_join(q(spark, "q_join_inner"))
+    # dim side must not shuffle the fact
+    assert "SortMergeJoin" not in plan_of(spark, "q_join_inner")
 
 
 def test_join_agg_flagship_shape(spark):
-    plan = plan_of(spark, "q_join_agg")
     # customer is broadcast; aggregation is partial+final (two
     # HashAggregate nodes around the exchange)
-    assert "BroadcastHashJoin" in plan
-    assert plan.count("HashAggregate") >= 2
+    plans.assert_broadcast_join(q(spark, "q_join_agg"))
+    assert plan_of(spark, "q_join_agg").count("HashAggregate") >= 2
 
 
 def test_topk_plans_take_ordered(spark):
@@ -69,12 +64,11 @@ def test_topk_plans_take_ordered(spark):
 def test_group_agg_partial_final(spark):
     plan = plan_of(spark, "q_group_agg")
     assert plan.count("HashAggregate") >= 2
-    assert "PushedFilters" in plan  # shipdate predicate reaches the scan
+    plans.assert_pushed_filter(q(spark, "q_group_agg"), "l_shipdate")
 
 
 def test_semi_join_stays_semi(spark):
-    plan = plan_of(spark, "q_join_semi")
-    assert "LeftSemi" in plan
+    assert "LeftSemi" in plan_of(spark, "q_join_semi")
 
 
 def test_window_single_shuffle(spark):
@@ -88,21 +82,14 @@ def test_window_single_shuffle(spark):
 def test_whole_stage_codegen_active(spark):
     # formatted plans under AQE don't show codegen spans pre-execution;
     # the codegen explain mode lists the compiled subtrees directly
-    df = REGISTRY["q_group_agg"].spark_fn(spark, SF)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("codegen")
-    out = buf.getvalue()
-    assert "WholeStageCodegen" in out
+    assert "WholeStageCodegen" in plans.codegen_plan(q(spark, "q_group_agg"))
 
 
 @pytest.mark.parametrize("name", ["q_dedup_exact", "q_text_stats", "q_fingerprint"])
 def test_text_operators_no_python_in_plan(spark, name):
     """Pipeline text operators must be pure Catalyst — no Python UDF
     evaluation nodes in the hot path."""
-    plan = plan_of(spark, name)
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    plans.assert_no_python_eval(q(spark, name))
 
 
 def test_media_frames_prunes_payload(spark):
@@ -113,3 +100,9 @@ def test_media_frames_prunes_payload(spark):
     assert "payload" not in plan
     # only the columns the derivation needs reach the parquet scan
     assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_functions_namespace_importable():
+    from libcolumnfile_spark import functions as CF
+
+    assert callable(CF.fingerprint) and callable(CF.simhash64) and callable(CF.dot)
