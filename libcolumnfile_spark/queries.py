@@ -481,6 +481,85 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_join_q5",
+    oracle=(
+        "SELECT n_name, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'AMERICA' "
+        "GROUP BY n_name"
+    ),
+    doc=(
+        "TPC-H Q5 shape: 6-table join (fact lineitem |><| orders shuffles "
+        "on orderkey; customer/supplier/nation/region all broadcast) with "
+        "a compound supplier condition and region filter. Exercises "
+        "Catalyst join ordering + multi-broadcast; the region predicate "
+        "prunes before the expensive joins (PushDownPredicates through "
+        "the join chain)."
+    ),
+    tags=("join", "agg"),
+)
+def q_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_subquery",
+    oracle=(
+        "SELECT p_partkey, p_name, p_retailprice FROM part p "
+        "WHERE p_retailprice > "
+        "(SELECT 1.02 * avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)"
+    ),
+    doc=(
+        "Correlated scalar subquery (parts priced >2% above their "
+        "brand's average): Catalyst decorrelates to an aggregate + "
+        "equi-join — no per-row re-execution, one extra shuffle on the "
+        "correlation key. The reference has no subquery surface at all."
+    ),
+    tags=("subquery", "optimizer"),
+)
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "part").createOrReplaceTempView("cf_part_sq")
+    return spark.sql(
+        "SELECT p_partkey, p_name, p_retailprice FROM cf_part_sq p "
+        "WHERE p_retailprice > "
+        "(SELECT 1.02 * avg(p2.p_retailprice) FROM cf_part_sq p2 WHERE p2.p_brand = p.p_brand)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (absent in reference; standard-engine surface)
 # ---------------------------------------------------------------------------
