@@ -113,3 +113,51 @@ def range_join_pairs(
         )
         .select(a.k.alias(key_col), "id_a", "id_b")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the fact side's hot keys are split
+    across ``n_salts`` shuffle partitions; the dim side is replicated
+    once per salt so every (key, salt) bucket still finds its match.
+
+    Result is row-identical to ``fact.join(dim, fact[k]==dim[k], how)``
+    — salting only changes the partitioning, never the semantics.
+
+    When to use: a shuffle join where one fact key dominates (power-law
+    user/item ids) and a single reducer would own the hot key. AQE's
+    skewJoin handles the sort-merge case automatically at runtime;
+    explicit salting is for when the skew is known ahead of time, the
+    join is shuffle-hash, or AQE splitting is unavailable (e.g. inside
+    a streaming micro-batch). Cost: dim shuffle volume × n_salts —
+    keep the salted side the small one.
+
+    Supported ``how``: inner / left (dim-preserving variants would need
+    the salt on the other side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # deterministic salt from the full fact row is not needed — any
+    # spread works; hash the key with a per-row disambiguator when one
+    # exists, else a round-robin on monotonically_increasing_id would
+    # do. xxhash64 of all fact columns keeps it deterministic.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint"))
+        ),
+    )
+    out = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

@@ -291,3 +291,29 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS INT) AS n_similar "
         "FROM cf_orders_wr"
     )
+
+
+@query(
+    "q_join_salted",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 100000.0"
+    ),
+    doc=(
+        "Skew-salted equi-join (operators/joins.py:salted_join): fact keys "
+        "spread over 8 salts, dim replicated per salt — row-identical to "
+        "the plain join (the oracle IS the plain join), only the shuffle "
+        "partitioning differs. The explicit-salting path for known skew; "
+        "AQE skew-join covers the adaptive case."
+    ),
+    tags=("join", "skew"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from libcolumnfile_spark.operators.joins import salted_join
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    c = T(spark, sf_dir, "customer")
+    return salted_join(o, c, "o_custkey", "c_custkey", n_salts=8).select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
+    )

@@ -72,3 +72,30 @@ def test_range_pairs_window(spark):
     out = range_join_pairs(df, max_gap_minutes=5)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(1, 2), (2, 3)}
+
+
+class TestSaltedJoin:
+    def test_row_identical_to_plain_join(self, spark):
+        from libcolumnfile_spark.operators.joins import salted_join
+
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        plain = sorted(
+            o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_custkey").collect()
+        )
+        salted = sorted(
+            salted_join(o, c, "o_custkey", "c_custkey", n_salts=4)
+            .select("o_orderkey", "c_custkey")
+            .collect()
+        )
+        assert plain == salted
+
+    def test_left_join_preserves_unmatched(self, spark):
+        from libcolumnfile_spark.operators.joins import salted_join
+
+        f = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], ["k", "v"])
+        d = spark.createDataFrame([(1, "X"), (2, "Y")], ["dk", "w"])
+        out = salted_join(f, d, "k", "dk", n_salts=3, how="left").select("k", "w").collect()
+        got = {r["k"]: r["w"] for r in out}
+        assert got == {1: "X", 2: "Y", 99: None}
+        assert len(out) == 3  # no row duplication from dim replication
