@@ -62,6 +62,7 @@ from libcolumnfile_spark.sources.columnfile.codec import (
 from libcolumnfile_spark.sources.columnfile.format import (
     ColumnFileWriter,
     read_segment_columns,
+    read_segment_raw,
     scan_segments,
 )
 from libcolumnfile_spark.sources.columnfile.stats import (
@@ -73,6 +74,7 @@ from libcolumnfile_spark.sources.columnfile.stats import (
     _to_stats_value,
 )
 from libcolumnfile_spark.sources.columnfile.typed import (
+    decode_buf_to_arrow,
     decode_runs_to_arrow,
     encoder_for,
     flatten_batch_arrays,
@@ -261,13 +263,13 @@ class ColumnFileReader(DataSourceReader):
             for seg in scan_segments(partition.file):
                 if seg.offset not in want_offsets:
                     continue
-                runs_by_idx = read_segment_columns(f, seg, wanted)
+                bufs_by_idx = read_segment_raw(f, seg, wanted)
                 # decode every wanted leaf, tracking the segment row count
                 leaf_arrays: dict[int, pa.Array] = {}
                 n_rows = 0
                 for (idxs, leaf_dts) in self.field_leaves:
                     for idx, dt in zip(idxs, leaf_dts):
-                        arr = decode_runs_to_arrow(runs_by_idx.get(idx, []), dt)
+                        arr = decode_buf_to_arrow(bufs_by_idx.get(idx, b""), dt)
                         leaf_arrays[idx] = arr
                         n_rows = max(n_rows, len(arr))
                 if n_rows == 0:

@@ -324,3 +324,22 @@ class ColumnFileReader:
                     for idx, values in columns.items()
                     if i < len(values)
                 }
+
+
+def read_segment_raw(
+    f, seg: SegmentMeta, columns: set[int] | None = None
+) -> dict[int, bytes]:
+    """Like read_segment_columns but stops after decompression — the
+    caller picks the decode strategy (vectorized fixed-width fast path
+    vs the general run decoder)."""
+    out: dict[int, bytes] = {}
+    pos = seg.data_offset
+    for idx, size in seg.fields:
+        if columns is None or idx in columns:
+            f.seek(pos)
+            blob = f.read(size)
+            if len(blob) != size:
+                raise ColumnFileFormatError("short read")
+            out[idx] = decompress_block(blob, seg.compression)
+        pos += size
+    return out

@@ -292,3 +292,73 @@ def test_fuzz_corpus_replay(path):
                     pytest.fail("implausible row count from fuzz input")
     except ColumnFileFormatError:
         pass  # clean parse error is acceptable; crash/hang is not
+
+
+# ---------------------------------------------------------------------------
+# Vectorized fixed-width fast path (codec.decode_fixed_fast /
+# typed.decode_buf_to_arrow): must be byte-identical to the general run
+# decoder on matching buffers and must fall back (return None) on
+# anything else — NULLs, prefix runs, multi-byte varints.
+# ---------------------------------------------------------------------------
+
+
+def _encode_runs(cells):
+    from libcolumnfile_spark.sources.columnfile.codec import RunEncoder
+
+    enc = RunEncoder()
+    for c in cells:
+        if c is None:
+            enc.put_null()
+        else:
+            enc.put(c)
+    enc.flush_run()
+    return bytes(enc.data)
+
+
+def test_fast_fixed_matches_general_decoder():
+    import struct as st
+
+    import numpy as np
+
+    from libcolumnfile_spark.sources.columnfile.codec import decode_fixed_fast
+
+    cells = [st.pack("<q", v) for v in [5, 5, 5, -1, 123456789, 77, 7]]  # RLE run of 3
+    buf = _encode_runs(cells)
+    got = decode_fixed_fast(buf, 8)
+    assert got is not None
+    raw, reps = got
+    vals = np.repeat(raw.reshape(-1).view(np.int64), reps)
+    assert list(vals) == [5, 5, 5, -1, 123456789, 77, 7]
+
+
+def test_fast_fixed_falls_back_on_nulls_and_var_width():
+    from libcolumnfile_spark.sources.columnfile.codec import decode_fixed_fast
+
+    with_null = _encode_runs([b"\x01" * 8, None, b"\x02" * 8])
+    assert decode_fixed_fast(with_null, 8) is None
+    var_width = _encode_runs([b"\x01" * 8, b"\x02" * 4])
+    assert decode_fixed_fast(var_width, 8) is None
+    big_repeat = _encode_runs([b"\x03" * 8] * 200)  # repeat=200 -> 2-byte varint
+    assert decode_fixed_fast(big_repeat, 8) is None
+
+
+def test_decode_buf_to_arrow_both_paths_agree():
+    import struct as st
+
+    from pyspark.sql.types import DoubleType, LongType
+
+    from libcolumnfile_spark.sources.columnfile.codec import decode_runs
+    from libcolumnfile_spark.sources.columnfile.typed import (
+        decode_buf_to_arrow,
+        decode_runs_to_arrow,
+    )
+
+    for dt, fmt, vals in [
+        (LongType(), "<q", [1, 1, 1, -5, 9]),
+        (DoubleType(), "<d", [0.5, -1.25, 0.5, 3.0]),
+    ]:
+        buf = _encode_runs([st.pack(fmt, v) for v in vals])
+        fast = decode_buf_to_arrow(buf, dt)
+        slow = decode_runs_to_arrow(decode_runs(buf), dt)
+        assert fast.equals(slow)
+        assert fast.to_pylist() == vals
