@@ -47,9 +47,11 @@ def main() -> int:
             materialize(REGISTRY[name].spark_fn(spark, warm_dir))
         except Exception:
             pass  # a query failing surfaces in the timed pass, not warmup
-    # columnfile conversions for the bench dir itself are also one-time
+    # format-conversion caches for the bench dir itself are one-time
+    # (columnfile + stock csv/json/orc cycles)
     for warm in ("q_columnfile_scan", "q_columnfile_filter",
-                 "q_columnfile_nested", "q_columnfile_recompress"):
+                 "q_columnfile_nested", "q_columnfile_recompress",
+                 "q_csv_scan", "q_json_scan", "q_orc_scan"):
         if warm in REGISTRY:
             materialize(REGISTRY[warm].spark_fn(spark, sf_dir))
 
