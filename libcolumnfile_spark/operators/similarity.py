@@ -234,3 +234,129 @@ def q_sim_pairs(spark, sf_dir):
     # 6 planes = 64 buckets: ~n^2/128 candidate pairs — the knob that keeps
     # the self-join quadratic term in check as the corpus grows
     return cosine_near_pairs(emb, threshold=0.2, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_iters: int = 2,
+    seed: int = 29,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: k-means coarse quantizer (deterministic seeded
+    init + ``n_iters`` Lloyd steps, all DataFrame ops) and the assignment
+    of every vector to its nearest centroid list.
+
+    Returns (assigned_df with a ``__list`` column, centroids).
+
+    Scale design: centroids are tiny (n_lists × dim doubles) and always
+    broadcast; each Lloyd step is one map (argmin over broadcast
+    centroids) + one groupBy(n_lists) — shuffle volume O(n_lists × dim),
+    not O(rows). The final assignment is map-only. At 100 TB this is the
+    standard IVF training loop (train on a sample, assign everything);
+    here the sample is the corpus.
+    """
+    import numpy as np
+
+    # deterministic init: n_lists vectors picked by hash order (a seeded
+    # sample that's stable across partitionings)
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(1 << 31)))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(map(float, r["v"])) for r in sample]
+
+    def nearest(vc, cents):
+        # argmin over broadcast centroid literals: unrolled CASE chain on
+        # n_lists squared-L2 distances (cheap: n_lists × dim mults/row)
+        dists = [
+            F.aggregate(
+                F.zip_with(vc, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+        best = F.least(*dists)
+        expr = F.lit(0)
+        for i in range(len(cents) - 1, -1, -1):
+            expr = F.when(dists[i] == best, F.lit(i)).otherwise(expr)
+        return expr
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(n_iters):
+        assigned = base.withColumn("__list", nearest(F.col("v"), centroids))
+        means = (
+            assigned.groupBy("__list")
+            .agg(
+                F.array(*[F.avg(F.col("v").getItem(i)) for i in range(len(centroids[0]))]).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["__list"]] = [float(x) for x in r["c"]]
+        centroids = new
+    assigned = base.withColumn("__list", nearest(F.col("v"), centroids))
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 29,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse-quantizer
+    list is among the query's ``n_probe`` nearest centroids.
+
+    The probe-list predicate prunes ~(1 - n_probe/n_lists) of the corpus
+    before any scoring (same contract as lsh_topk; recall tuned by
+    n_probe). Candidate scoring + top-k is the brute-force path on the
+    surviving fraction — TakeOrderedAndProject, no global sort.
+    """
+    import numpy as np
+
+    assigned, centroids = ivf_build(df, vec_col, id_col, n_lists=n_lists, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: float(((np.asarray(centroids[i]) - q) ** 2).sum()),
+    )
+    probes = order[:n_probe]
+    qc = _lit_vec(query_vec)
+    return (
+        assigned.filter(F.col("__list").isin(probes))
+        .select(F.col("id").alias(id_col), F.round(cosine(F.col("v"), qc), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+@query(
+    "q_sim_ivf",
+    oracle=None,  # approximate (probe-list-pruned); recall checked in unit tests
+    doc=(
+        "IVF-pruned cosine top-10: k-means coarse quantizer (broadcast "
+        "centroids, O(n_lists x dim) shuffle per Lloyd step), then "
+        "brute-force scoring over only the n_probe nearest lists — the "
+        "inverted-file ANN scale path alongside SRP-LSH (q_sim_lsh)."
+    ),
+    tags=("similarity", "ivf"),
+)
+def q_sim_ivf(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QUERY_VEC, k=10)

@@ -103,6 +103,29 @@ class TestSimilarity:
         overlap = {r["vec_id"] for r in exact} & {r["vec_id"] for r in approx}
         assert len(overlap) >= 2
 
+    def test_ivf_topk_semantics(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        exact = similarity.brute_force_topk(emb, q, k=10).collect()
+        approx = similarity.ivf_topk(emb, q, k=10, n_lists=8, n_probe=4).collect()
+        # full k returned; scores bounded by the exact optimum; probing
+        # half the lists on near-random embeddings must recover a
+        # non-trivial share of the true top-k
+        assert len(approx) == 10
+        assert approx[0]["cos_sim"] <= exact[0]["cos_sim"]
+        overlap = {r["vec_id"] for r in exact} & {r["vec_id"] for r in approx}
+        assert len(overlap) >= 3
+
+    def test_ivf_full_probe_is_exact(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=5).collect()]
+        full = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=8).collect()
+        ]
+        assert full == exact  # probing every list degenerates to brute force
+
     def test_near_pairs_symmetric_dup(self, spark):
         v = [1.0, 2.0, 3.0, 4.0]
         df = spark.createDataFrame([(1, v), (2, v), (3, [-x for x in v])], ["vec_id", "embedding"])
