@@ -51,7 +51,7 @@ def main() -> int:
     # (columnfile + stock csv/json/orc cycles)
     for warm in ("q_columnfile_scan", "q_columnfile_filter",
                  "q_columnfile_nested", "q_columnfile_recompress",
-                 "q_csv_scan", "q_json_scan", "q_orc_scan"):
+                 "q_csv_scan", "q_json_scan", "q_orc_scan", "q_sim_ivf"):
         if warm in REGISTRY:
             materialize(REGISTRY[warm].spark_fn(spark, sf_dir))
 
