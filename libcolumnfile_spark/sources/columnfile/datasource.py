@@ -76,6 +76,8 @@ from libcolumnfile_spark.sources.columnfile.stats import (
 from libcolumnfile_spark.sources.columnfile.typed import (
     decode_buf_to_arrow,
     decode_runs_to_arrow,
+    encode_fixed_fast,
+    encode_var_fast,
     encoder_for,
     flatten_batch_arrays,
     flatten_schema,
@@ -331,6 +333,27 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
                     leaf_arrays = flatten_batch_arrays(part, self.schema)
                     for i, ((lname, _dt), enc) in enumerate(zip(leaves, encoders)):
                         cs = seg_stats[lname]
+                        # vectorized fixed-width path: numpy RLE + one
+                        # uniform-stride emission (mirror of the read
+                        # fast path); per-cell encoder is the fallback
+                        fast = encode_fixed_fast(leaf_arrays[i], _dt)
+                        if fast is not None:
+                            encoded, _n, lo, hi = fast
+                            writer.put_raw_runs(i, encoded)
+                            cs.update(lo.item())
+                            cs.update(hi.item())
+                            continue
+                        vfast = encode_var_fast(leaf_arrays[i], _dt)
+                        if vfast is not None:
+                            encoded, _n = vfast
+                            writer.put_raw_runs(i, encoded)
+                            if pa.types.is_string(leaf_arrays[i].type):
+                                import pyarrow.compute as pc
+
+                                mm = pc.min_max(leaf_arrays[i])
+                                cs.update(mm["min"].as_py())
+                                cs.update(mm["max"].as_py())
+                            continue
                         for v in leaf_arrays[i].to_pylist():
                             if v is None:
                                 writer.put_null(i)

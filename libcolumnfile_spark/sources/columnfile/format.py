@@ -184,6 +184,21 @@ class ColumnFileWriter:
         enc.put_null()
         self.pending_size += 1
 
+    def put_raw_runs(self, column: int, encoded: bytes) -> None:
+        """Append pre-encoded run bytes (e.g. the vectorized fixed-width
+        encoder's output) to a column. Any pending run is flushed first
+        and the prefix-coding state reset, so a later put() never emits a
+        prefix run referencing a value inside the raw block."""
+        enc = self._fields.get(column)
+        if enc is None:
+            enc = self._fields[column] = RunEncoder()
+        enc.flush_run()
+        enc.data += encoded
+        enc._value = b""
+        enc._is_null = True
+        enc._shared_prefix = 0
+        self.pending_size += len(encoded)
+
     def put_row(self, row) -> None:
         """row: iterable of (column, bytes | None), column-sorted."""
         for column, value in row:

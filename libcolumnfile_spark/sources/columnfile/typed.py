@@ -472,3 +472,103 @@ def decode_buf_to_arrow(buf: bytes, dt: DataType) -> pa.Array:
                 vals = np.repeat(vals, reps)
             return pa.array(vals, type=patype)
     return decode_runs_to_arrow(decode_runs(buf), dt)
+
+
+def encode_fixed_fast(arr: pa.Array, dt: DataType):
+    """Vectorized run-encode of a non-null fixed-width Arrow array:
+    numpy RLE (change-point detection) + one uniform (3+W)-stride byte
+    matrix — ``varint(repeat<128) varint(0) varint(W) value[W]`` per run,
+    the exact layout decode_fixed_fast reads back. Runs longer than 127
+    split into multiple runs (legal per the format; repeats stay
+    single-byte so the whole emission is one reshape).
+
+    Returns (encoded_bytes, n_values, min_val, max_val) or None when the
+    array has nulls or the type isn't fixed-width (caller falls back to
+    the per-cell RunEncoder). Prefix coding is intentionally not
+    attempted: little-endian fixed-width values rarely share leading
+    bytes, and the general encoder still covers types that benefit.
+    """
+    kind = _kind_of(dt)
+    fast = _FAST_WIDTHS.get(kind)
+    if fast is None or arr.null_count or len(arr) == 0:
+        return None
+    width, npdt, _patype = fast
+    if kind == "timestamp":
+        vals = arr.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype(np.int64)
+    elif kind == "date":
+        vals = arr.cast(pa.date32()).to_numpy(zero_copy_only=False)
+        if vals.dtype != np.int32:
+            vals = (vals.astype("datetime64[D]").view("int64")).astype(np.int32)
+    else:
+        vals = arr.to_numpy(zero_copy_only=False).astype(npdt, copy=False)
+    cells = np.ascontiguousarray(vals).view(np.uint8).reshape(len(vals), width)
+    # run starts: first row + every row that differs from its predecessor
+    change = np.empty(len(vals), dtype=bool)
+    change[0] = True
+    np.any(cells[1:] != cells[:-1], axis=1, out=change[1:])
+    starts = np.flatnonzero(change)
+    lengths = np.diff(np.append(starts, len(vals)))
+    if lengths.max(initial=0) > 127:
+        # split long runs into <=127 chunks so repeats stay single-byte
+        rep_starts = []
+        rep_lens = []
+        for st, ln in zip(starts.tolist(), lengths.tolist()):
+            while ln > 127:
+                rep_starts.append(st)
+                rep_lens.append(127)
+                ln -= 127
+            rep_starts.append(st)
+            rep_lens.append(ln)
+        starts = np.asarray(rep_starts, dtype=np.int64)
+        lengths = np.asarray(rep_lens, dtype=np.int64)
+    out = np.empty((len(starts), 3 + width), dtype=np.uint8)
+    out[:, 0] = lengths
+    out[:, 1] = 0
+    out[:, 2] = width
+    out[:, 3:] = cells[starts]
+    return out.tobytes(), len(vals), vals.min(), vals.max()
+
+
+def encode_var_fast(arr: pa.Array, dt: DataType):
+    """Vectorized run-encode of a non-null string/binary Arrow array
+    whose every value is <= 127 bytes: each cell emits
+    ``varint(1) varint(0) varint(len) bytes`` with repeat fixed at 1 —
+    no RLE/prefix attempted (block compression recovers cross-cell
+    redundancy; the encoding is still fully legal format). Built with
+    numpy scatter/gather over the Arrow offsets — no per-cell Python.
+
+    Returns (encoded_bytes, n_values) or None on nulls / long values /
+    non-var types (caller falls back to the per-cell RunEncoder).
+    """
+    kind = _kind_of(dt)
+    if kind not in ("string", "binary") or arr.null_count or len(arr) == 0:
+        return None
+    a = arr.cast(pa.binary()) if kind == "string" else arr
+    combined = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    bufs = combined.buffers()
+    # binary layout: [validity, int32 offsets, data]
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(combined) + 1,
+                            offset=combined.offset * 4)
+    valbuf = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(offsets).astype(np.int64)
+    if lens.size == 0 or lens.max(initial=0) > 127:
+        return None
+    n = len(lens)
+    strides = 3 + lens
+    dst_starts = np.concatenate(([0], np.cumsum(strides)[:-1]))
+    total = int(strides.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    out[dst_starts] = 1          # repeat
+    # dst_starts + 1 is already 0 (reserved)
+    out[dst_starts + 2] = lens   # length varint (single byte, <= 127)
+    # gather value bytes: dst positions and src positions per byte
+    nz = lens > 0
+    if nz.any():
+        dst_idx = np.repeat(dst_starts[nz] + 3, lens[nz]) + (
+            np.arange(int(lens[nz].sum())) - np.repeat(np.concatenate(([0], np.cumsum(lens[nz])[:-1])), lens[nz])
+        )
+        src_idx = np.repeat(offsets[:-1][nz].astype(np.int64), lens[nz]) + (
+            np.arange(int(lens[nz].sum())) - np.repeat(np.concatenate(([0], np.cumsum(lens[nz])[:-1])), lens[nz])
+        )
+        out[dst_idx] = valbuf[src_idx]
+    return out.tobytes(), n
