@@ -149,6 +149,118 @@ def hashed_grams(th: Column, n: int = 3) -> Column:
     )
 
 
+def _flatten_arrays(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat, lens, rowid) for a Series of int64 arrays — the ragged-array
+    layout every vectorized kernel here operates on. Per-row work is a
+    single O(rows) copy loop; all math after that is whole-batch numpy.
+    """
+    n = len(series)
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in series), dtype=np.int64, count=n
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(offs[-1], dtype=np.int64)
+    for i, x in enumerate(series):
+        if lens[i]:
+            flat[offs[i] : offs[i + 1]] = x
+    rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return flat, lens, rowid
+
+
+def _gram_hashes_flat(
+    flat: np.ndarray, rowid: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed word n-grams over the flattened token-hash layout: same
+    polynomial as hashed_grams (sum of h[i+k] * 31^(n-1-k) mod 2^31-1), so
+    numpy and Catalyst paths produce identical gram/MinHash values.
+    Returns (gram_hashes, gram_rowid) with grams sorted by row.
+    """
+    total = flat.size
+    if total < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    g = np.zeros(total - (n - 1), dtype=np.int64)
+    for k in range(n):
+        # elements < 2^31 and coefficients 31^k (k<n) keep sums << 2^63
+        g += flat[k : total - (n - 1) + k] * (31 ** (n - 1 - k))
+    g %= _MERSENNE_31
+    valid = rowid[: total - (n - 1)] == rowid[n - 1 :]
+    return g[valid], rowid[: total - (n - 1)][valid]
+
+
+def minhash_band_keys_kernel(
+    n_hashes: int = 16, n_bands: int = 8, shingle_n: int = 3, seed: int = 42
+):
+    """Arrow-batched numpy kernel: token-hash array -> array of n_bands LSH
+    bucket keys (band index = array position; pair with posexplode).
+
+    Why a pandas UDF when the rest of the pipeline is pure Catalyst: the
+    signature is n_hashes affine rehashes over every gram — higher-order
+    functions evaluate their lambdas interpreted per element, so the
+    Catalyst form costs O(grams x n_hashes) interpreted evals (~16M at
+    sf0.1; measured multi-second). Here the same math is four whole-batch
+    numpy passes: gram polynomial, (n_hashes x grams) rehash matrix,
+    minimum.reduceat per row, and a mixed band fold. Map-side only — the
+    kernel never shuffles; Python sees compact int64 arrays over Arrow,
+    never the text.
+    """
+    rows_per_band = n_hashes // n_bands
+    params = _hash_params(n_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<bigint>")
+    def kernel(th: pd.Series) -> pd.Series:
+        nrows = len(th)
+        flat, lens, rowid = _flatten_arrays(th)
+        g, grow = _gram_hashes_flat(flat, rowid, shingle_n)
+        empty = np.empty(0, dtype=np.int64)
+        if g.size == 0:
+            return pd.Series([empty] * nrows)
+        counts = np.bincount(grow, minlength=nrows)
+        starts = np.clip(np.searchsorted(grow, np.arange(nrows)), 0, g.size - 1)
+        # (n_hashes, grams) affine rehash; a*g < 2^62 so int64 is safe
+        sig = np.minimum.reduceat((g[None, :] * A + B) % _MERSENNE_31, starts, axis=1)
+        # FNV-style fold of rows_per_band signature values per band;
+        # uint64 wraparound is the intended mixing
+        su = sig.astype(np.uint64)
+        keys = np.zeros((n_bands, nrows), dtype=np.uint64)
+        for band in range(n_bands):
+            acc = np.zeros(nrows, dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * np.uint64(0x100000001B3) + su[band * rows_per_band + r]
+            keys[band] = acc
+        keys_i64 = keys.astype(np.int64).T  # (nrows, n_bands)
+        has = counts > 0
+        return pd.Series(
+            [keys_i64[i] if has[i] else empty for i in range(nrows)]
+        )
+
+    return kernel
+
+
+def gram_set_kernel(shingle_n: int = 3):
+    """Arrow-batched numpy kernel: token-hash array -> sorted distinct
+    hashed n-gram array (the exact-Jaccard verify representation). Same
+    polynomial as hashed_grams, so values match the Catalyst path.
+    """
+
+    @F.pandas_udf("array<bigint>")
+    def kernel(th: pd.Series) -> pd.Series:
+        nrows = len(th)
+        flat, lens, rowid = _flatten_arrays(th)
+        g, grow = _gram_hashes_flat(flat, rowid, shingle_n)
+        empty = np.empty(0, dtype=np.int64)
+        if g.size == 0:
+            return pd.Series([empty] * nrows)
+        bounds = np.searchsorted(grow, np.arange(nrows + 1))
+        return pd.Series(
+            [np.unique(g[bounds[i] : bounds[i + 1]]) for i in range(nrows)]
+        )
+
+    return kernel
+
+
 def minhash_signature_from_hashes(hash_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
     """array<bigint> MinHash signature over pre-computed base hashes:
     sig_i = min over h of (a_i * h + b_i) mod 2^31-1.
@@ -233,23 +345,26 @@ def minhash_lsh_dedup(
         F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= shingle_n
     )
     # token-hash shingles: the whole signature pipeline runs in integer
-    # ops, no shingle strings ever materialize. Two-step projection so
-    # the token-hash array is a bound attribute when hashed_grams
-    # references it n times (see hashed_grams docstring).
+    # ops, no shingle strings ever materialize (tokens are hashed
+    # JVM-side with codegen'd xxhash64; Python only ever sees int64
+    # arrays over Arrow).
     toks = spread.select(
         F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("th")
     )
     # One persisted artifact feeds everything downstream (banding AND the
     # verify stage): (id, token-hash array) — compact integers, a tiny
     # fraction of the raw text. Every later stage replays from this
-    # cache instead of re-scanning + re-tokenizing the corpus.
+    # cache instead of re-scanning + re-tokenizing the corpus. No eager
+    # count: the first action (the candidate count below) populates the
+    # cache as a side effect — an extra materialization job would only
+    # add a scheduling round-trip.
     toks = toks.persist()
-    toks.count()
-    hashed = toks.select("id", hashed_grams(F.col("th"), shingle_n).alias("hs"))
-    sig = hashed.select("id", minhash_signature_from_hashes(F.col("hs"), n_hashes).alias("sig"))
-    banded = sig.select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # signature + banding in ONE vectorized numpy kernel (map-side, no
+    # shuffle) — see minhash_band_keys_kernel for the measured rationale
+    bands_udf = minhash_band_keys_kernel(n_hashes, n_bands, shingle_n)
+    banded = toks.select(
+        "id", F.posexplode(bands_udf(F.col("th"))).alias("band", "key")
+    )
     # Candidate pairs via ONE groupBy shuffle (not a self-join, which
     # would shuffle banded twice): collect ids per (band, key) bucket,
     # expand within-bucket pairs. Bucket sizes bound the quadratic term
@@ -289,20 +404,72 @@ def minhash_lsh_dedup(
     # side — broadcast), then compute exact Jaccard. At 100 TB this is
     # the whole point of LSH: the expensive exact step touches
     # O(candidates), not O(corpus).
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("id"))
-        .unionByName(candidates.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    cand_ids, n_ids_est = _candidate_ids(candidates)
     cand_docs = toks.join(F.broadcast(cand_ids), "id", "left_semi").select(
-        "id", hashed_grams(F.col("th"), shingle_n).alias("sh")
+        "id", gram_set_kernel(shingle_n)(F.col("th")).alias("sh")
     )
-    sh_a = cand_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = cand_docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return _pairwise_jaccard(candidates, cand_docs, n_ids_est, threshold)
+
+
+# Candidate-doc gram arrays broadcast up to this many docs (~2 KB/doc ->
+# ~300 MB build side); past it the verify falls back to shuffle joins.
+_BROADCAST_DOC_LIMIT = 150_000
+
+
+def _candidate_ids(candidates: DataFrame) -> tuple[DataFrame, int]:
+    """(cand_ids, n_ids_upper_bound) from a persisted candidate-pair set.
+
+    The count materializes the persisted candidate pipeline (one job, and
+    the only eager materialization in the whole operator). The id set is
+    NOT distinct'd by default — the broadcast semi-join downstream dedups
+    for free, and 2*n_pairs is a sound upper bound for the broadcast
+    decision. Only when that bound crosses the broadcast budget do we pay
+    the distinct-count job to learn the true id count (e.g. permissive
+    blocking where every doc is a candidate: 394k pairs over 5k docs at
+    sf0.1 — the bound says "huge", the truth says "tiny, broadcast").
+    """
+    n_pairs = candidates.count()
+    cand_ids = candidates.select(F.col("id_a").alias("id")).unionByName(
+        candidates.select(F.col("id_b").alias("id"))
+    )
+    n_ids_est = 2 * n_pairs
+    if n_ids_est > _BROADCAST_DOC_LIMIT:
+        cand_ids = cand_ids.distinct().persist()
+        n_ids_est = cand_ids.count()
+    return cand_ids, n_ids_est
+
+
+def _pairwise_jaccard(
+    candidates: DataFrame, cand_docs: DataFrame, n_ids: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify: annotate each (id_a, id_b) candidate pair with
+    both gram sets and filter on similarity.
+
+    Join strategy: the DOC side (one gram array per candidate doc) is
+    broadcast when it fits the broadcast budget, so the whole verify is a
+    single map-side stage over the candidate pairs — zero shuffles, and
+    the wide pair×array intermediate is streamed, never exchanged.
+    Catalyst cannot make this call itself: the gram arrays come out of a
+    pandas UDF, whose output size the optimizer estimates as unknown ->
+    sort-merge join. We know |cand_docs| exactly (n_ids, already counted
+    off the persisted candidate set), so the operator decides like AQE
+    would with perfect stats. Past the budget (~150k candidate docs at
+    ~2 KB/doc gram array) it falls back to shuffle joins, which AQE
+    skew-splits — the scale-safe path.
+    """
+    # Both join sides are the SAME relation — keep their plan subtrees
+    # canonically identical (alias(), not column renames) so Spark's
+    # ReuseExchange rule builds the broadcast hash table ONCE and probes
+    # it from both joins.
+    cd = F.broadcast(cand_docs) if n_ids <= _BROADCAST_DOC_LIMIT else cand_docs
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"))
+        candidates.join(cd.alias("da"), F.col("id_a") == F.col("da.id"))
+        .join(cd.alias("db"), F.col("id_b") == F.col("db.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("da.sh"), F.col("db.sh")), 4).alias("jaccard_sim"),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
@@ -419,26 +586,18 @@ def ngram_jaccard_pairs(
     # Verify stage: shingle ONLY the candidate docs (semi-join on the
     # broadcast candidate-id set), then exact Jaccard — the expensive
     # array work touches O(candidates), not O(corpus).
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("id"))
-        .unionByName(candidates.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    cand_ids, n_ids_est = _candidate_ids(candidates)
+    # hashed int grams, not shingle strings: the exact-Jaccard intersect
+    # per pair is the hottest expression, and int64 set-intersects cost a
+    # fraction of string ones (hash collisions at p=2^31-1 over ~1e2-1e3
+    # grams/doc perturb jaccard by < 1e-6 — below the rounding we emit)
     cand_docs = df.join(
         F.broadcast(cand_ids), F.col(id_col) == cand_ids.id, "left_semi"
-    ).select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
-    sh_a = cand_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = cand_docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= threshold)
+    ).select(
+        F.col(id_col).alias("id"),
+        gram_set_kernel(shingle_n)(token_hashes(F.col(text_col))).alias("sh"),
     )
+    return _pairwise_jaccard(candidates, cand_docs, n_ids_est, threshold)
 
 
 # ---------------------------------------------------------------------------

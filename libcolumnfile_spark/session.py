@@ -66,5 +66,17 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, master: str | None = None) -> Sp
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     )
+    # This engine's surface is ~70 distinct query shapes × several codegen
+    # stages each; the default generated-class cache (100 entries,
+    # spark.sql.codegen.cache.maxEntries — a STATIC conf, so it must be set
+    # before the JVM session exists) evicts mid-suite and forces janino
+    # recompilation of hot plans, and the JIT code cache fills with the
+    # churned classes. Both showed up as run-over-run degradation in
+    # bench.py (q_cube 1.9s -> 10.4s median on a later pass).
+    builder = builder.config("spark.sql.codegen.cache.maxEntries", "5000")
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+    )
     builder = configure(builder)
     return builder.getOrCreate()
