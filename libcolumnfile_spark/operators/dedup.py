@@ -25,15 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from libcolumnfile_spark.queries import query, T
-from libcolumnfile_spark.session import default_parallelism
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition iff the input planned fewer partitions than cores —
-    compute-bound map stages (shingling, signatures) need the spread; at
-    100 TB the file-split planner provides it and this is a no-op."""
-    n = default_parallelism()
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+from libcolumnfile_spark.tables import spread as _spread
 
 # ---------------------------------------------------------------------------
 # Exact deduplication

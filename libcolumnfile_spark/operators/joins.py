@@ -102,6 +102,12 @@ def range_join_pairs(
         F.col(id_col).alias("id_b"),
         F.col(ts_col).alias("ts_b"),
     )
+    from libcolumnfile_spark.tables import spread
+
+    # the probe side evaluates the interval residual against every
+    # same-key row (~|key group| probes per row) — rebalance single-split
+    # inputs so that map stage parallelizes (no-op at scale)
+    a = spread(a)
     gap = F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
     return (
         a.join(

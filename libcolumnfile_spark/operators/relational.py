@@ -16,8 +16,35 @@ from libcolumnfile_spark.queries import T, query
 
 
 # ---------------------------------------------------------------------------
-# Grouping sets: CUBE
+# Grouping sets: CUBE / ROLLUP / GROUPING SETS via two-level re-aggregation
 # ---------------------------------------------------------------------------
+
+
+def qty_base(df: DataFrame) -> DataFrame:
+    """Pre-aggregate lineitem to one row per FULL dim combination before
+    any cube/rollup/grouping-sets expansion.
+
+    Spark's Expand operator replicates every INPUT row once per grouping
+    set; over the raw fact table that is O(rows x sets) work and (under
+    whole-stage codegen) the dominant cost of the query. count and sum
+    are re-aggregable (sum of partial counts/sums), so grouping sets can
+    instead expand a base aggregate with one row per (returnflag,
+    linestatus) — O(groups x sets). At 100 TB this is the difference
+    between expanding 10^12 rows and expanding a few hundred: the only
+    full-data pass is a plain partial+final hash aggregate whose shuffle
+    carries one row per group per mapper.
+    """
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
+    )
+
+
+def _reagg(g) -> DataFrame:
+    return g.agg(
+        F.sum("__cnt").alias("count_order"),
+        F.sum("__sq").cast("double").alias("sum_qty"),
+    )
 
 
 @query(
@@ -28,17 +55,15 @@ from libcolumnfile_spark.queries import T, query
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     ),
     doc=(
-        "CUBE grouping sets: all 4 grouping combinations in one pass "
-        "(Spark expands to a union of partial aggregates over one scan)."
+        "CUBE grouping sets: all 4 grouping combinations from one scan, "
+        "via two-level re-aggregation (see qty_base) — Expand runs over "
+        "the tiny base aggregate, never the fact table."
     ),
     tags=("agg", "grouping"),
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("count_order"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-    )
+    base = qty_base(T(spark, sf_dir, "lineitem"))
+    return _reagg(base.cube("l_returnflag", "l_linestatus"))
 
 
 # ---------------------------------------------------------------------------
@@ -224,20 +249,19 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc=(
         "Explicit GROUPING SETS (the general form of rollup/cube): two "
-        "chosen grouping combinations over ONE scan — Spark's Expand "
-        "operator replicates each input row once per grouping set before "
-        "the partial aggregate, so shuffle volume is O(groups), not "
-        "O(rows x sets)."
+        "chosen grouping combinations over ONE scan, expanded over the "
+        "two-level base aggregate (see qty_base)."
     ),
     tags=("agg", "grouping"),
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    T(spark, sf_dir, "lineitem").createOrReplaceTempView("cf_lineitem_gs")
-    return spark.sql(
-        "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
-        "FROM cf_lineitem_gs "
-        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))"
+    base = qty_base(T(spark, sf_dir, "lineitem"))
+    return _reagg(
+        base.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
     )
 
 

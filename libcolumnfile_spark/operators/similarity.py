@@ -24,15 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import query, T
-from libcolumnfile_spark.session import default_parallelism
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition iff the input planned fewer partitions than cores —
-    the 64-dim dot products are compute-bound map work; at real scale the
-    file-split planner provides the spread and this is a no-op."""
-    n = default_parallelism()
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+from libcolumnfile_spark.tables import spread as _spread
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -373,15 +373,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
-    doc="ROLLUP grouping sets (standard-engine agg surface).",
+    doc=(
+        "ROLLUP grouping sets (standard-engine agg surface), via the "
+        "two-level re-aggregation in operators/relational.py:qty_base — "
+        "Expand replicates the tiny base aggregate, not the fact table."
+    ),
     tags=("agg",),
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("count_order"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-    )
+    from libcolumnfile_spark.operators.relational import _reagg, qty_base
+
+    base = qty_base(T(spark, sf_dir, "lineitem"))
+    return _reagg(base.rollup("l_returnflag", "l_linestatus"))
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +465,11 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "flagship"),
 )
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    from libcolumnfile_spark.tables import spread
+
+    # the fact side's map stage carries two hash probes + a decimal
+    # product; spread rebalances single-split inputs (no-op at scale)
+    li = spread(T(spark, sf_dir, "lineitem"))
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
     c = T(spark, sf_dir, "customer")
     return (
@@ -506,7 +513,9 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    from libcolumnfile_spark.tables import spread
+
+    li = spread(T(spark, sf_dir, "lineitem"))
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     s = T(spark, sf_dir, "supplier")

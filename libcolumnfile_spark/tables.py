@@ -8,6 +8,7 @@ single file — ``spark.read.parquet`` takes directories and globs equally.
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,6 +62,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV: float division would lose precision above 2^53 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
     return df
+
+
+# Spark's file-split planner floors split size at openCostInBytes (4 MB
+# default) — the same constant estimates planned scan parallelism below.
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition iff the input plans fewer scan partitions than cores.
+
+    Few-split inputs (one file with one parquet row group — the bench
+    fixtures; also any small-files corner at real scale) starve the map
+    stage: every downstream map-side operator (broadcast-join probes,
+    signature kernels, partial aggregates) runs on a handful of tasks.
+    One round-robin exchange buys a fully parallel map stage. At 100 TB
+    the file-split planner already provides >= cores partitions and this
+    is a no-op — the guard makes it safe to apply unconditionally to any
+    compute-heavy map stage.
+
+    The partition estimate comes from input file sizes (the same
+    bytes/openCost split formula the planner uses), NOT from
+    ``df.rdd.getNumPartitions()`` — converting the plan to an RDD costs
+    ~80 ms per fresh DataFrame plus a ~1 s first-call hit, which taxed
+    every operator invocation; ``inputFiles()`` only needs analysis
+    (~30 ms). Non-file inputs fall back to the RDD check.
+    """
+    from libcolumnfile_spark.session import default_parallelism
+
+    n = default_parallelism()
+    try:
+        files = df.inputFiles()
+        if not files:
+            raise ValueError("no input files")
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                raise ValueError(f"non-local input {f}")
+            total += os.path.getsize(unquote(p.path))
+        est = max(len(files), total // _OPEN_COST_BYTES + 1)
+    except Exception:
+        est = df.rdd.getNumPartitions()
+    return df.repartition(n) if est < n else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
