@@ -1,0 +1,375 @@
+"""Training-data pipeline operators: deterministic sampling / dataset
+splits, PII redaction, vocabulary extraction, and connected-components
+clustering of near-duplicate pairs.
+
+These are the corpus-management steps between the raw scans and the
+dedup/similarity operators (operators/dedup.py, operators/similarity.py):
+carve reproducible train/valid/test shards, scrub text, build token
+vocabularies, and collapse pairwise near-duplicate evidence into
+transitive clusters so one representative per cluster survives.
+
+Reference parity note: libcolumnfile itself has none of these (no
+sampling, no text functions, no graph step anywhere in
+`/root/reference/src` or `/root/reference/tools`); they are north-star
+extensions in the spirit of SURVEY.md §2.2's LLM-pipeline row. Every
+operator here is a full DuckDB-oracle query (including the iterative
+connected-components, whose oracle is a recursive CTE).
+
+Scale notes are on each function; the common theme: everything is either
+a pure map (sampling, redaction — no shuffle at all) or shuffles keys
+/ compact edges, never document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.queries import T, query
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bucketing (sampling + dataset splits)
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets) from the md5 of the key's string form.
+
+    Engine-portable by construction (md5 is bit-identical everywhere, so
+    the same row lands in the same bucket in Spark, DuckDB, or any other
+    tool touching the corpus) — unlike ``F.hash``/``rand(seed)``, which
+    are engine- or partitioning-dependent. A pure map expression: sampling
+    100 TB this way is a scan with zero shuffle, and the sample is
+    reproducible row-by-row forever (the property training-data freezes
+    require).
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+
+
+def _bucket_sql(key_sql: str, n_buckets: int = 100) -> str:
+    """DuckDB equivalent of hash_bucket (same md5 prefix, same modulus)."""
+    return f"('0x' || substring(md5(CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT % {n_buckets}"
+
+
+def split_assign(key: Column, train: int = 80, valid: int = 10) -> Column:
+    """train/valid/test label from hash_bucket percentages (train+valid
+    buckets out of 100; the rest is test)."""
+    b = hash_bucket(key, 100)
+    return (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + valid, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE {_bucket_sql('doc_id')} < 10"
+    ),
+    doc=(
+        "Deterministic 10% corpus sample via md5 hash-bucketing — "
+        "reproducible across engines and runs, zero shuffle (pure map)."
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_hash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.filter(hash_bucket(F.col("doc_id")) < 10).select("doc_id", "lang")
+
+
+@query(
+    "q_split_assign",
+    oracle=(
+        "SELECT CASE "
+        f"WHEN {_bucket_sql('doc_id')} < 80 THEN 'train' "
+        f"WHEN {_bucket_sql('doc_id')} < 90 THEN 'valid' "
+        "ELSE 'test' END AS split, "
+        "count(*) AS n_docs, sum(n_chars) AS n_chars "
+        "FROM documents GROUP BY 1"
+    ),
+    doc=(
+        "Deterministic 80/10/10 train/valid/test split from the same "
+        "hash-bucketing; per-split doc and char counts."
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_split_assign(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(split_assign(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Kept to syntax shared by Java regex (Spark) and RE2 (DuckDB): character
+# classes, +/{n,} quantifiers — no lookaround, no backreferences.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and international-format phone numbers with
+    typed placeholder tokens. A pure map over the text column — at 100 TB
+    this is a single scan stage fused into whole-stage codegen; no UDF,
+    no shuffle."""
+    out = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, _PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts (for scrub audit reports)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(_PHONE_RE), 0)),
+    )
+
+
+@query(
+    "q_pii_redact",
+    # The fixture text is synthetic and PII-free, so both sides first graft
+    # a deterministic email + phone into each doc, then redact — the oracle
+    # thereby checks the regex semantics themselves, not a no-op.
+    oracle=(
+        "WITH dirty AS (SELECT doc_id, "
+        "concat('contact ', source, '@example.com or +1-555-', "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ', text) AS text "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+        "'<EMAIL>', 'g'), '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS clean_text, "
+        "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+        "len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS n_phones "
+        "FROM dirty"
+    ),
+    doc=(
+        "PII scrub: synthesize a deterministic email+phone per doc, then "
+        "redact with shared-dialect regexes; emits scrub-audit counts."
+    ),
+    tags=("pipeline", "text"),
+)
+def q_pii_redact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    n_emails, n_phones = pii_counts(dirty)
+    return d.select(
+        "doc_id",
+        redact_pii(dirty).alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary extraction
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Top-k whitespace tokens by corpus frequency (lowercased).
+
+    explode -> partial+final hash aggregate -> TakeOrderedAndProject:
+    the shuffle carries one row per DISTINCT token per mapper (map-side
+    combine), not one per occurrence, and top-k never sorts globally —
+    per-partition k-heaps feed a k-merge on one reducer. (cnt, token)
+    ordering is a total order, so the cut at k is deterministic.
+    """
+    tok = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+@query(
+    "q_vocab_topk",
+    oracle=(
+        "SELECT token, count(*) AS cnt FROM ("
+        "SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token "
+        "FROM documents) WHERE token <> '' "
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 100"
+    ),
+    doc="Corpus vocabulary: top-100 tokens by frequency (shuffle is O(distinct tokens)).",
+    tags=("pipeline", "text"),
+)
+def q_vocab_topk(spark, sf_dir):
+    return vocab_topk(T(spark, sf_dir, "documents"), "text", 100)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup-cluster transitive closure)
+# ---------------------------------------------------------------------------
+
+
+def star_edges(df: DataFrame, group_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """O(n) star edges linking every group member to the group's min id.
+
+    The standard blocking->edges step of a dedup pipeline: a clique per
+    group would be O(group^2) edges; linking to the min is equivalent for
+    connectivity and linear. One shuffle on the (small) group key; only
+    (key, id) pairs move, never document bodies.
+    """
+    mins = df.groupBy(*group_cols).agg(F.min(id_col).alias("__mn"))
+    return (
+        df.join(mins, group_cols)
+        .filter(F.col(id_col) != F.col("__mn"))
+        .select(F.col(id_col).alias("src"), F.col("__mn").alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, comp) labeling with comp = min node id in each component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    grouped-min + join stages over the EDGE list only, and the edge list
+    monotonically contracts toward stars centered at component minima.
+    Convergence is O(log^2 n) rounds worst-case — independent of graph
+    diameter, which is what makes it the 100 TB path (plain label
+    propagation needs diameter rounds; a chain of 10^6 near-dup docs
+    would need 10^6 shuffles). Each round's edge set is
+    ``localCheckpoint``-ed: every round references the previous frame
+    several times, so without truncation the logical plan grows
+    exponentially in rounds (the analyzer, not the executor, becomes the
+    bottleneck). On a cluster with dynamic allocation, swap in reliable
+    ``checkpoint()`` — localCheckpoint state dies with an executor.
+
+    ``nodes``: optional one-column DataFrame of all node ids; nodes
+    without edges come back as singleton components (comp = id).
+    Convergence is detected by an order-insensitive edge-set checksum
+    (count + XOR of pair hashes; the edge set is distinct, so XOR is a
+    faithful set fingerprint) — one tiny agg job per round.
+    """
+    e = (
+        edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(d: DataFrame):
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sum = checksum(e)
+    for _ in range(max_iterations):
+        if prev_sum[0] == 0:
+            break
+        # large-star: from each node's neighborhood (symmetrized edges),
+        # connect strictly-larger neighbors to the neighborhood min.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
+            "u", F.least("__mv", "u").alias("m")
+        )
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: connect each node's smaller-or-equal neighbors (and
+        # itself) to the min of that set. ls output is canonical (u > v).
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur_sum = checksum(ss)
+        e = ss
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # converged: e is a star forest (u -> component min). Non-root labels
+    # come straight off the edges; roots and singletons label themselves.
+    labels = e.groupBy("u").agg(F.min("v").alias("comp")).select(
+        F.col("u").alias("id"), "comp"
+    )
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).cast("bigint").alias("id"))
+            .union(edges.select(F.col(dst).cast("bigint").alias("id")))
+            .distinct()
+        )
+    else:
+        id_name = nodes.columns[0]
+        nodes = nodes.select(F.col(id_name).cast("bigint").alias("id")).distinct()
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
+
+
+@query(
+    "q_dedup_cc",
+    # Recursive-CTE oracle: comp = min reachable id over the symmetrized
+    # edge set (transitive closure by fixpoint, exact at oracle scale).
+    oracle=(
+        "WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, "
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens "
+        "FROM documents), "
+        "m1 AS (SELECT lang, n_chars, min(doc_id) AS mn FROM d GROUP BY 1, 2), "
+        "m2 AS (SELECT lang, n_tokens, min(doc_id) AS mn FROM d GROUP BY 1, 2), "
+        "e AS (SELECT d.doc_id AS src, m1.mn AS dst FROM d JOIN m1 USING (lang, n_chars) WHERE d.doc_id <> m1.mn "
+        "UNION SELECT d.doc_id, m2.mn FROM d JOIN m2 USING (lang, n_tokens) WHERE d.doc_id <> m2.mn), "
+        "se AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+        "cc(id, comp) AS (SELECT doc_id, doc_id FROM d "
+        "UNION SELECT se.dst, cc.comp FROM cc JOIN se ON se.src = cc.id) "
+        "SELECT id AS doc_id, min(comp) AS comp FROM cc GROUP BY id"
+    ),
+    doc=(
+        "Near-dup cluster assignment: star edges from two overlapping "
+        "blocking keys (lang+n_chars, lang+n_tokens), then alternating "
+        "large/small-star connected components — the transitive-closure "
+        "step that turns pairwise dup evidence into keep-one clusters."
+    ),
+    tags=("pipeline", "dedup", "iterative"),
+)
+def q_dedup_cc(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1).alias(
+            "n_tokens"
+        ),
+    )
+    e1 = star_edges(d, ["lang", "n_chars"])
+    e2 = star_edges(d, ["lang", "n_tokens"])
+    cc = connected_components(e1.union(e2), nodes=d.select("doc_id"))
+    return cc.select(F.col("id").alias("doc_id"), "comp")

@@ -1,0 +1,130 @@
+"""Tests for operators/pipeline.py: hash sampling, splits, PII redaction,
+vocabulary, and connected components (validated against a pure-Python
+union-find on random graphs)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.operators.pipeline import (
+    connected_components,
+    hash_bucket,
+    redact_pii,
+    split_assign,
+    star_edges,
+    vocab_topk,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    return {x: find(x) for x in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    expected = _union_find_components(n, edges)
+    edf = spark.createDataFrame(edges or [(0, 0)], "src: long, dst: long")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(edf, nodes=ndf).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # path graph 0-1-2-3-4 plus isolated 10: one component + singleton
+    edges = [(i, i + 1) for i in range(4)]
+    edf = spark.createDataFrame(edges, "src: long, dst: long")
+    ndf = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10]], "id: long")
+    got = dict(
+        (r["id"], r["comp"]) for r in connected_components(edf, nodes=ndf).collect()
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10}
+
+
+def test_connected_components_empty_edges(spark):
+    edf = spark.createDataFrame([], "src: long, dst: long")
+    ndf = spark.createDataFrame([(1,), (2,)], "id: long")
+    got = dict(
+        (r["id"], r["comp"]) for r in connected_components(edf, nodes=ndf).collect()
+    )
+    assert got == {1: 1, 2: 2}
+
+
+def test_star_edges_links_to_group_min(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (9, "a"), (7, "b")], "doc_id: long, k: string"
+    )
+    got = {(r["src"], r["dst"]) for r in star_edges(df, ["k"]).collect()}
+    assert got == {(5, 1), (9, 1)}
+
+
+def test_hash_bucket_deterministic_and_bounded(spark):
+    df = spark.range(500).select(hash_bucket(F.col("id")).alias("b"))
+    rows = [r["b"] for r in df.collect()]
+    assert all(0 <= b < 100 for b in rows)
+    again = [
+        r["b"]
+        for r in spark.range(500).select(hash_bucket(F.col("id")).alias("b")).collect()
+    ]
+    assert rows == again
+    # roughly uniform: every decile bucket group non-empty over 500 keys
+    assert len({b // 10 for b in rows}) == 10
+
+
+def test_split_assign_partitions_everything(spark):
+    df = spark.range(1000).select(split_assign(F.col("id")).alias("s"))
+    counts = {r["s"]: r["cnt"] for r in df.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["valid"]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [("write bob.smith+x@corp.example.org or call +44-201-5550123 now",)],
+        "t: string",
+    )
+    out = df.select(redact_pii(F.col("t")).alias("t")).first()["t"]
+    assert out == "write <EMAIL> or call <PHONE> now"
+
+
+def test_vocab_topk_counts_and_cutoff(spark):
+    df = spark.createDataFrame(
+        [("a a b",), ("b a  c",)], "text: string"
+    )
+    got = [(r["token"], r["cnt"]) for r in vocab_topk(df, "text", 2).collect()]
+    assert got == [("a", 3), ("b", 2)]
+
+
+def test_q_dedup_cc_labels_are_component_minima(spark):
+    from libcolumnfile_spark.registry import REGISTRY
+
+    out = REGISTRY["q_dedup_cc"].spark_fn(spark, SF_CORRECT).collect()
+    comp_of = {r["doc_id"]: r["comp"] for r in out}
+    assert len(comp_of) == 500
+    # every component label is itself a member and the minimum of its cluster
+    for comp in set(comp_of.values()):
+        members = [d for d, c in comp_of.items() if c == comp]
+        assert comp == min(members)
