@@ -272,7 +272,9 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the checksum right below is the materializing action, so
+        # each round costs one job, not a checkpoint job + a checksum job
+        .localCheckpoint(eager=False)
     )
 
     def checksum(d: DataFrame):
@@ -297,7 +299,9 @@ def connected_components(
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            # no distinct here: duplicate edges don't change the min
+            # aggregates below, and ss dedupes before the checksum —
+            # skipping it saves one shuffle per round
         )
         # small-star: connect each node's smaller-or-equal neighbors (and
         # itself) to the min of that set. ls output is canonical (u > v).
@@ -308,7 +312,7 @@ def connected_components(
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = checksum(ss)
         e = ss
