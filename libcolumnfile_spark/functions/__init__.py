@@ -21,6 +21,11 @@ from libcolumnfile_spark.operators.dedup import (  # noqa: F401
     simhash64,
     token_hashes,
 )
+from libcolumnfile_spark.operators.pipeline import (  # noqa: F401
+    hash_bucket,
+    redact_pii,
+    split_assign,
+)
 from libcolumnfile_spark.operators.similarity import (  # noqa: F401
     cosine,
     dot,
@@ -40,6 +45,7 @@ __all__ = [
     "cosine",
     "dot",
     "fingerprint",
+    "hash_bucket",
     "hashed_grams",
     "jaccard",
     "l2_norm",
@@ -49,7 +55,9 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_from_hashes",
     "occurrence_count",
+    "redact_pii",
     "shingle_hashes",
+    "split_assign",
     "shingles",
     "simhash64",
     "token_count",
