@@ -167,3 +167,67 @@ def salted_join(
         how,
     )
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (pre-partitioned) co-located joins
+# ---------------------------------------------------------------------------
+
+_BUCKET_ROOT = "/tmp/libcolumnfile_spark/bucketed"
+
+
+def ensure_bucketed(
+    spark,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+) -> str:
+    """Idempotent bucketed copy of a fixture table; returns the catalog
+    table name.
+
+    Storage-level bucketing is the pre-partitioning strategy for joins
+    that repeat on the same key: both sides are written hash-clustered
+    (and sorted) by the key, so every future sort-merge join on it reads
+    co-located buckets with NO exchange on either side — at 100 TB that
+    is the difference between re-shuffling the fact table on every query
+    and shuffling it once at write time. (Spark still plans a
+    per-partition Sort node, but over the presorted single-file-per-
+    bucket runs it streams; the shuffle is the cost that matters.) The
+    repartition before write yields exactly one file per bucket.
+
+    Files are cached under /tmp keyed by sf_dir (same convention as
+    sources/stock.py); the in-memory catalog entry is recreated per
+    session via CREATE TABLE ... CLUSTERED BY ... LOCATION.
+    """
+    import hashlib
+    import os
+
+    from libcolumnfile_spark.tables import load_table
+
+    sfkey = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tbl = f"bkt_{table}_{sfkey}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    path = f"{_BUCKET_ROOT}/{sfkey}/{table}"
+    src = load_table(spark, sf_dir, table)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    else:
+        (
+            src.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    return tbl

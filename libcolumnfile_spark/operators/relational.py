@@ -341,3 +341,40 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, "o_custkey", "c_custkey", n_salts=8).select(
         "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n_items, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Co-located sort-merge join over storage-bucketed tables "
+        "(operators/joins.py:ensure_bucketed): orders and lineitem are "
+        "written hash-clustered+sorted by orderkey into matching bucket "
+        "counts, so the join plans with NO exchange on either side "
+        "(asserted in tests/test_plans.py) — the fact-fact join "
+        "shuffles once at write time instead of once per query. Result is "
+        "row-identical to the plain join (the oracle IS the plain join)."
+    ),
+    tags=("join", "bucketed"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from libcolumnfile_spark.operators.joins import ensure_bucketed
+
+    o = spark.table(ensure_bucketed(spark, sf_dir, "orders", "o_orderkey"))
+    li = spark.table(ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey"))
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

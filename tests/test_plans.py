@@ -9,6 +9,7 @@ library form of these audits."""
 
 from __future__ import annotations
 
+import re
 import sys
 
 import pytest
@@ -106,3 +107,15 @@ def test_functions_namespace_importable():
     from libcolumnfile_spark import functions as CF
 
     assert callable(CF.fingerprint) and callable(CF.simhash64) and callable(CF.dot)
+
+
+def test_bucketed_join_no_join_exchange(spark):
+    # both sides storage-bucketed on the join key: the sort-merge join
+    # consumes co-located buckets directly — the only Exchange in the
+    # plan is the (tiny) final aggregation shuffle
+    plan = plan_of(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # formatted explain lists each node twice (tree line + detail
+    # header) — count the detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
