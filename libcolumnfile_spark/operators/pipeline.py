@@ -108,6 +108,37 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+@query(
+    "q_sample_stratified",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        f"WHERE {_bucket_sql('c_custkey')} < "
+        "CASE c_mktsegment WHEN 'BUILDING' THEN 50 "
+        "WHEN 'AUTOMOBILE' THEN 20 ELSE 10 END"
+    ),
+    doc=(
+        "Deterministic STRATIFIED sample: per-stratum rates (50% of "
+        "BUILDING, 20% of AUTOMOBILE, 10% elsewhere) from the same md5 "
+        "hash-bucketing as q_sample_hash — the rebalancing move when one "
+        "domain/language/source dominates a training corpus. Unlike "
+        "df.sampleBy (seeded pseudo-random, partitioning-dependent), this "
+        "is reproducible row-by-row across engines and runs, and remains "
+        "a pure map: zero shuffle at any scale."
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_stratified(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(50))
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(20))
+        .otherwise(F.lit(10))
+    )
+    return c.filter(hash_bucket(F.col("c_custkey")) < rate).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

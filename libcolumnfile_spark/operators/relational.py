@@ -318,6 +318,162 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_outer",
+    oracle=(
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "  SELECT c_custkey, count(o_orderkey) AS c_count "
+        "  FROM customer LEFT OUTER JOIN orders "
+        "    ON c_custkey = o_custkey AND o_totalprice > 150000.0 "
+        "  GROUP BY c_custkey) t "
+        "GROUP BY c_count"
+    ),
+    doc=(
+        "Left outer join + two-level aggregate (TPC-H Q13 shape): "
+        "distribution of high-value-order counts per customer, "
+        "INCLUDING zero-order customers — the null-extension semantics "
+        "only an outer join provides. The orders-side predicate lives in "
+        "the join condition (filtering before the join is equivalent and "
+        "is what Spark plans); the second aggregate runs over one row "
+        "per customer, so its shuffle is tiny."
+    ),
+    tags=("join", "outer", "agg"),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_unpivot",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+        "l_quantity AS val FROM lineitem "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+        "l_extendedprice FROM lineitem "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
+        "FROM lineitem"
+    ),
+    doc=(
+        "Unpivot / melt (columns -> rows; inverse of q_pivot): three "
+        "measure columns become (measure, val) pairs. Spark plans Expand "
+        "— one scan, each input row replicated once per measure map-side; "
+        "no shuffle at all (contrast the UNION ALL oracle formulation, "
+        "which scans the table three times)."
+    ),
+    tags=("pivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle=(
+        "WITH t AS (SELECT o_orderpriority, "
+        "  NTILE(4) OVER (PARTITION BY o_orderpriority "
+        "    ORDER BY o_totalprice, o_orderkey) AS quartile, "
+        "  o_totalprice FROM orders) "
+        "SELECT o_orderpriority, CAST(quartile AS INT) AS quartile, "
+        "count(*) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM t GROUP BY o_orderpriority, quartile"
+    ),
+    doc=(
+        "NTILE bucketing (equi-depth quartiles of order value per "
+        "priority class) + per-quartile rollup. Deterministic tie-break "
+        "on o_orderkey; decimal sum for cross-engine exactness. One "
+        "partitionBy shuffle shared by the window and the aggregate."
+    ),
+    tags=("window",),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_time_rollup",
+    oracle=(
+        "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "
+        "count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'day', date_trunc('day', ts), count(*), "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) "
+        "FROM events GROUP BY 2"
+    ),
+    doc=(
+        "Hypertable-style multi-resolution time rollup (continuous-"
+        "aggregate shape): hourly buckets aggregated from the raw events, "
+        "daily buckets re-aggregated FROM THE HOURLY PARTIALS — the raw "
+        "table is scanned exactly once, and the coarser grain costs "
+        "O(hours), not O(events). Decimal partial sums make the two-level "
+        "re-aggregation bit-exact vs the oracle's direct daily group-by. "
+        "At 100 TB this is the materialized-rollup pattern: each coarser "
+        "resolution derives from the previous one."
+    ),
+    tags=("agg", "time"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__sv"),
+        )
+    )
+    hourly = hour.select(
+        F.lit("hour").alias("grain"),
+        "bucket",
+        "n_events",
+        F.col("__sv").cast("double").alias("sum_value"),
+    )
+    daily = (
+        hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("__sv").alias("__sv"))
+        .select(
+            F.lit("day").alias("grain"),
+            "bucket",
+            "n_events",
+            F.col("__sv").cast("double").alias("sum_value"),
+        )
+    )
+    return hourly.unionByName(daily)
+
+
+@query(
     "q_join_salted",
     oracle=(
         "SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice "
