@@ -703,6 +703,36 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", k.alias("k_str"), k.cast("int").alias("k_int"))
 
 
+@query(
+    "q_map_funcs",
+    oracle=(
+        "SELECT event_id, "
+        "array_to_string(list_sort(json_keys(props)), ',') AS keys, "
+        "CAST(props->>'k' AS INTEGER) AS k_val, "
+        "CAST(len(json_keys(props)) AS INTEGER) AS n_entries "
+        "FROM events WHERE event_type = 'view'"
+    ),
+    doc=(
+        "MapType surface: parse the JSON payload into map<string,int> "
+        "(from_json), then map_keys / element_at / size — the dynamic-"
+        "schema path for semi-structured payloads where get_json_object "
+        "per known key (q_json_extract) doesn't apply. All map functions "
+        "run inside codegen; at scale prefer parsing once per row into a "
+        "map column over repeated per-key JSON path scans."
+    ),
+    tags=("scalar", "json", "map"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Nested data (reference O21/O22 capnp record shredding/assembly,
 # src/columnfile-capnp.cc — Spark/Parquet shred natively; the query surface

@@ -113,6 +113,46 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
+def click_purchase_join(df: DataFrame, within: str = "30 minutes", delay: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join with a time bound: each click pairs with
+    the same user's purchases within ``within`` after the click.
+
+    On streaming frames both sides carry watermarks and the interval
+    condition bounds the join state: a buffered click can be evicted once
+    the purchase-side watermark passes click_ts + within (Spark derives
+    the state-cleanup predicate from the time-bound condition — an
+    UNBOUNDED stream-stream join would otherwise keep every row forever).
+    On batch frames the same function is a plain interval join; the
+    user_id equality carries the shuffle, the time bound is the residual.
+    """
+    clicks = with_event_time_watermark(
+        df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        ),
+        "click_ts",
+        delay,
+    )
+    purchases = with_event_time_watermark(
+        df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        ),
+        "purchase_ts",
+        delay,
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("click_id", "user_id", "purchase_id", "value")
+
+
 RUNNING_TOTALS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

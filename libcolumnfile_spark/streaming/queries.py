@@ -97,6 +97,28 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    oracle=(
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "p.event_id AS purchase_id, p.value "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+    doc=(
+        "Stream-stream interval join (clicks x purchases within 30 min "
+        "per user), batch face of pipelines.click_purchase_join — the "
+        "same function runs watermarked on streams, where the time bound "
+        "is what makes join state evictable (tests/test_streaming.py "
+        "runs the genuinely streaming side)."
+    ),
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.click_purchase_join(T(spark, sf_dir, "events"))
+
+
+@query(
     "q_stream_dedup",
     oracle=None,  # dropDuplicates keeps an arbitrary row; rows-only
     doc=(

@@ -124,6 +124,33 @@ def test_session_stream_equals_batch(spark, events, tmp_path):
     assert got == want
 
 
+def test_stream_stream_join_equals_batch(spark, events, tmp_path):
+    """Watermarked stream-stream interval join (clicks x purchases) over
+    micro-batches produces exactly the batch join's pairs."""
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sq = (
+        P.click_purchase_join(stream)
+        .writeStream.format("memory")
+        .queryName("ssjoin_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_t").collect()
+    }
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in P.click_purchase_join(events).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_incremental_file_discovery(spark, events, tmp_path):
     """Second availableNow run on the same checkpoint must process ONLY
     the newly-appended files (no reprocessing, no loss)."""
