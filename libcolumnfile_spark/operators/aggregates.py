@@ -1,0 +1,329 @@
+"""Statistical / ordered / conditional aggregates and scalar-function
+breadth queries (SURVEY.md §2.2 "Aggregations" + "Scalar functions").
+
+The reference has no aggregation surface at all (no agg code anywhere in
+/root/reference/src or /root/reference/tools); these are
+standard-engine capabilities supplied by stock Spark built-ins — every
+one is a partial+final hash aggregate or a codegen'd projection, no
+Python in the hot path.
+
+Scale notes:
+- All grouped aggregates here are algebraic or 2-pass-free sketchable
+  (stddev/var/corr/covar decompose into sum/sum²/sum-of-products → pure
+  map-side partials; the final shuffle carries O(groups) rows).
+- Ordered string_agg collects per-group lists: bounded by group size
+  (5 nations/region); at 100 TB this pattern is only safe for bounded
+  groups, which is exactly what the query demonstrates (the unbounded
+  alternative is vocab-style top-k, q_vocab_topk).
+- exact median holds per-group sorted runs; at scale swap for
+  approx_percentile (t-digest) — same note as q_percentile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from libcolumnfile_spark.queries import T, query
+
+
+@query(
+    "q_stats_agg",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+        "round(var_samp(l_quantity), 4) AS var_qty, "
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+        "round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc, "
+        "CAST(round(median(l_quantity), 4) AS DOUBLE) AS med_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    doc=(
+        "Statistical aggregates (stddev/variance/correlation/covariance/"
+        "median). All but median are algebraic — they partial-aggregate "
+        "map-side into (n, Σx, Σx², Σxy) and merge, so the shuffle is "
+        "O(groups). Median is exact (sorted per-group run); the 100 TB "
+        "variant is approx_percentile's mergeable t-digest."
+    ),
+    tags=("agg", "stats"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        F.round(F.median("l_quantity"), 4).cast("double").alias("med_qty"),
+    )
+
+
+@query(
+    "q_minmax_by",
+    # Deterministic tie-break: one (priority, totalprice) tie exists in
+    # the fixtures, so the ordering value folds the unique orderkey in
+    # at 1e-9 scale — far below the 0.01 price quantum, identical double
+    # arithmetic in both engines.
+    oracle=(
+        "SELECT o_orderpriority, "
+        "max_by(o_orderkey, o_totalprice + o_orderkey * 0.000000001) AS top_order, "
+        "min_by(o_orderkey, o_totalprice + o_orderkey * 0.000000001) AS bottom_order, "
+        "round(max(o_totalprice), 2) AS max_price "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Ordered-argument aggregates max_by/min_by (a.k.a. arg_max/"
+        "arg_min): which order carries each priority class's extreme "
+        "price. Algebraic — partials carry one (value, arg) pair per "
+        "group per partition."
+    ),
+    tags=("agg",),
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    rank_val = F.col("o_totalprice") + F.col("o_orderkey") * F.lit(0.000000001)
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", rank_val).alias("top_order"),
+        F.min_by("o_orderkey", rank_val).alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle=(
+        "SELECT n_regionkey, "
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations, "
+        "CAST(count(*) AS INT) AS n_nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+    doc=(
+        "Ordered string aggregation (listagg): per region, the sorted "
+        "comma-joined nation list. Spark = array_join(array_sort("
+        "collect_list(...))) — collect_list partials merge map-side; "
+        "the sort is per-group post-merge. Safe only for bounded groups "
+        "(unbounded text concat at 100 TB is an anti-pattern — use "
+        "q_vocab_topk's explode+topk shape instead)."
+    ),
+    tags=("agg", "string"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).cast("int").alias("n_nations"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "CAST(count(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big, "
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "  FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS open_total "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Conditional aggregation (FILTER clause / count_if): one scan, "
+        "many differently-predicated aggregates — the idiomatic "
+        "replacement for N self-joins. Pure map-side conditionals "
+        "folded into the partial agg."
+    ),
+    tags=("agg",),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("open_total"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=(
+        "SELECT vec_id, "
+        "CAST(len(embedding) AS INT) AS n_dims, "
+        "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm, "
+        "round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val, "
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos "
+        "FROM embeddings WHERE vec_id < 200"
+    ),
+    doc=(
+        "Array higher-order functions (transform/aggregate/filter/"
+        "array_max) over the embedding column — the JVM-side vector-"
+        "math path (no Python, stays in whole-stage codegen). The same "
+        "expressions power q_sim_topk's cosine."
+    ),
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@query(
+    "q_regex_extract",
+    oracle=(
+        "SELECT doc_id, "
+        "regexp_extract(text, '([0-9]+)', 1) AS first_number, "
+        "regexp_replace(text, '[aeiou]', '', 'g') AS devoweled_prefix "
+        "FROM documents WHERE doc_id < 100"
+    ),
+    doc=(
+        "Regex scalar functions (extract group 1 / global replace) over "
+        "document text. Codegen'd JVM regex — the same dialect subset "
+        "([0-9], character classes) evaluates identically in DuckDB's "
+        "RE2. No-match extract yields '' in both engines."
+    ),
+    tags=("scalar", "string", "text"),
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled_prefix"),
+    )
+
+
+@query(
+    "q_exists_subquery",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "  AND o.o_orderpriority = '1-URGENT') "
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+        "  AND o2.o_totalprice > 400000.0)"
+    ),
+    doc=(
+        "Correlated EXISTS / NOT EXISTS: Catalyst rewrites both to "
+        "left-semi and left-anti joins (RewritePredicateSubquery) — no "
+        "per-row subquery execution, two key-shuffled joins."
+    ),
+    tags=("subquery", "join", "optimizer"),
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "customer").createOrReplaceTempView("cf_cust_ex")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("cf_ord_ex")
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM cf_cust_ex c "
+        "WHERE EXISTS (SELECT 1 FROM cf_ord_ex o WHERE o.o_custkey = c.c_custkey "
+        "  AND o.o_orderpriority = '1-URGENT') "
+        "AND NOT EXISTS (SELECT 1 FROM cf_ord_ex o2 WHERE o2.o_custkey = c.c_custkey "
+        "  AND o2.o_totalprice > 400000.0)"
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "first_value(o_totalprice) OVER w AS first_price, "
+        "last_value(o_totalprice) OVER "
+        "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price, "
+        "nth_value(o_totalprice, 2) OVER w AS second_price "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    doc=(
+        "Navigation window functions first_value/last_value/nth_value "
+        "with explicit ROWS frames (the default frame would make "
+        "last_value ≡ current row). Deterministic ordering via the "
+        "(date, key) compound sort. One partitionBy shuffle serves all "
+        "three functions — same window spec reuses the sorted run."
+    ),
+    tags=("window",),
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cur = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w_cur).alias("first_price"),
+        F.last("o_totalprice").over(w_all).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_cur).alias("second_price"),
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle=(
+        "SELECT r_name, n_name FROM region CROSS JOIN nation"
+    ),
+    doc=(
+        "Explicit cartesian product (region × nation, 5×25). Spark "
+        "plans BroadcastNestedLoopJoin when one side is small — the "
+        "only safe cartesian shape at scale (dim × dim); fact × fact "
+        "cross joins are rejected unless spark.sql.crossJoin.enabled."
+    ),
+    tags=("join",),
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = T(spark, sf_dir, "region").select("r_name")
+    n = T(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@query(
+    "q_date_arith",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(datediff('day', TIMESTAMP '1996-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch96, "
+        "CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end, "
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date, "
+        "CAST(year(o_orderdate) AS INT) AS yr, "
+        "CAST(quarter(o_orderdate) AS INT) AS qtr "
+        "FROM orders WHERE o_orderkey < 500"
+    ),
+    doc=(
+        "Date/time arithmetic breadth (datediff, last_day, interval "
+        "add, year/quarter extract) — the reference stores dates as "
+        "opaque text (columnfile_test.cc:72-92); typed date math is "
+        "engine-supplied. All codegen'd projections, no shuffle."
+    ),
+    tags=("scalar", "date"),
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1996-01-01").cast("timestamp")).alias(
+            "days_since_epoch96"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import libcolumnfile_spark.queries as _q
 
 # Import for registration side effects (each module's @query decorators).
+from libcolumnfile_spark.operators import aggregates as _aggregates  # noqa: F401
 from libcolumnfile_spark.operators import dedup as _dedup  # noqa: F401
 from libcolumnfile_spark.operators import similarity as _similarity  # noqa: F401
 from libcolumnfile_spark.operators import text as _text  # noqa: F401
