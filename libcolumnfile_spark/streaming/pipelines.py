@@ -100,6 +100,32 @@ def session_counts(
     )
 
 
+def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + aggregation: enrich the event stream with a
+    static dimension (broadcast — the dim re-reads per micro-batch but
+    never shuffles the stream side), then count per segment.
+
+    Stream-static inner joins are STATELESS: no watermark is required
+    because the static side is complete at every micro-batch — contrast
+    click_purchase_join, whose stream-stream state needs time bounds.
+    On a batch frame the same function is a plain broadcast-hash join.
+    """
+    seg = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.join(F.broadcast(seg), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: Iterable[str] = ("user_id", "event_type"),

@@ -130,3 +130,27 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.dedup_within_watermark(T(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_static_join",
+    oracle=(
+        "SELECT c_mktsegment AS segment, event_type, "
+        "count(*) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY 1, 2"
+    ),
+    doc=(
+        "Stream-static broadcast join + aggregation, batch face of "
+        "pipelines.static_enrich_counts: the event stream enriched with "
+        "the customer dimension. Stateless on the stream side (static "
+        "side complete every micro-batch); the genuinely streaming run "
+        "is tests/test_streaming.py::test_stream_static_join."
+    ),
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.static_enrich_counts(
+        T(spark, sf_dir, "events"), T(spark, sf_dir, "customer")
+    )
