@@ -61,14 +61,20 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_minmax_by",
-    # Deterministic tie-break: one (priority, totalprice) tie exists in
-    # the fixtures, so the ordering value folds the unique orderkey in
-    # at 1e-9 scale — far below the 0.01 price quantum, identical double
-    # arithmetic in both engines.
+    # Deterministic tie-break via STRUCT ordering (price, then orderkey):
+    # lexicographic struct comparison is exact at every scale factor —
+    # unlike an epsilon-perturbed double, which stops being "far below
+    # the price quantum" once orderkeys reach ~1e7 (ADVICE round 1).
+    # Both engines order structs/rows lexicographically, so max_by picks
+    # the true price extreme with the LARGEST orderkey on ties, min_by
+    # the SMALLEST.
     oracle=(
+        # DuckDB's max_by/min_by only order on scalar types, so the
+        # oracle expresses the identical (price, orderkey) lexicographic
+        # pick via order-qualified first() — same semantics, exact ints.
         "SELECT o_orderpriority, "
-        "max_by(o_orderkey, o_totalprice + o_orderkey * 0.000000001) AS top_order, "
-        "min_by(o_orderkey, o_totalprice + o_orderkey * 0.000000001) AS bottom_order, "
+        "first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS top_order, "
+        "first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS bottom_order, "
         "round(max(o_totalprice), 2) AS max_price "
         "FROM orders GROUP BY o_orderpriority"
     ),
@@ -82,7 +88,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    rank_val = F.col("o_totalprice") + F.col("o_orderkey") * F.lit(0.000000001)
+    rank_val = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", rank_val).alias("top_order"),
         F.min_by("o_orderkey", rank_val).alias("bottom_order"),

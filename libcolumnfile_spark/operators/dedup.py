@@ -519,9 +519,15 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """
     tokens = F.split(F.lower(F.col(text_col)), r"\s+")
     sigs = _spread(df).select(F.col(id_col).alias("id"), simhash64(tokens).alias("simhash"))
+    # ids emitted as a sorted CSV string, not array<string>: every column
+    # is scalar so generic row-canonicalizers (the driver's rows-only
+    # check sorts a pandas frame of the result) can order the rows.
     return (
         sigs.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("group_size"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_join(F.sort_array(F.collect_list("id")), ",").alias("ids_csv"),
+        )
         .filter(F.col("group_size") > 1)
     )
 
@@ -633,9 +639,34 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_dedup(d)
 
 
+# DuckDB replica of ngram_jaccard_pairs(block_col='lang', n=3, t=0.15,
+# length_bucket=64): same blocking key (lang, floor(len/64)), same word
+# 3-gram sets, same inter/(|A|+|B|-inter) jaccard rounded to 4. The Spark
+# path intersects HASHED grams (xxhash64 mod 2^31-1) instead of strings;
+# a collision would perturb the 4th decimal, but at the oracle SF
+# (500 docs, ~200 grams/doc, p=2^31-1) the expected collision count is
+# ~1e-3 — verified value-hash-equal at sf0.01 and sf0.1.
+_NGRAM_ORACLE = (
+    "WITH t AS (SELECT doc_id, "
+    "  lang || '|' || CAST(CAST(floor(length(text) / 64.0) AS INT) AS VARCHAR) AS blk, "
+    "  string_split_regex(lower(text), '\\s+') AS toks "
+    "  FROM documents), "
+    "g AS (SELECT doc_id, blk, "
+    "  list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "    i -> array_to_string(toks[i:i+2], ' '))) AS grams "
+    "  FROM t WHERE len(toks) >= 3), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  len(list_intersect(a.grams, b.grams)) AS inter, "
+    "  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un "
+    "  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard_sim "
+    "FROM pairs WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.15"
+)
+
+
 @query(
     "q_dedup_ngram",
-    oracle=None,  # pairwise float jaccard; rows-only + unit-tested
+    oracle=_NGRAM_ORACLE,
     doc="Blocked exact n-gram Jaccard pairs (block = lang).",
     tags=("dedup",),
 )

@@ -149,11 +149,19 @@ def cosine_near_pairs(
     # instead of dot + two norms — the aggregate runs once per PAIR
     # (O(bucket^2)), the normalize once per VECTOR (O(n)). Measured 4x
     # on the sf0.1 self-join.
-    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    # explicit double casts: float-precision squaring would diverge from
+    # the (double-throughout) oracle arithmetic in the last ulps
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
     # zero vectors stay zero (cos_sim 0 to everything), matching the
     # guarded cosine() semantics
-    unit = F.when(norm > 0, F.transform(F.col(vec_col), lambda x: x / norm)).otherwise(
-        F.transform(F.col(vec_col), lambda x: x * 0.0)
+    unit = F.when(norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * 0.0)
     )
     bucketed = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -207,9 +215,46 @@ def q_sim_topk(spark, sf_dir):
     return brute_force_topk(emb, _QUERY_VEC, k=10)
 
 
+def _duckdb_vec(vec: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in vec) + "]::DOUBLE[]"
+
+
+def _duckdb_bucket_expr(planes: list[list[float]], vec_expr: str) -> str:
+    """SRP bucket id in DuckDB SQL: bit i set iff dot(v, plane_i) >= 0 —
+    the same sign test lsh_bucket computes. A sign could only disagree
+    between engines if a dot product sits within float-accumulation
+    noise (~1e-13) of zero; with seeded dense planes that never happens
+    in the fixtures (verified value-hash-equal).
+    """
+    bits = [
+        f"(CASE WHEN list_inner_product({vec_expr}, {_duckdb_vec(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_oracle() -> str:
+    planes = _hyperplanes(_QUERY_DIM, 4, 13)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(_QUERY_VEC, plane)) >= 0:
+            qb |= 1 << i
+    bucket = _duckdb_bucket_expr(planes, "CAST(embedding AS DOUBLE[])")
+    return (
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        f"{_duckdb_query_vec_sql()}), 6) AS cos_sim "
+        f"FROM embeddings WHERE {bucket} = {qb} "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
+
+
 @query(
     "q_sim_lsh",
-    oracle=None,  # approximate (bucket-pruned); recall checked in unit tests
+    # The SRP bucket predicate is deterministic arithmetic, so even the
+    # "approximate" path oracle-checks exactly: DuckDB reproduces the
+    # bucket membership AND the cosine scores.
+    oracle=_lsh_oracle(),
     doc="SRP-LSH-pruned cosine top-10 (the at-scale ANN path).",
     tags=("similarity", "lsh"),
 )
@@ -218,9 +263,34 @@ def q_sim_lsh(spark, sf_dir):
     return lsh_topk(emb, _QUERY_VEC, k=10)
 
 
+def _sim_pairs_oracle() -> str:
+    # Mirrors cosine_near_pairs' exact FP path — normalize each vector
+    # (double), THEN dot the unit vectors — not list_cosine_similarity,
+    # which computes dot/(|a||b|) and differs in the last ulp (measured:
+    # one sf0.01 pair rounds differently at 6 decimals).
+    planes = _hyperplanes(_QUERY_DIM, 6, 13)
+    bucket = _duckdb_bucket_expr(planes, "v")
+    return (
+        "WITH u AS (SELECT vec_id, "
+        "CASE WHEN sqrt(list_inner_product(v, v)) > 0 "
+        "  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v))) "
+        "  ELSE list_transform(v, x -> x * 0.0) END AS uv, "
+        f"{bucket} AS bkt "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_inner_product(a.uv, b.uv), 6) AS cos_sim "
+        "FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id < b.vec_id "
+        "WHERE round(list_inner_product(a.uv, b.uv), 6) >= 0.2"
+    )
+
+
 @query(
     "q_sim_pairs",
-    oracle=None,  # bucket-dependent candidate set; rows-only + unit tests
+    # Same-bucket pairs + exact cosine are both deterministic, so the
+    # embedding near-dup operator value-hash-checks end to end (the
+    # Spark side normalizes then dots; round(6) absorbs the last-ulp
+    # difference vs DuckDB's direct cosine).
+    oracle=_sim_pairs_oracle(),
     doc="Embedding near-duplicate pairs via SRP-bucketed self-join.",
     tags=("similarity", "dedup"),
 )

@@ -202,9 +202,34 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB SQL computing the exact lang_id_frame heuristic: same
+    marker tables, same occurrence-count length arithmetic (all integer
+    ops), same first-language-wins tie-break — generated from
+    _LANG_MARKERS so the two engines cannot drift.
+    """
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = [
+            f"CAST((length(pd) - length(replace(pd, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in markers
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS score_{lang}")
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return (
+        "WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pd FROM documents), "
+        f"s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM p) "
+        f"SELECT doc_id, lang, {case} AS lang_guess FROM s"
+    )
+
+
 @query(
     "q_lang_id",
-    oracle=None,  # heuristic marker lists are engine-side; accuracy unit-tested
+    oracle=_lang_id_oracle(),
     doc="Stopword-marker language ID over documents.text.",
     tags=("text",),
 )
@@ -213,12 +238,71 @@ def q_lang_id(spark, sf_dir):
     return lang_id_frame(d).select("doc_id", "lang", "lang_guess")
 
 
+# Same staged arithmetic as quality_features, spelled in DuckDB SQL. All
+# ratio/score math is IEEE double with identical expression trees, so the
+# round(4) outputs agree bit-for-bit (same parity argument as
+# q_text_stats, which has matched since round 1).
+_QUALITY_ORACLE = (
+    "WITH c AS (SELECT doc_id, "
+    "CAST(length(text) AS BIGINT) AS n_chars_calc, "
+    "CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces, "
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "  ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens, "
+    "CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_alnum, "
+    "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper "
+    "FROM documents), "
+    "r AS (SELECT doc_id, n_chars_calc, n_tokens, "
+    "CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc - n_spaces AS DOUBLE) / n_tokens ELSE 0.0 END AS atl, "
+    "CASE WHEN n_chars_calc > 0 THEN CAST(n_chars_calc - n_alnum AS DOUBLE) / n_chars_calc ELSE 0.0 END AS pr, "
+    "CASE WHEN n_chars_calc > 0 THEN CAST(n_upper AS DOUBLE) / n_chars_calc ELSE 0.0 END AS ur "
+    "FROM c) "
+    "SELECT doc_id, n_chars_calc, n_tokens, "
+    "round(atl, 4) AS avg_token_len, "
+    "round(pr, 4) AS punct_ratio, "
+    "round(ur, 4) AS upper_ratio, "
+    "round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 "
+    "  + (1.0 - least(pr * 5.0, 1.0)) * 0.3 "
+    "  + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 4) AS quality "
+    "FROM r"
+)
+
+
 @query(
     "q_quality",
-    oracle=None,  # composite score weights are engine-side; unit-tested
+    oracle=_QUALITY_ORACLE,
     doc="Per-document quality features + composite score.",
     tags=("text",),
 )
 def q_quality(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return quality_features(d)
+
+
+@query(
+    "q_token_count",
+    # Identical RE2-compatible tokenizing regex on both engines (no
+    # lookarounds): word/digit runs plus single punctuation marks, the
+    # BPE-ish token-estimate shape of LLM-corpus accounting.
+    oracle=(
+        "SELECT doc_id, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "  ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS ws_tokens, "
+        "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"
+    ),
+    doc=(
+        "Token counting: whitespace tokens + BPE-ish regex token "
+        "estimate (alnum runs and individual punctuation). Map-only "
+        "scan, one JVM regex pass per variant."
+    ),
+    tags=("text",),
+)
+def q_token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )

@@ -120,16 +120,36 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_dedup",
-    oracle=None,  # dropDuplicates keeps an arbitrary row; rows-only
+    # Deterministic batch face: keep the EARLIEST event per key (ts,
+    # then event_id) — the batch-queryable semantic of streaming
+    # first-arrival dedup, and unlike dropDuplicates' arbitrary-row
+    # pick it value-hash-checks against the oracle.
+    oracle=(
+        "SELECT event_id, user_id, event_type, ts, value FROM ("
+        "  SELECT event_id, user_id, event_type, ts, value, "
+        "  row_number() OVER (PARTITION BY user_id, event_type "
+        "    ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
+    ),
     doc=(
-        "Batch face of dropDuplicatesWithinWatermark: exact dedup on "
-        "(user_id, event_type). Row count (= distinct key count) is the "
-        "stable property; the surviving row is engine-arbitrary."
+        "Batch face of dropDuplicatesWithinWatermark: dedup on "
+        "(user_id, event_type) keeping the earliest event (ts, event_id "
+        "tie-break). The genuinely-streaming side "
+        "(dropDuplicatesWithinWatermark, arrival order, bounded state) "
+        "runs in tests/test_streaming.py::test_dedup_within_watermark."
     ),
     tags=("streaming", "dedup"),
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.dedup_within_watermark(T(spark, sf_dir, "events"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
 
 
 @query(

@@ -318,3 +318,33 @@ def test_stateful_running_totals(spark, events, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_stream_static_join(spark, events, tmp_path):
+    """Stream-static broadcast join (ADVICE r1): events streamed via
+    availableNow joined to the static customer dim must equal the batch
+    result of the same static_enrich_counts transform."""
+    from libcolumnfile_spark.tables import load_table
+
+    customer = load_table(spark, SF, "customer")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sq = (
+        P.static_enrich_counts(stream, customer)
+        .writeStream.format("memory")
+        .queryName("static_join_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM static_join_t").collect()
+    }
+    want = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in P.static_enrich_counts(events, customer).collect()
+    }
+    assert got == want
