@@ -348,3 +348,61 @@ def test_stream_static_join(spark, events, tmp_path):
         for r in P.static_enrich_counts(events, customer).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving far behind the watermark must be dropped from a
+    watermarked windowed aggregation (watermark-bounded state is the
+    unbounded-stream contract), while an on-time event in the same
+    micro-batch still lands. Uses append mode: a closed window emits
+    once and can never be re-emitted or updated by late data."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=m), 1, "click", 1.0, None)
+                for i, m in rows
+            ],
+            EVENTS_DDL,
+        )
+
+    os.makedirs(src, exist_ok=True)
+    # run 1: events at 10:00, 10:30, 12:30 -> watermark ends at 12:20,
+    # closing window [10,11) with 2 events; [12,13) stays open in state
+    mk([(0, 0), (1, 30), (2, 150)]).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        sq = (
+            P.tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(sq)
+
+    run_once()
+    # run 2: a LATE event at 10:40 (behind the restored 12:20 watermark
+    # -> dropped) plus an on-time event at 13:30 (advances the watermark
+    # to 13:20, closing [12,13) with exactly the one 12:30 event)
+    mk([(3, 40), (4, 210)]).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got[base] == 2  # [10,11): late 10:40 event did NOT make it 3
+    assert got[base + dt.timedelta(hours=2)] == 1  # [12,13): on-time only
+    # no duplicate emission of any window
+    rows = spark.read.parquet(sink).count()
+    assert rows == len(got)
