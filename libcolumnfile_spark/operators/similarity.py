@@ -301,6 +301,54 @@ def q_sim_pairs(spark, sf_dir):
     return cosine_near_pairs(emb, threshold=0.2, n_planes=6)
 
 
+def _dedup_embedding_oracle(threshold: float) -> str:
+    # Same unit-vector / SRP-bucket arithmetic as _sim_pairs_oracle, then
+    # transitive closure by recursive-CTE fixpoint (exact at oracle SF).
+    planes = _hyperplanes(_QUERY_DIM, 6, 13)
+    bucket = _duckdb_bucket_expr(planes, "v")
+    return (
+        "WITH RECURSIVE u AS (SELECT vec_id, "
+        "CASE WHEN sqrt(list_inner_product(v, v)) > 0 "
+        "  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v))) "
+        "  ELSE list_transform(v, x -> x * 0.0) END AS uv, "
+        f"{bucket} AS bkt "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)), "
+        "e AS (SELECT a.vec_id AS src, b.vec_id AS dst "
+        "FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id < b.vec_id "
+        f"WHERE round(list_inner_product(a.uv, b.uv), 6) >= {threshold}), "
+        "se AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+        "cc(id, comp) AS (SELECT vec_id, vec_id FROM embeddings "
+        "UNION SELECT se.dst, cc.comp FROM cc JOIN se ON se.src = cc.id) "
+        "SELECT id AS vec_id, min(comp) AS comp FROM cc GROUP BY id"
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=_dedup_embedding_oracle(0.3),
+    doc=(
+        "Embedding-cosine near-duplicate CLUSTERING: SRP-bucketed "
+        "cosine pairs (cosine_near_pairs) fed into alternating-star "
+        "connected components (operators.pipeline.connected_components) "
+        "— pairwise similarity evidence turned into keep-one-per-cluster "
+        "labels, the semantic-dedup step of a training-data pipeline. "
+        "Scale: edges are O(same-bucket near pairs), CC rounds are "
+        "O(log^2 n) shuffles over compact (id, id) pairs."
+    ),
+    tags=("dedup", "similarity", "iterative"),
+)
+def q_dedup_embedding(spark, sf_dir):
+    from libcolumnfile_spark.operators.pipeline import connected_components
+
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.3, n_planes=6)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=emb.select("vec_id"),
+    )
+    return cc.select(F.col("id").alias("vec_id"), "comp")
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate nearest neighbor
 # ---------------------------------------------------------------------------

@@ -56,10 +56,11 @@ _PRIORITY = [
     "q_token_count",
     # deduplication
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_cc",
+    "q_dedup_embedding",
     # similarity search
     "q_sim_topk", "q_sim_pairs", "q_sim_lsh",
     # corpus pipeline
-    "q_sample_hash", "q_split_assign", "q_pii_redact",
+    "q_sample_hash", "q_pii_redact",
     # streaming batch faces
     "q_stream_tumbling", "q_stream_dedup",
 ]
