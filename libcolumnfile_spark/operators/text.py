@@ -6,6 +6,9 @@ passes with zero shuffle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +147,63 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# "winnowing" / the MOSS scheme): k-char rolling grams, window-min pick.
+_WINNOW_K = 8  # gram length (chars)
+_WINNOW_W = 4  # winnow window (grams)
+_WINNOW_B = 31  # polynomial base
+_WINNOW_P = (1 << 31) - 1
+
+
+def winnow_prints_kernel(k: int = _WINNOW_K, w: int = _WINNOW_W):
+    """Arrow-batched numpy kernel: normalized text -> sorted distinct
+    winnowed fingerprint array (array<bigint>).
+
+    gram_i = sum_{j<k} codepoint(c_{i+j}) * B^j mod p — a polynomial
+    k-gram hash over character codepoints (codepoint < 0x110000 and
+    B^(k-1) = 31^7 so each term < 2^45; the k-term sum stays far below
+    2^63). print_j = min(gram_j .. gram_{j+w-1}). The winnowed set is
+    the standard document fingerprint for near-dup detection: any shared
+    substring of length >= k + w - 1 guarantees a shared print.
+
+    Why a pandas UDF: the per-position gram polynomial is O(chars * k)
+    arithmetic — interpreted HOF lambdas would evaluate ~20M exprs at
+    sf0.1 (the same measured trap as the simhash vote); here it is k
+    strided whole-batch numpy passes. Map-only, no shuffle; Python sees
+    only the text column and returns compact int64 arrays.
+    """
+    coeff = np.array([_WINNOW_B**j for j in range(k)], dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        empty = np.empty(0, dtype=np.int64)
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(empty)
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            n = cps.size - (k - 1)
+            if n <= 0:
+                out.append(empty)
+                continue
+            g = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                g += cps[j : j + n] * coeff[j]
+            g %= _WINNOW_P
+            m = n - (w - 1)
+            if m <= 0:
+                out.append(empty)
+                continue
+            prints = g[:m]
+            for j in range(1, w):
+                prints = np.minimum(prints, g[j : j + m])
+            out.append(np.unique(prints))
+        return pd.Series(out)
+
+    return kernel
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace-collapsed). Engine-portable (md5 exists in
@@ -276,6 +336,65 @@ _QUALITY_ORACLE = (
 def q_quality(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return quality_features(d)
+
+
+def _winnow_oracle() -> str:
+    """DuckDB replica of the winnowing fingerprint: same normalization,
+    same codepoint polynomial (ord == utf-32 codepoint), same window-min
+    winnow — generated from the k/w/B constants so engines can't drift.
+    """
+    k, w, b, p = _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_P
+    # CAST to BIGINT before the multiply: DuckDB ord() is INT32 and the
+    # 31^j coefficients overflow int32 multiplication otherwise
+    gram = " + ".join(
+        f"CAST(ord(substring(t, i + {j}, 1)) AS BIGINT) * {b**j}" for j in range(k)
+    )
+    win = ", ".join(f"gl[j + {j}]" for j in range(w))
+    return (
+        "WITH nrm AS (SELECT doc_id, "
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents), "
+        "g AS (SELECT doc_id, "
+        f"list_transform(generate_series(1, length(t) - {k - 1}), i -> ({gram}) % {p}) AS gl "
+        "FROM nrm), "
+        "pr AS (SELECT doc_id, "
+        f"list_distinct(list_transform(generate_series(1, len(gl) - {w - 1}), j -> least({win}))) AS prints "
+        "FROM g) "
+        "SELECT doc_id, CAST(len(prints) AS BIGINT) AS n_prints, "
+        "CAST(list_min(prints) AS BIGINT) AS min_print, "
+        "CASE WHEN len(prints) > 0 THEN CAST(list_aggregate(prints, 'bit_xor') AS BIGINT) "
+        "ELSE NULL END AS xor_print "
+        "FROM pr"
+    )
+
+
+@query(
+    "q_fingerprint_winnow",
+    oracle=_winnow_oracle(),
+    doc=(
+        "Rolling-hash document fingerprint (winnowing, MOSS scheme): "
+        "polynomial 8-char gram hashes, window-4 minima, distinct print "
+        "set summarized per doc (count / min / xor fold). Map-only scan; "
+        "at corpus scale the exploded (print, doc) pairs feed a "
+        "group-by-print join to find shared-substring near-dups."
+    ),
+    tags=("text", "dedup"),
+)
+def q_fingerprint_winnow(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    prints = winnow_prints_kernel()(normalized)
+    pr = d.select("doc_id", prints.alias("prints"))
+    xor_fold = F.aggregate(
+        F.col("prints"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return pr.select(
+        "doc_id",
+        F.size("prints").cast("bigint").alias("n_prints"),
+        F.array_min("prints").alias("min_print"),
+        F.when(F.size("prints") > 0, xor_fold).alias("xor_print"),
+    )
 
 
 @query(

@@ -52,7 +52,7 @@ _PRIORITY = [
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
     "q_csv_scan",
     # text analysis
-    "q_text_stats", "q_fingerprint", "q_lang_id", "q_quality",
+    "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality",
     "q_token_count",
     # deduplication
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_cc",

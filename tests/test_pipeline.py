@@ -38,7 +38,10 @@ def _union_find_components(n_nodes, edges):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_connected_components_matches_union_find(spark, seed):
+# threshold 0 forces the distributed alternating-star path; the default
+# takes the driver union-find fast path — both must agree with the model
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_connected_components_matches_union_find(spark, seed, threshold):
     rng = random.Random(seed)
     n = 60
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
@@ -47,18 +50,24 @@ def test_connected_components_matches_union_find(spark, seed):
     ndf = spark.createDataFrame([(i,) for i in range(n)], "id: long")
     got = {
         r["id"]: r["comp"]
-        for r in connected_components(edf, nodes=ndf).collect()
+        for r in connected_components(
+            edf, nodes=ndf, driver_threshold=threshold
+        ).collect()
     }
     assert got == expected
 
 
-def test_connected_components_chain_and_singletons(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_connected_components_chain_and_singletons(spark, threshold):
     # path graph 0-1-2-3-4 plus isolated 10: one component + singleton
     edges = [(i, i + 1) for i in range(4)]
     edf = spark.createDataFrame(edges, "src: long, dst: long")
     ndf = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10]], "id: long")
     got = dict(
-        (r["id"], r["comp"]) for r in connected_components(edf, nodes=ndf).collect()
+        (r["id"], r["comp"])
+        for r in connected_components(
+            edf, nodes=ndf, driver_threshold=threshold
+        ).collect()
     )
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10}
 
