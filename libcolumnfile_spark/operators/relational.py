@@ -534,3 +534,67 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_window_dist",
+    # percent_rank = (rank-1)/(n-1) and cume_dist = rank_to_last/n are
+    # exact integer-ratio doubles — identical IEEE results both engines.
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, "
+        "round(percent_rank() OVER (PARTITION BY o_orderpriority "
+        "  ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank, "
+        "round(cume_dist() OVER (PARTITION BY o_orderpriority "
+        "  ORDER BY o_totalprice, o_orderkey), 6) AS cume "
+        "FROM orders"
+    ),
+    doc=(
+        "Distribution window functions percent_rank/cume_dist: relative "
+        "standing of each order's value within its priority class. One "
+        "partitionBy shuffle serves both functions (same window spec)."
+    ),
+    tags=("window",),
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_null_safe_join",
+    # A plain equi-join DROPS the NULL-key group; the null-safe variant
+    # (Spark <=> / SQL IS NOT DISTINCT FROM) keeps it — that row's
+    # presence is what this query pins down.
+    oracle=(
+        "WITH g AS (SELECT nullif(o_orderstatus, 'F') AS k, "
+        "count(*) AS n FROM orders GROUP BY 1) "
+        "SELECT a.k AS k, a.n AS n_left, b.n AS n_right "
+        "FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k"
+    ),
+    doc=(
+        "Null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM): "
+        "NULL keys match NULL keys instead of vanishing. Planned as a "
+        "normal hash join — null-safe equality is still an equi-key, so "
+        "it broadcasts/shuffles like any join (no nested-loop cliff)."
+    ),
+    tags=("join", "null"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).select(
+        F.col("a.k").alias("k"),
+        F.col("a.n").alias("n_left"),
+        F.col("b.n").alias("n_right"),
+    )

@@ -119,3 +119,19 @@ def test_bucketed_join_no_join_exchange(spark):
     # formatted explain lists each node twice (tree line + detail
     # header) — count the detail headers
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_winnow_fingerprint_map_only(spark):
+    # the winnowing fingerprint is a pure map pass: one ArrowEvalPython
+    # (the numpy kernel) and NO exchange anywhere — at 100 TB this scans,
+    # never shuffles
+    plan = plan_of(spark, "q_fingerprint_winnow")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_dedup_embedding_broadcasts_labels(spark):
+    # the (tiny) component-label side of the final node join must
+    # broadcast — shuffling the full id set for a label lookup would be
+    # the classic small-side mistake at scale
+    plans.assert_broadcast_join(q(spark, "q_dedup_embedding"))
