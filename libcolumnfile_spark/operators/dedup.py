@@ -639,37 +639,52 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_dedup(d)
 
 
-# DuckDB replica of ngram_jaccard_pairs(block_col='lang', n=3, t=0.15,
-# length_bucket=64): same blocking key (lang, floor(len/64)), same word
-# 3-gram sets, same inter/(|A|+|B|-inter) jaccard rounded to 4. The Spark
-# path intersects HASHED grams (xxhash64 mod 2^31-1) instead of strings;
-# a collision would perturb the 4th decimal, but at the oracle SF
-# (500 docs, ~200 grams/doc, p=2^31-1) the expected collision count is
-# ~1e-3 — verified value-hash-equal at sf0.01 and sf0.1.
-_NGRAM_ORACLE = (
-    "WITH t AS (SELECT doc_id, "
-    "  lang || '|' || CAST(CAST(floor(length(text) / 64.0) AS INT) AS VARCHAR) AS blk, "
-    "  string_split_regex(lower(text), '\\s+') AS toks "
-    "  FROM documents), "
-    "g AS (SELECT doc_id, blk, "
-    "  list_distinct(list_transform(generate_series(1, len(toks) - 2), "
-    "    i -> array_to_string(toks[i:i+2], ' '))) AS grams "
-    "  FROM t WHERE len(toks) >= 3), "
-    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "  len(list_intersect(a.grams, b.grams)) AS inter, "
-    "  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un "
-    "  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) "
-    "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard_sim "
-    "FROM pairs WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.15"
-)
+# Blocking granularity for the declared exact-jaccard query: 16-char
+# length buckets bound the within-block quadratic product (candidate
+# pairs at sf0.1: 100k vs 394k with 64-char buckets — measured 4x less
+# verify work). Exact blocked jaccard is the strict-blocking tool;
+# MinHash-LSH (q_dedup_minhash) is the recall-safe path for dups whose
+# lengths straddle a bucket edge.
+_NGRAM_LENGTH_BUCKET = 16
+
+
+def _ngram_oracle() -> str:
+    """DuckDB replica of ngram_jaccard_pairs(block_col='lang', n=3,
+    t=0.15, length_bucket=_NGRAM_LENGTH_BUCKET): same blocking key, same
+    word 3-gram sets, same inter/(|A|+|B|-inter) jaccard rounded to 4.
+    The Spark path intersects HASHED grams (xxhash64 mod 2^31-1) instead
+    of strings; a collision would perturb the 4th decimal, but at the
+    oracle SF (500 docs, ~200 grams/doc, p=2^31-1) the expected
+    collision count is ~1e-3 — verified value-hash-equal at sf0.01 and
+    sf0.1.
+    """
+    b = _NGRAM_LENGTH_BUCKET
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"  lang || '|' || CAST(CAST(floor(length(text) / {b}.0) AS INT) AS VARCHAR) AS blk, "
+        "  string_split_regex(lower(text), '\\s+') AS toks "
+        "  FROM documents), "
+        "g AS (SELECT doc_id, blk, "
+        "  list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+        "    i -> array_to_string(toks[i:i+2], ' '))) AS grams "
+        "  FROM t WHERE len(toks) >= 3), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "  len(list_intersect(a.grams, b.grams)) AS inter, "
+        "  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un "
+        "  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard_sim "
+        "FROM pairs WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.15"
+    )
 
 
 @query(
     "q_dedup_ngram",
-    oracle=_NGRAM_ORACLE,
-    doc="Blocked exact n-gram Jaccard pairs (block = lang).",
+    oracle=_ngram_oracle(),
+    doc="Blocked exact n-gram Jaccard pairs (block = lang + length bucket).",
     tags=("dedup",),
 )
 def q_dedup_ngram(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, block_col="lang", threshold=0.15)
+    return ngram_jaccard_pairs(
+        d, block_col="lang", threshold=0.15, length_bucket=_NGRAM_LENGTH_BUCKET
+    )
