@@ -38,10 +38,12 @@ from libcolumnfile_spark.operators.text import (  # noqa: F401
     lang_id,
     occurrence_count,
     token_count,
+    winnow_prints_kernel,
 )
 
 __all__ = [
     "bpe_ish_token_count",
+    "winnow_prints_kernel",
     "cosine",
     "dot",
     "fingerprint",

@@ -1,0 +1,87 @@
+"""Scale-up probe: time declared queries at sf0.1 and on x10-replicated
+fixtures (ids shifted per replica so keys stay unique). Near-flat wall
+clock at 10x the data = the rows ride otherwise-idle cores — the
+horizontal-scaling evidence BASELINE.md records per round.
+
+Usage: python tools/scale_probe.py [query ...]   (default: corpus ops)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.registry import REGISTRY
+from libcolumnfile_spark.session import get_spark
+from libcolumnfile_spark.tables import load_table
+
+BASE = "/root/testdata/sf0.1"
+X10_DIR = "/tmp/libcolumnfile_spark/scale10"
+DEFAULT = [
+    "q_fingerprint_winnow",
+    "q_token_count",
+    "q_dedup_embedding",
+    "q_dedup_ngram",
+    "q_dedup_exact",
+    "q_dedup_cc",
+]
+
+# id column to shift per replica (keeps keys unique across copies)
+ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def ensure_x10(spark) -> str:
+    os.makedirs(X10_DIR, exist_ok=True)
+    for table, id_col in ID_COLS.items():
+        out = f"{X10_DIR}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, BASE, table)
+        n = base.agg(F.max(id_col)).first()[0] + 1
+        copies = [
+            base.withColumn(id_col, F.col(id_col) + F.lit(i * n)) for i in range(10)
+        ]
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.repartition(32).write.mode("overwrite").parquet(out)
+    return X10_DIR
+
+
+def median3(fn) -> float:
+    fn()  # warm: codegen + worker pool
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
+
+
+def main() -> int:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    x10 = ensure_x10(spark)
+    print(f"{'query':24s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}")
+    for name in names:
+        fn = REGISTRY[name].spark_fn
+
+        def run(d):
+            spark.catalog.clearCache()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+
+        t1 = median3(lambda: run(BASE))
+        t10 = median3(lambda: run(x10))
+        print(f"{name:24s} {t1:8.2f} {t10:8.2f} {t10 / t1:6.2f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
