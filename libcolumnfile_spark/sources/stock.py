@@ -92,3 +92,25 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") >= 25)
         .select("p_partkey", "p_brand", "p_retailprice")
     )
+
+
+@query(
+    "q_text_scan",
+    # fixture text is newline-free (verified), so line <-> row is exact
+    oracle="SELECT text AS value FROM documents",
+    doc=(
+        "Plain-text ingest cycle: documents.text -> line-per-doc .txt "
+        "files -> spark.read.text (one 'value' column — the raw-corpus "
+        "ingest shape: splittable, schemaless, the first step of every "
+        "crawl pipeline), oracle-checked against the original parquet."
+    ),
+    tags=("source", "text"),
+)
+def q_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, key, "documents_text")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).text(path)
+    return spark.read.text(path)
