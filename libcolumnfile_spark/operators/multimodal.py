@@ -228,3 +228,76 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media_table(spark, sf_dir), every_ms=250)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+
+def resize_plumbing(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: computes the aspect-
+    preserving output box (the deterministic part) and passes the
+    payload through the stubbed decoder (the real resample would happen
+    where sha256 is computed — PIL isn't in this container). Visual
+    rows only; payload bytes never shuffle.
+    """
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("float64")
+            h = pdf["height"].astype("float64")
+            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    # floor(dim * scale) with scale capped at 1 (never
+                    # upscale) — the standard thumbnail-box arithmetic
+                    "out_w": (w * scale).astype("int32").values,
+                    "out_h": (h * scale).astype("int32").values,
+                    "sha256": [
+                        _decode_image_bytes(p)["sha256"] for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return df.filter(F.col("kind").isin("image", "video")).mapInPandas(
+        _map, schema=RESIZED_SCHEMA
+    )
+
+
+@query(
+    "q_media_resize",
+    # width == height == (n_chars % 64 + 16) in the derived media table;
+    # scale = min(1, 32/side), output = floor(side * scale) — exact
+    # integer/double arithmetic both engines
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "CAST(n_chars % 64 + 16 AS INT) AS width, "
+        "CAST(n_chars % 64 + 16 AS INT) AS height, "
+        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS INT) AS out_w, "
+        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS INT) AS out_h, "
+        "sha256(text) AS sha256 "
+        "FROM documents WHERE doc_id % 3 <> 1"
+    ),
+    doc=(
+        "Image/video resize plumbing: aspect-preserving thumbnail-box "
+        "dims + stubbed resample through mapInPandas (payload stays in "
+        "the Python worker, map-only). The deterministic box arithmetic "
+        "is what the oracle pins; the pixel resample is the swappable "
+        "stub."
+    ),
+    tags=("multimodal", "udf"),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plumbing(media_table(spark, sf_dir))
