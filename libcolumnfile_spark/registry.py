@@ -48,9 +48,9 @@ _PRIORITY = [
     "q_window_rank", "q_window_running", "q_window_range",
     # reshape / scalar / nested
     "q_pivot", "q_scalar_str_date", "q_json_extract", "q_explode",
-    # columnfile format layer + stock sources
+    # columnfile format layer + stock sources + partition pruning
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
-    "q_csv_scan",
+    "q_partition_pruned",
     # text analysis
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality",
     "q_token_count",

@@ -16,6 +16,7 @@ import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import query
 from libcolumnfile_spark.tables import load_table
@@ -114,3 +115,85 @@ def q_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).text(path)
     return spark.read.text(path)
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned copy of orders (partition column o_orderpriority)
+    — the physical layout that makes partition pruning possible. One-time
+    conversion, cached like every other fixture derivation."""
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, key, "orders_partitioned")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    return path
+
+
+@query(
+    "q_partition_pruned",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus"
+    ),
+    doc=(
+        "Static partition pruning: a filter on the partition column of a "
+        "hive-partitioned table is resolved at PLANNING time — only the "
+        "1-URGENT directory is listed and scanned; the plan's "
+        "PartitionFilters carries the predicate and the other four "
+        "partitions contribute zero I/O (tests/test_plans.py audits "
+        "this). At 100 TB, partition-layout + pruning is the difference "
+        "between scanning 20 TB and 100 TB."
+    ),
+    tags=("source", "pruning"),
+)
+def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_orders(spark, sf_dir)
+    o = spark.read.parquet(path)
+    return (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "q_partition_pruned_dynamic",
+    # dim = the distinct priorities that contain 'URGENT' (2 of 5);
+    # only those partitions of the fact are scanned, but the pruning
+    # values are only known at RUNTIME (join side), not parse time
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n_orders "
+        "FROM orders WHERE o_orderpriority LIKE '%URGENT%' "
+        "GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Dynamic partition pruning: the fact's partition filter comes "
+        "from a JOIN to a filtered dimension, so Catalyst injects a "
+        "runtime subquery that prunes fact partitions with the dim's "
+        "build-side values (plan shows dynamicpruning#N). The "
+        "declarative join is all it takes — no manual pushdown."
+    ),
+    tags=("source", "pruning", "join"),
+)
+def q_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_orders(spark, sf_dir)
+    o = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").contains("URGENT"))
+        .withColumnRenamed("o_orderpriority", "p")
+    )
+    return (
+        o.join(dim, o.o_orderpriority == dim.p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -135,3 +135,18 @@ def test_dedup_embedding_broadcasts_labels(spark):
     # broadcast — shuffling the full id set for a label lookup would be
     # the classic small-side mistake at scale
     plans.assert_broadcast_join(q(spark, "q_dedup_embedding"))
+
+
+def test_partition_pruning_static(spark):
+    # the partition-column predicate must appear in PartitionFilters —
+    # pruning at planning time, zero I/O for the other partitions
+    plan = plan_of(spark, "q_partition_pruned")
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan
+
+
+def test_partition_pruning_dynamic(spark):
+    # the join-derived filter shows up as a runtime dynamicpruning
+    # subquery on the fact scan
+    plan = plan_of(spark, "q_partition_pruned_dynamic")
+    assert "dynamicpruning" in plan.lower()
