@@ -598,3 +598,122 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").alias("n_left"),
         F.col("b.n").alias("n_right"),
     )
+
+
+@query(
+    "q_limit_offset",
+    # pagination page 3 (rows 200..299) of a fully-ordered scan: the
+    # total order (totalprice DESC, orderkey) makes the page deterministic
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 200"
+    ),
+    doc=(
+        "LIMIT/OFFSET pagination over a total order. Spark plans the "
+        "sort+page as TakeOrderedAndProject with offset — each partition "
+        "keeps a (limit+offset)-heap, the driver merges and drops the "
+        "offset; no global sort materializes."
+    ),
+    tags=("sort", "limit"),
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(200)
+        .limit(100)
+    )
+
+
+@query(
+    "q_union_by_name",
+    # schema evolution: two projections with different column sets,
+    # missing columns NULL-filled by NAME (not position)
+    oracle=(
+        "SELECT p_partkey, p_name, p_brand, NULL AS p_retailprice FROM part "
+        "UNION ALL BY NAME "
+        "SELECT p_partkey, p_name, p_retailprice, NULL AS p_brand FROM part"
+    ),
+    doc=(
+        "unionByName(allowMissingColumns=True): the schema-evolution "
+        "union — columns align by NAME and absent ones NULL-fill, the "
+        "append path when a table gains columns mid-stream (same "
+        "semantics as the reference's per-segment dynamic column sets, "
+        "src/columnfile-writer.cc:152-174)."
+    ),
+    tags=("setop", "schema"),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    a = p.select("p_partkey", "p_name", "p_brand")
+    b = p.select("p_partkey", "p_name", "p_retailprice")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "q_try_cast",
+    # try_cast returns NULL on malformed input instead of throwing
+    # (Spark 4 runs ANSI mode, so plain CAST would fail the whole job on
+    # one bad row — try_cast is the 100 TB-safe ingestion idiom)
+    oracle=(
+        "SELECT doc_id, "
+        "TRY_CAST(split_part(text, ' ', 1) AS INTEGER) AS first_tok_int, "
+        "TRY_CAST(substring(text, 1, 4) AS DOUBLE) AS prefix_num "
+        "FROM documents"
+    ),
+    doc=(
+        "try_cast ingestion safety: malformed cells become NULL instead "
+        "of failing the job — per-row error containment for dirty "
+        "corpora under ANSI semantics."
+    ),
+    tags=("scalar", "cast"),
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+        .try_cast("int")
+        .alias("first_tok_int"),
+        F.substring(F.col("text"), 1, 4).try_cast("double").alias("prefix_num"),
+    )
+
+
+@query(
+    "q_levenshtein",
+    # edit distance over the (constant-size) nation dimension: scalar
+    # fuzzy-match surface; the blocked-pairs shape is the same candidate
+    # pattern the dedup operators use at corpus scale
+    oracle=(
+        "SELECT a.n_name AS name_a, b.n_name AS name_b, "
+        "levenshtein(a.n_name, b.n_name) AS dist "
+        "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey "
+        "AND a.n_nationkey < b.n_nationkey "
+        "WHERE levenshtein(a.n_name, b.n_name) <= 6"
+    ),
+    doc=(
+        "Levenshtein edit distance (fuzzy string matching) over "
+        "region-blocked nation pairs — the scalar building block of "
+        "typo-tolerant entity matching; blocking bounds the quadratic "
+        "exactly like the dedup operators."
+    ),
+    tags=("scalar", "string"),
+)
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+    )
