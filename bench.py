@@ -64,36 +64,46 @@ def main() -> int:
         timings[name] = round(statistics.median(samples), 3)
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
-    payload = {
-        "metric": "total_declared_query_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": dict(timings),
-        "sf": sf,
-    }
+    payload = bench_payload(timings, sf)
     # Full per-query dump for BASELINE.md cross-reference (committed per
     # round as the drill-down record).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    # The driver captures only the TAIL (~3000 chars) of stdout and parses
-    # the JSON line from it; round 1's 93-query line was ~3.4k chars and
-    # got truncated mid-line ("parsed": null in BENCH_r01.json). Keep the
-    # stdout line compact and under a hard budget: compact separators, and
-    # if still over budget drop the FASTEST entries (they are scheduling
-    # floor, not signal) with an explicit omission count.
-    budget = 2600
+    print(format_bench_line(payload))
+    spark.stop()
+    return 0
+
+
+def bench_payload(timings: dict[str, float], sf: float) -> dict:
+    return {
+        "metric": "total_declared_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": sf,
+    }
+
+
+def format_bench_line(payload: dict, budget: int = 2600) -> str:
+    """ONE stdout JSON line, guaranteed under ``budget`` chars.
+
+    The driver captures only the TAIL (~3000 chars) of stdout and parses
+    the JSON line from it; round 1's 93-query line was ~3.4k chars and
+    got truncated mid-line ("parsed": null in BENCH_r01.json). Compact
+    separators, and if still over budget drop the FASTEST entries (they
+    are scheduling floor, not signal) with an explicit omission count.
+    """
+    payload = dict(payload)
+    timings = payload["queries"]
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget:
         keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
         while len(line) > budget and keep:
             keep.popitem()  # fastest remaining (dict sorted slowest-first)
-            payload["queries"] = keep
+            payload["queries"] = dict(keep)
             payload["queries_omitted"] = len(timings) - len(keep)
             line = json.dumps(payload, separators=(",", ":"))
-    print(line)
-    spark.stop()
-    return 0
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,52 @@
+"""Contract tests for bench.py's stdout line: the driver tail-captures
+~3000 chars of stdout and json-parses the final line, so the emitted
+line must stay under budget for ANY registry size (round 1's 3.4k-char
+line was truncated -> BENCH_r01.json "parsed": null).
+No Spark needed — pure formatting logic.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import bench_payload, format_bench_line
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"q_some_longish_query_name_{i:03d}": round(0.1 + i * 0.01, 3) for i in range(n)}
+
+
+def test_line_parses_and_fits_small():
+    payload = bench_payload(_fake_timings(10), 0.1)
+    line = format_bench_line(payload)
+    assert len(line) <= 2600
+    d = json.loads(line)
+    assert d["metric"] == "total_declared_query_wall"
+    assert d["sf"] == 0.1
+    assert len(d["queries"]) == 10
+    assert "queries_omitted" not in d
+
+
+def test_line_fits_huge_registry():
+    # 400 queries would blow the tail budget; the slowest must survive
+    payload = bench_payload(_fake_timings(400), 0.1)
+    line = format_bench_line(payload)
+    assert len(line) <= 2600
+    d = json.loads(line)
+    assert d["queries_omitted"] > 0
+    assert len(d["queries"]) + d["queries_omitted"] == 400
+    # kept entries are the slowest ones (the signal, not the floor)
+    kept_min = min(d["queries"].values())
+    dropped = 400 - len(d["queries"])
+    assert kept_min >= 0.1 + dropped * 0.01 - 1e-9
+    # total still reflects ALL queries
+    assert abs(d["value"] - round(sum(_fake_timings(400).values()), 3)) < 1e-6
+
+
+def test_total_is_sum_of_all():
+    t = _fake_timings(100)
+    payload = bench_payload(t, 0.01)
+    assert payload["value"] == round(sum(t.values()), 3)
