@@ -212,3 +212,35 @@ class TestApplyInPandas:
             by_g.setdefault(r["g"], []).append(r["zscore"])
         assert sorted(round(z, 4) for z in by_g["a"]) == [-1.2247, 0.0, 1.2247]
         assert by_g["b"] == [0.0]
+
+
+class TestWinnowFingerprint:
+    def _prints(self, spark, docs):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+        kernel = text.winnow_prints_kernel()
+        rows = df.select("doc_id", kernel(F.col("text")).alias("p")).collect()
+        return {r["doc_id"]: set(r["p"]) for r in rows}
+
+    def test_identical_docs_identical_prints(self, spark):
+        p = self._prints(spark, ["the quick brown fox jumps over the dog"] * 2)
+        assert p[0] == p[1] and len(p[0]) > 0
+
+    def test_shared_substring_guarantees_shared_print(self, spark):
+        # winnowing guarantee (Schleimer et al.): any shared substring of
+        # length >= k + w - 1 (= 11 chars) produces at least one shared
+        # fingerprint, regardless of surrounding text
+        shared = "abcdefghijklmnopqrstuvwxyz"  # 26 >= 11
+        p = self._prints(
+            spark,
+            [f"XXXX {shared} YYYY", f"completely different prefix {shared} and suffix"],
+        )
+        assert p[0] & p[1]
+
+    def test_disjoint_docs_disjoint_prints(self, spark):
+        p = self._prints(spark, ["aaaaaaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbbbbbb"])
+        assert not (p[0] & p[1])
+
+    def test_short_and_empty_docs(self, spark):
+        p = self._prints(spark, ["", "tiny", "exactly11ch"])
+        assert p[0] == set() and p[1] == set()
+        assert len(p[2]) == 1  # 11 chars = k+w-1 -> exactly one window
