@@ -69,8 +69,10 @@ def main() -> int:
     # round as the drill-down record).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(format_bench_line(payload))
+    # stop BEFORE printing so no JVM shutdown chatter can land on stdout
+    # after the JSON line — it must be the last 2000-char tail of stdout.
     spark.stop()
+    print(format_bench_line(payload), flush=True)
     return 0
 
 
@@ -84,14 +86,18 @@ def bench_payload(timings: dict[str, float], sf: float) -> dict:
     }
 
 
-def format_bench_line(payload: dict, budget: int = 2600) -> str:
+def format_bench_line(payload: dict, budget: int = 1800) -> str:
     """ONE stdout JSON line, guaranteed under ``budget`` chars.
 
-    The driver captures only the TAIL (~3000 chars) of stdout and parses
-    the JSON line from it; round 1's 93-query line was ~3.4k chars and
-    got truncated mid-line ("parsed": null in BENCH_r01.json). Compact
-    separators, and if still over budget drop the FASTEST entries (they
-    are scheduling floor, not signal) with an explicit omission count.
+    The driver captures only the last 2000 chars of stdout (measured:
+    BENCH_r01/r02 both have len(tail)==2000 and "parsed": null because
+    the 104-query line was longer than that). Budget 1800 keeps the
+    whole line inside the capture window with margin. Field order is
+    totals-first so even a pathological truncation keeps the headline.
+    If the per-query map doesn't fit, drop the FASTEST entries (they
+    are scheduling floor, not signal) and record both the omitted count
+    and the omitted seconds so value == sum(queries) + omitted_sec.
+    The full per-query map is always in BENCH_FULL_LOCAL.json.
     """
     payload = dict(payload)
     timings = payload["queries"]
@@ -102,6 +108,9 @@ def format_bench_line(payload: dict, budget: int = 2600) -> str:
             keep.popitem()  # fastest remaining (dict sorted slowest-first)
             payload["queries"] = dict(keep)
             payload["queries_omitted"] = len(timings) - len(keep)
+            payload["omitted_sec"] = round(
+                sum(v for k, v in timings.items() if k not in keep), 3
+            )
             line = json.dumps(payload, separators=(",", ":"))
     return line
 

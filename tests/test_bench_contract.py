@@ -1,8 +1,7 @@
 """Contract tests for bench.py's stdout line: the driver tail-captures
-~3000 chars of stdout and json-parses the final line, so the emitted
-line must stay under budget for ANY registry size (round 1's 3.4k-char
-line was truncated -> BENCH_r01.json "parsed": null).
-No Spark needed — pure formatting logic.
+exactly the LAST 2000 chars of stdout (measured from BENCH_r01/r02) and
+json-parses the final line, so the emitted line must stay under 1800
+chars for ANY registry size. No Spark needed — pure formatting logic.
 """
 
 from __future__ import annotations
@@ -22,7 +21,7 @@ def _fake_timings(n: int) -> dict[str, float]:
 def test_line_parses_and_fits_small():
     payload = bench_payload(_fake_timings(10), 0.1)
     line = format_bench_line(payload)
-    assert len(line) <= 2600
+    assert len(line) <= 1800
     d = json.loads(line)
     assert d["metric"] == "total_declared_query_wall"
     assert d["sf"] == 0.1
@@ -34,7 +33,7 @@ def test_line_fits_huge_registry():
     # 400 queries would blow the tail budget; the slowest must survive
     payload = bench_payload(_fake_timings(400), 0.1)
     line = format_bench_line(payload)
-    assert len(line) <= 2600
+    assert len(line) <= 1800
     d = json.loads(line)
     assert d["queries_omitted"] > 0
     assert len(d["queries"]) + d["queries_omitted"] == 400
@@ -50,3 +49,18 @@ def test_total_is_sum_of_all():
     t = _fake_timings(100)
     payload = bench_payload(t, 0.01)
     assert payload["value"] == round(sum(t.values()), 3)
+
+
+def test_omitted_sec_accounts_for_total():
+    payload = bench_payload(_fake_timings(400), 0.1)
+    d = json.loads(format_bench_line(payload))
+    assert abs(d["value"] - (sum(d["queries"].values()) + d["omitted_sec"])) < 0.01
+
+
+def test_real_registry_size_fits_window():
+    # 110 queries at realistic name lengths — the actual failure mode of
+    # rounds 1 and 2 (104 queries -> >2000 chars)
+    payload = bench_payload(_fake_timings(110), 0.1)
+    line = format_bench_line(payload)
+    assert len(line) <= 1800
+    json.loads(line)
