@@ -43,6 +43,20 @@ import os
 import uuid
 from dataclasses import dataclass
 
+from libcolumnfile_spark.sources.columnfile.fs import (
+    fs_dirname,
+    fs_exists,
+    fs_isdir,
+    fs_isfile,
+    fs_join,
+    fs_listdir,
+    fs_makedirs,
+    fs_open_input,
+    fs_read_text,
+    fs_remove,
+    fs_write_text,
+)
+
 import pyarrow as pa
 
 from pyspark.sql.datasource import (
@@ -96,30 +110,33 @@ def _is_col_file(path: str) -> bool:
 
 
 def _data_files(path: str) -> list[str]:
-    """Resolve the part files for a dataset path (manifest-aware)."""
-    if os.path.isfile(path):
+    """Resolve the part files for a dataset path (manifest-aware).
+
+    All lookups route through the fs layer, so ``path`` may live on any
+    supported filesystem (reference O25 pluggable storage backends,
+    src/columnfile.h:91-108; tools/columnfile-cat.cc:199-209).
+    """
+    if fs_isfile(path):
         return [path]
-    if not os.path.isdir(path):
+    if not fs_isdir(path):
         raise ColumnFileFormatError(f"no such columnfile dataset: {path}")
-    manifest = os.path.join(path, MANIFEST_FILE)
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            names = json.load(f)["files"]
-        return [os.path.join(path, n) for n in names]
+    manifest = fs_join(path, MANIFEST_FILE)
+    if fs_exists(manifest):
+        names = json.loads(fs_read_text(manifest))["files"]
+        return [fs_join(path, n) for n in names]
     return sorted(
-        os.path.join(path, n)
-        for n in os.listdir(path)
+        fs_join(path, n)
+        for n in fs_listdir(path)
         if fnmatch.fnmatch(n, "*.col")
     )
 
 
 def _load_sidecar_schema(path: str) -> StructType | None:
-    base = path if os.path.isdir(path) else os.path.dirname(path)
-    sidecar = os.path.join(base, SCHEMA_FILE)
-    if not os.path.exists(sidecar):
+    base = path if fs_isdir(path) else fs_dirname(path)
+    sidecar = fs_join(base, SCHEMA_FILE)
+    if not fs_exists(sidecar):
         return None
-    with open(sidecar) as f:
-        return StructType.fromJson(json.load(f)["schema"])
+    return StructType.fromJson(json.loads(fs_read_text(sidecar))["schema"])
 
 
 @dataclass
@@ -160,11 +177,11 @@ class ColumnFileDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ColumnFileFormatError("columnfile: 'path' option is required")
-        os.makedirs(path, exist_ok=True)
+        fs_makedirs(path)
         if overwrite:
-            for n in os.listdir(path):
+            for n in fs_listdir(path):
                 if n.endswith(".col") or n.endswith(".json"):
-                    os.remove(os.path.join(path, n))
+                    fs_remove(fs_join(path, n))
         return ColumnFileArrowWriter(self.options, schema)
 
     def streamReader(self, schema: StructType):
@@ -259,7 +276,7 @@ class ColumnFileReader(DataSourceReader):
         fields = self.read_schema.fields
         wanted = {i for idxs, _ in self.field_leaves for i in idxs}
         want_offsets = {off for off, _ in partition.segments}
-        with open(partition.file, "rb") as f:
+        with fs_open_input(partition.file) as f:
             # segment headers must be parsed in file order (cheap: header
             # bytes only); blobs of unselected segments are seeked past.
             for seg in scan_segments(partition.file):
@@ -312,7 +329,7 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.col"
-        full = os.path.join(self.path, name)
+        full = fs_join(self.path, name)
         # structs shred into consecutive leaf columns; leaf position =
         # on-disk column index (reference columnfile-capnp.cc:94-149)
         leaves = flatten_schema(self.schema)
@@ -380,11 +397,11 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
             writer.finalize()
         except BaseException:
             writer.finalize()
-            if os.path.exists(full):
-                os.remove(full)
+            if fs_exists(full):
+                fs_remove(full)
             raise
         if total_rows == 0:
-            os.remove(full)
+            fs_remove(full)
             return ColumnFileCommitMessage(file_name="", stats_entries=[], rows=0)
         write_stats(full, stats_entries)
         return ColumnFileCommitMessage(
@@ -394,24 +411,24 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
     def commit(self, messages):
         files = [m.file_name for m in messages if m and m.file_name]
         existing: list[str] = []
-        manifest = os.path.join(self.path, MANIFEST_FILE)
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                existing = json.load(f)["files"]
-        with open(os.path.join(self.path, SCHEMA_FILE), "w") as f:
-            json.dump({"version": 1, "schema": self.schema.jsonValue()}, f)
-        with open(manifest, "w") as f:
-            json.dump({"version": 1, "files": existing + files}, f)
+        manifest = fs_join(self.path, MANIFEST_FILE)
+        if fs_exists(manifest):
+            existing = json.loads(fs_read_text(manifest))["files"]
+        fs_write_text(
+            fs_join(self.path, SCHEMA_FILE),
+            json.dumps({"version": 1, "schema": self.schema.jsonValue()}),
+        )
+        fs_write_text(manifest, json.dumps({"version": 1, "files": existing + files}))
 
     def abort(self, messages):
         for m in messages:
             if m and m.file_name:
                 for p in (
-                    os.path.join(self.path, m.file_name),
-                    os.path.join(self.path, m.file_name + ".stats.json"),
+                    fs_join(self.path, m.file_name),
+                    fs_join(self.path, m.file_name + ".stats.json"),
                 ):
-                    if os.path.exists(p):
-                        os.remove(p)
+                    if fs_exists(p):
+                        fs_remove(p)
 
 
 def register(spark) -> None:

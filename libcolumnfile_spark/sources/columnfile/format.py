@@ -24,6 +24,11 @@ import io
 import os
 from dataclasses import dataclass, field
 
+from libcolumnfile_spark.sources.columnfile.fs import (
+    fs_open_input,
+    fs_open_output,
+    fs_size,
+)
 from libcolumnfile_spark.sources.columnfile.codec import (
     COMPRESSION_DEFAULT,
     COMPRESSION_NAMES,
@@ -83,8 +88,8 @@ def scan_segments(path: str) -> list[SegmentMeta]:
     coalesced-seek trick as the reference's column skip,
     src/columnfile-reader.cc:156-196, applied at whole-segment scale)."""
     out: list[SegmentMeta] = []
-    file_size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    file_size = fs_size(path)
+    with fs_open_input(path) as f:
         magic = f.read(4)
         if magic != MAGIC:
             raise ColumnFileFormatError("magic header mismatch")
@@ -148,7 +153,7 @@ class ColumnFileWriter:
 
     def __init__(self, sink, compression: int | str = COMPRESSION_DEFAULT):
         if isinstance(sink, (str, os.PathLike)):
-            self._f = open(sink, "wb")
+            self._f = fs_open_output(os.fspath(sink))
             self._owns = True
         else:
             self._f = sink
@@ -278,11 +283,11 @@ class ColumnFileReader:
             self._size = len(source)
         else:
             self._path = os.fspath(source)
-            self._f = open(self._path, "rb")
+            self._f = fs_open_input(self._path)
             magic = self._f.read(4)
             if magic != MAGIC:
                 raise ColumnFileFormatError("magic header mismatch")
-            self._size = os.path.getsize(self._path)
+            self._size = fs_size(self._path)
         self.column_filter = column_filter
 
     def close(self) -> None:

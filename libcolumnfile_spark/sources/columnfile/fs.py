@@ -1,0 +1,210 @@
+"""Pluggable filesystem layer for the columnfile format.
+
+The reference exposes storage as pluggable ``ColumnFileInput`` /
+``ColumnFileOutput`` backends (src/columnfile.h:91-108,154-208) with a
+remote/CAS hook (tools/columnfile-cat.cc:199-209). The Spark-native
+equivalent routes every byte of columnfile I/O — data files, schema and
+stats sidecars, manifests, stream ledgers — through the scheme-dispatched
+helpers below, so a dataset path can live on any filesystem Arrow can
+reach without touching the format or planner code.
+
+Backends (picked per path by URI scheme):
+
+- **local** (no scheme, or ``file://``): direct ``os``/``open`` calls —
+  the zero-overhead fast path, identical to the previous behavior.
+- **mock://** : a test backend that maps ``mock://bucket/key`` to
+  ``$SPARK_GRAFT_MOCKFS_ROOT/bucket/key`` (default
+  ``<tempdir>/columnfile_mockfs``). It exists to prove the routing: a
+  dataset addressed by a non-local URI must plan on the driver AND read
+  in executor worker processes purely through this module. (An
+  in-memory dict backend cannot do that — Spark's Python data source
+  runs reads in separate worker processes.)
+- **anything else** (``s3://``, ``hdfs://``, ``gs://``, ...):
+  ``pyarrow.fs.FileSystem.from_uri`` — Arrow's native filesystems, the
+  same layer Spark's Arrow interchange already depends on. No extra
+  dependencies for S3/GCS; HDFS picks up libhdfs when present.
+
+All helpers take the full (possibly schemed) path string; backend
+resolution is stateless and per-call, so these functions serialize
+cleanly into task closures.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import tempfile
+from urllib.parse import urlparse
+
+
+def _scheme(path: str) -> str:
+    # urlparse("C:\\x") misfires on windows drives, but this engine is
+    # POSIX-only (matches the reference); "://" is the discriminator.
+    if "://" not in path:
+        return ""
+    return urlparse(path).scheme
+
+
+def _mock_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_MOCKFS_ROOT",
+        os.path.join(tempfile.gettempdir(), "columnfile_mockfs"),
+    )
+
+
+def _mock_local(path: str) -> str:
+    p = urlparse(path)
+    return os.path.join(_mock_root(), p.netloc, p.path.lstrip("/"))
+
+
+def _arrow_fs(path: str):
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def is_remote(path: str) -> bool:
+    return _scheme(path) not in ("", "file")
+
+
+def strip_file_scheme(path: str) -> str:
+    if _scheme(path) == "file":
+        return unquote_file_uri(path)
+    return path
+
+
+def unquote_file_uri(path: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(urlparse(path).path)
+
+
+def fs_join(base: str, *names: str) -> str:
+    if _scheme(base):
+        return posixpath.join(base, *names)
+    return os.path.join(base, *names)
+
+
+def fs_dirname(path: str) -> str:
+    if _scheme(path):
+        return posixpath.dirname(path.rstrip("/"))
+    return os.path.dirname(path)
+
+
+def fs_open_input(path: str):
+    """Readable, seekable binary stream for ``path``."""
+    s = _scheme(path)
+    if s == "":
+        return open(path, "rb")
+    if s == "file":
+        return open(unquote_file_uri(path), "rb")
+    if s == "mock":
+        return open(_mock_local(path), "rb")
+    fs, inner = _arrow_fs(path)
+    return fs.open_input_file(inner)
+
+
+def fs_open_output(path: str):
+    """Writable binary stream for ``path`` (created/truncated)."""
+    s = _scheme(path)
+    if s == "":
+        return open(path, "wb")
+    if s == "file":
+        return open(unquote_file_uri(path), "wb")
+    if s == "mock":
+        local = _mock_local(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local, "wb")
+    fs, inner = _arrow_fs(path)
+    return fs.open_output_stream(inner)
+
+
+def fs_size(path: str) -> int:
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        return os.path.getsize(_as_local(path))
+    fs, inner = _arrow_fs(path)
+    return fs.get_file_info(inner).size
+
+
+def _as_local(path: str) -> str:
+    s = _scheme(path)
+    if s == "":
+        return path
+    if s == "file":
+        return unquote_file_uri(path)
+    if s == "mock":
+        return _mock_local(path)
+    raise ValueError(f"not a local-backed path: {path}")
+
+
+def _arrow_info(path: str):
+    fs, inner = _arrow_fs(path)
+    return fs.get_file_info(inner)
+
+
+def fs_exists(path: str) -> bool:
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        return os.path.exists(_as_local(path))
+    from pyarrow import fs as pafs
+
+    return _arrow_info(path).type != pafs.FileType.NotFound
+
+
+def fs_isfile(path: str) -> bool:
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        return os.path.isfile(_as_local(path))
+    from pyarrow import fs as pafs
+
+    return _arrow_info(path).type == pafs.FileType.File
+
+
+def fs_isdir(path: str) -> bool:
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        return os.path.isdir(_as_local(path))
+    from pyarrow import fs as pafs
+
+    return _arrow_info(path).type == pafs.FileType.Directory
+
+
+def fs_listdir(path: str) -> list[str]:
+    """Base names of direct children of a directory path."""
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        return os.listdir(_as_local(path))
+    from pyarrow import fs as pafs
+
+    fs, inner = _arrow_fs(path)
+    infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
+    return [posixpath.basename(i.path) for i in infos]
+
+
+def fs_makedirs(path: str) -> None:
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        os.makedirs(_as_local(path), exist_ok=True)
+        return
+    fs, inner = _arrow_fs(path)
+    fs.create_dir(inner, recursive=True)
+
+
+def fs_remove(path: str) -> None:
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        os.remove(_as_local(path))
+        return
+    fs, inner = _arrow_fs(path)
+    fs.delete_file(inner)
+
+
+def fs_read_text(path: str) -> str:
+    with fs_open_input(path) as f:
+        return bytes(f.read()).decode("utf-8")
+
+
+def fs_write_text(path: str, text: str) -> None:
+    with fs_open_output(path) as f:
+        f.write(text.encode("utf-8"))

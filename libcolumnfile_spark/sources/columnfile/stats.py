@@ -21,6 +21,12 @@ dropped instead).
 from __future__ import annotations
 
 import json
+
+from libcolumnfile_spark.sources.columnfile.fs import (
+    fs_exists,
+    fs_read_text,
+    fs_write_text,
+)
 import math
 import os
 from dataclasses import dataclass
@@ -78,17 +84,15 @@ def segment_stats_entry(offset: int, rows: int, per_column: dict[str, ColumnStat
 
 
 def write_stats(path: str, segments: list[dict]) -> None:
-    with open(path + STATS_SUFFIX, "w") as f:
-        json.dump({"version": 1, "segments": segments}, f)
+    fs_write_text(path + STATS_SUFFIX, json.dumps({"version": 1, "segments": segments}))
 
 
 def read_stats(path: str) -> list[dict] | None:
     sidecar = path + STATS_SUFFIX
-    if not os.path.exists(sidecar):
+    if not fs_exists(sidecar):
         return None
     try:
-        with open(sidecar) as f:
-            doc = json.load(f)
+        doc = json.loads(fs_read_text(sidecar))
         return doc.get("segments")
     except (OSError, ValueError):
         return None

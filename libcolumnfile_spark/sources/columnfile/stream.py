@@ -22,10 +22,21 @@ from __future__ import annotations
 import fnmatch
 import json
 import os
+import posixpath
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
+from libcolumnfile_spark.sources.columnfile.fs import (
+    fs_exists,
+    fs_isdir,
+    fs_isfile,
+    fs_join,
+    fs_listdir,
+    fs_makedirs,
+    fs_read_text,
+    fs_write_text,
+)
 from libcolumnfile_spark.sources.columnfile.format import scan_segments
 
 
@@ -36,13 +47,13 @@ class ColumnFileStreamPartition(InputPartition):
 
 
 def _complete_files(path: str) -> list[str]:
-    if os.path.isfile(path):
+    if fs_isfile(path):
         return [path]
-    if not os.path.isdir(path):
+    if not fs_isdir(path):
         return []
     return sorted(
-        os.path.join(path, n)
-        for n in os.listdir(path)
+        fs_join(path, n)
+        for n in fs_listdir(path)
         if fnmatch.fnmatch(n, "*.col")
     )
 
@@ -70,14 +81,14 @@ class ColumnFileStreamReader(DataSourceStreamReader):
             except Exception:
                 continue  # torn tail or mid-write file: pick it up next batch
             if segs:
-                files[os.path.basename(f)] = segs[-1].end_offset
+                files[posixpath.basename(f) if "://" in f else os.path.basename(f)] = segs[-1].end_offset
         return {"files": files}
 
     def partitions(self, start: dict, end: dict):
         start_files = start.get("files", {})
         parts = []
         for name, end_byte in end.get("files", {}).items():
-            full = self.path if os.path.isfile(self.path) else os.path.join(self.path, name)
+            full = self.path if fs_isfile(self.path) else fs_join(self.path, name)
             from_byte = start_files.get(name, 0)
             if end_byte <= from_byte:
                 continue
@@ -150,19 +161,17 @@ class ColumnFileStreamWriter:
                 return self._delegate.write(iter([batch]))
 
             def commit(self, messages, batchId: int) -> None:
-                ledger = os.path.join(self.path, "_batches.json")
+                ledger = fs_join(self.path, "_batches.json")
                 seen = []
-                if os.path.exists(ledger):
-                    with open(ledger) as f:
-                        seen = json.load(f)["batches"]
+                if fs_exists(ledger):
+                    seen = json.loads(fs_read_text(ledger))["batches"]
                 if batchId in seen:
                     return  # replayed micro-batch: drop for exactly-once
                 self._delegate.commit(messages)
-                with open(ledger, "w") as f:
-                    json.dump({"batches": seen + [batchId]}, f)
+                fs_write_text(ledger, json.dumps({"batches": seen + [batchId]}))
 
             def abort(self, messages, batchId: int) -> None:
                 self._delegate.abort(messages)
 
-        os.makedirs(options.get("path"), exist_ok=True)
+        fs_makedirs(options.get("path"))
         return _Writer(options, schema)

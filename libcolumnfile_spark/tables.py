@@ -98,9 +98,15 @@ def spread(df: DataFrame) -> DataFrame:
         total = 0
         for f in files:
             p = urlparse(f)
-            if p.scheme not in ("file", ""):
-                raise ValueError(f"non-local input {f}")
-            total += os.path.getsize(unquote(p.path))
+            if p.scheme in ("file", ""):
+                total += os.path.getsize(unquote(p.path))
+            else:
+                # remote scheme: size via the fs layer (pyarrow-native),
+                # keeping the cheap inputFiles() estimate instead of the
+                # ~1 s df.rdd fallback exactly where remote FS matters
+                from libcolumnfile_spark.sources.columnfile.fs import fs_size
+
+                total += fs_size(f)
         est = max(len(files), total // _OPEN_COST_BYTES + 1)
     except Exception:
         est = df.rdd.getNumPartitions()
