@@ -87,6 +87,10 @@ from libcolumnfile_spark.sources.columnfile.stats import (
     write_stats,
     _to_stats_value,
 )
+from libcolumnfile_spark.sources.columnfile.capnp import (
+    flatten_schema_capnp,
+    rebuild_column_capnp,
+)
 from libcolumnfile_spark.sources.columnfile.typed import (
     decode_buf_to_arrow,
     decode_runs_to_arrow,
@@ -131,12 +135,17 @@ def _data_files(path: str) -> list[str]:
     )
 
 
-def _load_sidecar_schema(path: str) -> StructType | None:
+def _load_sidecar(path: str) -> dict | None:
     base = path if fs_isdir(path) else fs_dirname(path)
     sidecar = fs_join(base, SCHEMA_FILE)
     if not fs_exists(sidecar):
         return None
-    return StructType.fromJson(json.loads(fs_read_text(sidecar))["schema"])
+    return json.loads(fs_read_text(sidecar))
+
+
+def _load_sidecar_schema(path: str) -> StructType | None:
+    doc = _load_sidecar(path)
+    return None if doc is None else StructType.fromJson(doc["schema"])
 
 
 @dataclass
@@ -215,12 +224,23 @@ class ColumnFileReader(DataSourceReader):
         # record shredding, columnfile-capnp.cc:94-149). Mapping comes
         # from the stored schema when present (supports subset reads),
         # else it's positional over the read schema's own flattening.
-        stored = _load_sidecar_schema(self.path)
+        # The list layout (in-cell vs reference count-column shredding,
+        # capnp.py) comes from the option, else the sidecar, else "cell".
+        doc = _load_sidecar(self.path)
+        stored = None if doc is None else StructType.fromJson(doc["schema"])
+        self.list_layout = options.get(
+            "list_layout", (doc or {}).get("list_layout", "cell")
+        )
+        if self.list_layout not in ("cell", "capnp"):
+            raise ColumnFileFormatError(
+                f"columnfile: unknown list_layout {self.list_layout!r}"
+            )
+        _flatten = flatten_schema_capnp if self.list_layout == "capnp" else flatten_schema
         base = stored if stored is not None else schema
-        stored_leaves = flatten_schema(base)
+        stored_leaves = _flatten(base)
         by_field: dict[str, list[int]] = {}
         for i, (name, _dt) in enumerate(stored_leaves):
-            by_field.setdefault(name.split(".", 1)[0], []).append(i)
+            by_field.setdefault(name.split(".", 1)[0].split("#", 1)[0], []).append(i)
         self.field_leaves: list[tuple[list[int], list]] = []
         for f in schema.fields:
             if f.name not in by_field:
@@ -230,7 +250,7 @@ class ColumnFileReader(DataSourceReader):
             idxs = by_field[f.name]
             # leaf dtypes come from the READ schema (flattened the same
             # way), so casts the user requests are honored per leaf
-            leaf_dts = [dt for _, dt in flatten_schema(StructType([f]))]
+            leaf_dts = [dt for _, dt in _flatten(StructType([f]))]
             if len(leaf_dts) != len(idxs):
                 raise ColumnFileFormatError(
                     f"columnfile: column {f.name!r} shape mismatch vs stored schema"
@@ -276,6 +296,7 @@ class ColumnFileReader(DataSourceReader):
         fields = self.read_schema.fields
         wanted = {i for idxs, _ in self.field_leaves for i in idxs}
         want_offsets = {off for off, _ in partition.segments}
+        capnp_mode = self.list_layout == "capnp"
         with fs_open_input(partition.file) as f:
             # segment headers must be parsed in file order (cheap: header
             # bytes only); blobs of unselected segments are seeked past.
@@ -283,6 +304,26 @@ class ColumnFileReader(DataSourceReader):
                 if seg.offset not in want_offsets:
                     continue
                 bufs_by_idx = read_segment_raw(f, seg, wanted)
+                if capnp_mode:
+                    # element leaves are RAGGED (rows per element, not per
+                    # record) — no padding; reassembly is per segment
+                    # (capnp.py module docstring)
+                    arrays = [
+                        rebuild_column_capnp(
+                            field.dataType,
+                            [
+                                decode_buf_to_arrow(bufs_by_idx.get(i, b""), dt)
+                                for i, dt in zip(idxs, leaf_dts)
+                            ],
+                        )
+                        for field, (idxs, leaf_dts) in zip(fields, self.field_leaves)
+                    ]
+                    if not arrays or len(arrays[0]) == 0:
+                        continue
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, names=[fl.name for fl in fields]
+                    )
+                    continue
                 # decode every wanted leaf, tracking the segment row count
                 leaf_arrays: dict[int, pa.Array] = {}
                 n_rows = 0
@@ -322,6 +363,11 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
                 f"unsupported compression algorithm {self.compression!r}"
             )
         self.segment_bytes = int(options.get("segment_bytes", DEFAULT_SEGMENT_BYTES))
+        self.list_layout = options.get("list_layout", "cell")
+        if self.list_layout not in ("cell", "capnp"):
+            raise ColumnFileFormatError(
+                f"columnfile: unknown list_layout {self.list_layout!r}"
+            )
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -330,6 +376,8 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
         pid = ctx.partitionId() if ctx else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.col"
         full = fs_join(self.path, name)
+        if self.list_layout == "capnp":
+            return self._write_capnp(iterator, name, full)
         # structs shred into consecutive leaf columns; leaf position =
         # on-disk column index (reference columnfile-capnp.cc:94-149)
         leaves = flatten_schema(self.schema)
@@ -408,6 +456,33 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
             file_name=name, stats_entries=stats_entries, rows=total_rows
         )
 
+    def _write_capnp(self, iterator, name: str, full: str):
+        """Reference count-column list shredding (capnp.write_rows_capnp).
+        Interop/egress surface: row-at-a-time by design, no stats sidecar
+        (readers fall back to header scans)."""
+        from libcolumnfile_spark.sources.columnfile.capnp import write_rows_capnp
+
+        writer = ColumnFileWriter(full, compression=self.compression)
+        total_rows = 0
+        try:
+            for batch in iterator:
+                total_rows += write_rows_capnp(
+                    writer, self.schema, batch.to_pylist(), self.segment_bytes
+                )
+            writer.flush()
+            writer.finalize()
+        except BaseException:
+            writer.finalize()
+            if fs_exists(full):
+                fs_remove(full)
+            raise
+        if total_rows == 0:
+            fs_remove(full)
+            return ColumnFileCommitMessage(file_name="", stats_entries=[], rows=0)
+        return ColumnFileCommitMessage(
+            file_name=name, stats_entries=[], rows=total_rows
+        )
+
     def commit(self, messages):
         files = [m.file_name for m in messages if m and m.file_name]
         existing: list[str] = []
@@ -416,7 +491,13 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
             existing = json.loads(fs_read_text(manifest))["files"]
         fs_write_text(
             fs_join(self.path, SCHEMA_FILE),
-            json.dumps({"version": 1, "schema": self.schema.jsonValue()}),
+            json.dumps(
+                {
+                    "version": 1,
+                    "schema": self.schema.jsonValue(),
+                    "list_layout": self.list_layout,
+                }
+            ),
         )
         fs_write_text(manifest, json.dumps({"version": 1, "files": existing + files}))
 
