@@ -667,6 +667,88 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def hamming_pairs(
+    sig_df: DataFrame, k: int = 3, id_col: str = "id", sig_col: str = "sig"
+) -> DataFrame:
+    """ALL pairs (id_a < id_b) of 64-bit signatures within Hamming
+    distance ``k`` — exact, via the pigeonhole block scheme (Manku,
+    Jain, Sarma, WWW'07): split the 64 bits into k+1 blocks; two
+    signatures within distance k must agree EXACTLY on at least one
+    block (k flipped bits can dirty at most k blocks). So recall is 1
+    by construction, and candidate generation is one banding shuffle on
+    (block_index, block_value) — the same plan shape as MinHash-LSH
+    banding, never an all-pairs product.
+
+    Pure Catalyst end-to-end: block extraction is shift+mask, the verify
+    is bit_count(sig_a XOR sig_b) — whole-stage codegen, no Python.
+
+    Works on any 64-bit sketch column (SimHash here; any other 64-bit
+    fingerprint gets the same operator for free).
+    """
+    n_blocks = k + 1
+    # block widths as equal as 64 allows (e.g. k=3 -> 16/16/16/16)
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    sig = F.col(sig_col)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(sig, starts[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("key"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = sig_df.select(
+        F.col(id_col).alias("id"), sig.alias("sig"), F.explode(keys).alias("bk")
+    ).select("id", "sig", "bk.blk", "bk.key")
+    # one groupBy shuffle -> within-bucket pair expansion (codegen), the
+    # same single-shuffle candidate plan as minhash_lsh_dedup's banding
+    buckets = (
+        banded.groupBy("blk", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.transform(
+                    F.col("ds"),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= k),
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", F.col("p.hamming").cast("int").alias("hamming"))
+        .distinct()
+    )
+
+
+def simhash_hamming_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs whose 64-bit SimHash signatures are within
+    Hamming distance k (exact recall via hamming_pairs' pigeonhole
+    banding). The identical-signature grouping (simhash_dedup) is the
+    k=0 special case of this operator.
+    """
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    sigs = _spread(df).select(
+        F.col(id_col).alias("id"), simhash64(tokens).alias("sig")
+    )
+    return hamming_pairs(sigs, k=k)
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------
@@ -787,6 +869,20 @@ def q_dedup_minhash_verified(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return simhash_dedup(d)
+
+
+@query(
+    "q_dedup_simhash_hamming",
+    oracle=None,  # xxhash64-based signature; rows-only + exact-recall unit tests
+    doc=(
+        "SimHash near-dup pairs within Hamming distance 3 (pigeonhole "
+        "block banding, recall 1 by construction)."
+    ),
+    tags=("dedup",),
+)
+def q_dedup_simhash_hamming(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return simhash_hamming_dedup(d, k=3)
 
 
 # Blocking granularity for the declared exact-jaccard query: 16-char

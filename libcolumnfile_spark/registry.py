@@ -57,7 +57,8 @@ _PRIORITY = [
     "q_token_count",
     # deduplication
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash_verified",
-    "q_dedup_simhash", "q_dedup_cc", "q_dedup_embedding",
+    "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_cc",
+    "q_dedup_embedding",
     # similarity search
     "q_sim_topk", "q_sim_pairs", "q_sim_lsh",
     # corpus pipeline

@@ -71,6 +71,52 @@ class TestSimHash:
         assert hamming <= 16  # one-word change flips few bits
 
 
+class TestHammingPairs:
+    def test_seeded_bit_flips(self, spark):
+        """k or fewer flipped bits MUST pair (pigeonhole recall is 1);
+        k+1 flips across distinct blocks must NOT."""
+        base = 0x0123456789ABCDEF
+        rows = [
+            (0, base),
+            (1, base ^ 1),                      # 1 flip
+            (2, base ^ (1 | 1 << 20)),          # 2 flips
+            (3, base ^ (1 | 1 << 20 | 1 << 40)),  # 3 flips
+            (4, base ^ (1 | 1 << 20 | 1 << 40 | 1 << 60)),  # 4 flips: out vs 0
+            (5, -(1 << 63) | 5),                # negative sig must not crash
+        ]
+        df = spark.createDataFrame(rows, ["id", "sig"])
+        got = {(r.id_a, r.id_b): r.hamming for r in dedup.hamming_pairs(df, k=3).collect()}
+        assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+        assert (0, 4) not in got  # distance 4 > k
+        assert (3, 4) in got and got[(3, 4)] == 1  # 3 vs 4 differ by 1 bit
+
+    def test_matches_brute_force(self, spark):
+        """Operator output == brute-force all-pairs popcount filter (the
+        pigeonhole banding loses nothing)."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        us = [rng.getrandbits(64) for _ in range(60)]
+        # plant close pairs (unsigned domain, then convert to int64)
+        us[10] = us[0] ^ 0b101
+        us[11] = us[1] ^ (1 << 63)  # flip sign bit
+        sigs = [u - (1 << 64) if u >= (1 << 63) else u for u in us]
+        df = spark.createDataFrame(list(enumerate(sigs)), ["id", "sig"])
+        got = {(r.id_a, r.id_b) for r in dedup.hamming_pairs(df, k=3).collect()}
+        want = {
+            (a, b)
+            for (a, sa), (b, sb) in itertools.combinations(enumerate(sigs), 2)
+            if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= 3
+        }
+        assert got == want
+
+    def test_simhash_hamming_dedup_finds_near_dups(self, docs):
+        pairs = dedup.simhash_hamming_dedup(docs, k=3)
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        assert got.get((1, 2)) == 0  # identical docs: distance 0
+
+
 class TestNgramJaccard:
     def test_blocked_pairs(self, docs):
         d = docs.withColumn("lang", F.lit("en"))
