@@ -91,7 +91,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane (SRP) LSH bucket id: one sign bit per plane."""
+    """Random-hyperplane (SRP) LSH bucket id: one sign bit per plane.
+
+    Cross-engine determinism: dot() casts every element to double BEFORE
+    multiply-accumulate, the same arithmetic as the oracle's
+    CAST(embedding AS DOUBLE[]) + list_inner_product — so the sign test
+    (hence bucket membership) agrees exactly between engines.
+    """
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         bit = F.when(dot(vec, _lit_vec(plane)) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
@@ -137,11 +143,27 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     n_planes: int = 4,
     seed: int = 13,
+    probes: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-bucketed self-join.
 
-    Only same-bucket pairs are scored (cosine-similar vectors collide with
-    high probability under SRP); the join shuffles on the bucket key.
+    probes=0: only same-bucket pairs are scored (cosine-similar vectors
+    collide with high probability under SRP); the join shuffles on the
+    bucket key.
+
+    probes=1 is the SCALE configuration — multi-probe SRP: one side of
+    the join explodes each vector to its own bucket plus all n_planes
+    one-bit-flip neighbor buckets; the other side keeps its exact
+    bucket. A pair is found iff their buckets differ in <= 1 sign bit,
+    which recovers exactly the near-misses SRP loses as n_planes grows
+    (a cos-similar pair straddling ONE hyperplane). The asymmetry means
+    every qualifying pair matches exactly once (the probe side's key set
+    contains at most one of the other side's bucket), so no distinct
+    pass is needed. Cost model: candidate pairs ~ (n_planes+1) * n^2 /
+    2^n_planes — raising n_planes by 2 quarters the quadratic term while
+    probing keeps recall, vs probes=0 where shrinking buckets loses
+    pairs. At 2^n_planes buckets the within-bucket product is the
+    scale knob; this decouples it from recall.
     """
     dim_probe = df.select(F.size(vec_col).alias("d")).first()
     planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
@@ -173,10 +195,24 @@ def cosine_near_pairs(
     # (count() force-fills the cache before the self-join scans twice)
     bucketed = bucketed.persist()
     bucketed.count()
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    if probes == 0:
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        if probes != 1:
+            raise ValueError("probes must be 0 or 1 (1-bit multi-probe)")
+        probe_keys = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        a = bucketed.select(
+            F.col("id"), F.col("v"), F.explode(probe_keys).alias("key")
+        ).alias("a")
+        b = bucketed.alias("b")
+        cond = (F.col("a.key") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -299,6 +335,44 @@ def q_sim_pairs(spark, sf_dir):
     # 6 planes = 64 buckets: ~n^2/128 candidate pairs — the knob that keeps
     # the self-join quadratic term in check as the corpus grows
     return cosine_near_pairs(emb, threshold=0.2, n_planes=6)
+
+
+def _sim_pairs_probe_oracle() -> str:
+    # Multi-probe candidate rule in SQL: buckets differing in <= 1 sign
+    # bit (bit_count(xor(...)) <= 1) — exactly the pairs the 1-bit probe
+    # explosion reaches. Same unit-normalize-then-dot FP path as
+    # _sim_pairs_oracle.
+    planes = _hyperplanes(_QUERY_DIM, 8, 13)
+    bucket = _duckdb_bucket_expr(planes, "v")
+    return (
+        "WITH u AS (SELECT vec_id, "
+        "CASE WHEN sqrt(list_inner_product(v, v)) > 0 "
+        "  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v))) "
+        "  ELSE list_transform(v, x -> x * 0.0) END AS uv, "
+        f"{bucket} AS bkt "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_inner_product(a.uv, b.uv), 6) AS cos_sim "
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id "
+        "  AND bit_count(xor(a.bkt, b.bkt)) <= 1 "
+        "WHERE round(list_inner_product(a.uv, b.uv), 6) >= 0.2"
+    )
+
+
+@query(
+    "q_sim_pairs_probe",
+    oracle=_sim_pairs_probe_oracle(),
+    doc=(
+        "Embedding near-dup pairs via MULTI-PROBE SRP (8 planes = 256 "
+        "buckets, 1-bit probes): the scale configuration — 4x smaller "
+        "within-bucket quadratic term than q_sim_pairs' 64 buckets, with "
+        "probing recovering the recall shrinking buckets would lose."
+    ),
+    tags=("similarity", "dedup", "lsh"),
+)
+def q_sim_pairs_probe(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.2, n_planes=8, probes=1)
 
 
 def _dedup_embedding_oracle(threshold: float) -> str:

@@ -60,7 +60,7 @@ _PRIORITY = [
     "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_cc",
     "q_dedup_embedding",
     # similarity search
-    "q_sim_topk", "q_sim_pairs", "q_sim_lsh",
+    "q_sim_topk", "q_sim_pairs", "q_sim_pairs_probe", "q_sim_lsh",
     # corpus pipeline
     "q_sample_hash", "q_pii_redact",
     # streaming batch faces

@@ -180,6 +180,50 @@ class TestSimilarity:
         assert got.get((1, 2)) == 1.0
         assert (1, 3) not in got
 
+    def test_multi_probe_recall_superset(self, spark):
+        """probes=1 must find every same-bucket pair probes=0 finds,
+        plus all pairs whose buckets differ in exactly one sign bit —
+        and nothing with bucket distance > 1."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = similarity.cosine_near_pairs(emb, threshold=0.1, n_planes=8)
+        probed = similarity.cosine_near_pairs(emb, threshold=0.1, n_planes=8, probes=1)
+        got0 = {(r.id_a, r.id_b) for r in base.collect()}
+        got1 = {(r.id_a, r.id_b) for r in probed.collect()}
+        assert got0 <= got1
+        assert len(got1) > len(got0)  # probing reaches 1-bit neighbors
+        # no duplicate pairs from the probe explosion (asymmetric design)
+        rows = probed.collect()
+        assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
+
+    def test_multi_probe_finds_one_plane_straddlers(self, spark):
+        """A near-identical pair that lands one hyperplane apart is the
+        exact miss multi-probe exists to recover."""
+        planes = similarity._hyperplanes(4, 4, 13)
+        v = [0.5, 0.5, 0.5, 0.5]
+        # nudge until the pair straddles exactly one plane
+        import itertools
+
+        def bucket(vec):
+            b = 0
+            for i, p in enumerate(planes):
+                if sum(x * y for x, y in zip(vec, p)) >= 0:
+                    b |= 1 << i
+            return b
+
+        w = None
+        for eps in [0.02 * k for k in range(1, 200)]:
+            cand = [v[0], v[1], v[2], v[3] - eps]
+            d = bucket(v) ^ bucket(cand)
+            if d and bin(d).count("1") == 1:
+                w = cand
+                break
+        assert w is not None, "fixture construction failed"
+        df = spark.createDataFrame([(1, v), (2, w)], ["vec_id", "embedding"])
+        miss = similarity.cosine_near_pairs(df, threshold=0.5, n_planes=4)
+        hit = similarity.cosine_near_pairs(df, threshold=0.5, n_planes=4, probes=1)
+        assert not miss.collect()
+        assert {(r.id_a, r.id_b) for r in hit.collect()} == {(1, 2)}
+
 
 class TestText:
     def test_token_count_and_stats(self, spark):

@@ -1,0 +1,60 @@
+"""Scale-contract tests: wall-clock growth at x10 the data must stay
+sub-linear for map-only operators (idle cores absorb rows) and well
+under quadratic for pair-generating operators (blocking/banding bounds
+the product). A superlinear regression — a lost broadcast, a filter no
+longer pushed below a self-join, a bucket scheme silently degrading to
+all-pairs — shows up here as a ratio blowout long before anyone points
+the engine at real data.
+
+Bounds are measured sf0.1->x10 ratios (BASELINE.md scale probes) plus
+headroom for host noise; a true quadratic regression lands at ~10x+ the
+bound, so flakiness and regressions are far apart. Ratios compare two
+runs on the SAME host seconds apart, which cancels most contention.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from libcolumnfile_spark.registry import REGISTRY
+
+from tools.scale_probe import BASE, best2, ensure_x10
+
+# query -> (measured x10 ratio, contract bound)
+CONTRACTS = {
+    # map-only: rows ride otherwise-idle cores
+    "q_fingerprint_winnow": (1.0, 2.5),
+    "q_token_count": (2.7, 4.5),
+    # pair-generating: blocking/banding bounds the quadratic term
+    "q_dedup_ngram": (3.2, 6.0),
+    "q_dedup_cc": (2.3, 5.0),
+    "q_sim_pairs": (2.6, 5.0),
+}
+
+
+@pytest.fixture(scope="module")
+def x10(spark):
+    return ensure_x10(spark)
+
+
+@pytest.mark.parametrize("name", sorted(CONTRACTS))
+def test_x10_ratio_contract(spark, x10, name):
+    fn = REGISTRY[name].spark_fn
+
+    def run(d):
+        spark.catalog.clearCache()
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+
+    t1 = best2(lambda: run(BASE))
+    t10 = best2(lambda: run(x10))
+    _measured, bound = CONTRACTS[name]
+    ratio = t10 / t1
+    assert ratio <= bound, (
+        f"{name}: x10 wall-clock ratio {ratio:.2f} exceeds contract "
+        f"{bound} (sf0.1 {t1:.2f}s -> x10 {t10:.2f}s) — superlinear "
+        "regression (lost broadcast / degraded blocking / new shuffle?)"
+    )

@@ -63,6 +63,19 @@ def median3(fn) -> float:
     return sorted(ts)[1]
 
 
+def best2(fn) -> float:
+    """Warm + min of 2 timed runs — the cheap, contention-robust stat for
+    CI ratio contracts (a ratio of two best-of-2 on the same host seconds
+    apart cancels most noise; min is timeit's recommended statistic)."""
+    fn()
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale-probe")
