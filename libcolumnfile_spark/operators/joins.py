@@ -173,7 +173,7 @@ def salted_join(
 # Bucketed (pre-partitioned) co-located joins
 # ---------------------------------------------------------------------------
 
-_BUCKET_ROOT = "/tmp/libcolumnfile_spark/bucketed"
+
 
 
 def ensure_bucketed(
@@ -196,22 +196,22 @@ def ensure_bucketed(
     bucket runs it streams; the shuffle is the cost that matters.) The
     repartition before write yields exactly one file per bucket.
 
-    Files are cached under /tmp keyed by sf_dir (same convention as
-    sources/stock.py); the in-memory catalog entry is recreated per
-    session via CREATE TABLE ... CLUSTERED BY ... LOCATION.
+    Files are cached under SPARK_GRAFT_CACHE_DIR keyed by sf_dir (same
+    convention as sources/stock.py); the in-memory catalog entry is
+    recreated per session via CREATE TABLE ... CLUSTERED BY ... LOCATION.
     """
     import hashlib
-    import os
 
+    from libcolumnfile_spark.cache import cache_has, cache_path
     from libcolumnfile_spark.tables import load_table
 
     sfkey = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     tbl = f"bkt_{table}_{sfkey}"
     if spark.catalog.tableExists(tbl):
         return tbl
-    path = f"{_BUCKET_ROOT}/{sfkey}/{table}"
+    path = cache_path("bucketed", sfkey, table)
     src = load_table(spark, sf_dir, table)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if cache_has("bucketed", sfkey, table, "_SUCCESS"):
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
         )

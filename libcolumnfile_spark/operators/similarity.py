@@ -551,22 +551,30 @@ def ivf_topk(
 )
 def q_sim_ivf(spark, sf_dir):
     import hashlib
-    import json
-    import os
+
+    from libcolumnfile_spark.cache import cache_has, cache_path
 
     n_lists, n_probe, seed = 16, 4, 29
     key = hashlib.sha1(f"{sf_dir}|{n_lists}|{seed}".encode()).hexdigest()[:12]
-    cache = os.path.join("/tmp/libcolumnfile_spark/ivfcache", key)
-    cfile = os.path.join(cache, "centroids.json")
-    if not os.path.exists(cfile):
+    # Index persistence is ALL through the DataFrame layer (two parquet
+    # tables under SPARK_GRAFT_CACHE_DIR: per-vector list assignments +
+    # the n_lists centroid rows), so the cache lives on any
+    # Spark-readable path — no driver-local files, exactly how a real
+    # ANN deployment shares one index across sessions/executors.
+    assigned_path = cache_path("ivfcache", key, "assigned")
+    cent_path = cache_path("ivfcache", key, "centroids")
+    if not cache_has("ivfcache", key, "centroids", "_SUCCESS"):
         emb = T(spark, sf_dir, "embeddings")
         assigned, centroids = ivf_build(emb, n_lists=n_lists, seed=seed)
-        assigned.write.mode("overwrite").parquet(os.path.join(cache, "assigned"))
-        with open(cfile, "w") as f:
-            json.dump(centroids, f)
-    with open(cfile) as f:
-        centroids = json.load(f)
-    assigned = spark.read.parquet(os.path.join(cache, "assigned"))
+        assigned.write.mode("overwrite").parquet(assigned_path)
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id INT, centroid ARRAY<DOUBLE>",
+        )
+        cdf.coalesce(1).write.mode("overwrite").parquet(cent_path)
+    centroids_rows = spark.read.parquet(cent_path).orderBy("list_id").collect()
+    centroids = [list(r.centroid) for r in centroids_rows]  # n_lists rows: driver-sized
+    assigned = spark.read.parquet(assigned_path)
     q = np.asarray(_QUERY_VEC, dtype=np.float64)
     order = sorted(
         range(len(centroids)),

@@ -1,7 +1,7 @@
 """Declared queries through Spark's stock file sources (csv/json/orc):
 the engine's non-columnfile ingest surface (SURVEY.md §2.2 "Scans/
 sources"). Fixtures are parquet; each query converts once to the target
-format (cached under /tmp, manifest = _SUCCESS from the Spark writer)
+format (cached under SPARK_GRAFT_CACHE_DIR, manifest = _SUCCESS from the Spark writer)
 and reads back through the stock reader — the DuckDB oracle runs on the
 ORIGINAL parquet, so the conversion + read cycle is what's validated.
 
@@ -18,16 +18,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from libcolumnfile_spark.cache import cache_has, cache_path
 from libcolumnfile_spark.queries import query
 from libcolumnfile_spark.tables import load_table
-
-_CACHE_ROOT = "/tmp/libcolumnfile_spark/stockcache"
 
 
 def _converted(spark: SparkSession, sf_dir: str, table: str, fmt: str, **writer_opts):
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, key, f"{table}_{fmt}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = cache_path("stockcache", key, f"{table}_{fmt}")
+    if not cache_has("stockcache", key, f"{table}_{fmt}", "_SUCCESS"):
         w = load_table(spark, sf_dir, table).write.format(fmt)
         for k, v in writer_opts.items():
             w = w.option(k, v)

@@ -92,6 +92,17 @@ def test_columnfile_filter_pushdown_via_mock_scheme(spark, mock_dir):
     assert got == want
 
 
+def test_cache_root_env_redirection(monkeypatch):
+    """All fixture/index caches key off SPARK_GRAFT_CACHE_DIR so a
+    shared-FS cluster redirects them with one setting."""
+    from libcolumnfile_spark.cache import cache_path
+
+    monkeypatch.delenv("SPARK_GRAFT_CACHE_DIR", raising=False)
+    assert cache_path("x").startswith("/tmp/libcolumnfile_spark")
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", "mock://bucket/cacheroot")
+    assert cache_path("ivfcache", "k") == "mock://bucket/cacheroot/ivfcache/k"
+
+
 def test_spread_handles_remote_scheme_without_rdd_fallback(spark, mock_dir):
     """tables.spread() must size remote inputs via the fs layer (not
     raise into the ~1 s RDD fallback). Parquet over mock:// isn't

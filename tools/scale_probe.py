@@ -20,8 +20,9 @@ from libcolumnfile_spark.registry import REGISTRY
 from libcolumnfile_spark.session import get_spark
 from libcolumnfile_spark.tables import load_table
 
+from libcolumnfile_spark.cache import cache_path
+
 BASE = "/root/testdata/sf0.1"
-X10_DIR = "/tmp/libcolumnfile_spark/scale10"
 DEFAULT = [
     "q_fingerprint_winnow",
     "q_token_count",
@@ -36,9 +37,9 @@ ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def ensure_x10(spark) -> str:
-    os.makedirs(X10_DIR, exist_ok=True)
+    x10_dir = cache_path("scale10")
     for table, id_col in ID_COLS.items():
-        out = f"{X10_DIR}/{table}.parquet"
+        out = f"{x10_dir}/{table}.parquet"
         if os.path.exists(out):
             continue
         base = load_table(spark, BASE, table)
@@ -50,7 +51,7 @@ def ensure_x10(spark) -> str:
         for c in copies[1:]:
             df = df.unionByName(c)
         df.repartition(32).write.mode("overwrite").parquet(out)
-    return X10_DIR
+    return x10_dir
 
 
 def median3(fn) -> float:
