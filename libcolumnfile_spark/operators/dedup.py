@@ -779,10 +779,14 @@ def ngram_jaccard_pairs(
     # Candidate stage carries only (id, blk, n_tokens) — the shingle
     # arrays are NOT built here. Token count is the cheap proxy for
     # shingle-set size in the size-ratio prefilter (|sh| = n_tokens-n+1).
+    # trim before tokenizing: Java's split drops TRAILING empty tokens
+    # but keeps a leading one, while DuckDB's string_split_regex keeps
+    # both — trimming makes the token (hence gram) sets identical across
+    # engines for text with edge whitespace
     keys = df.select(
         F.col(id_col).alias("id"),
         F.concat_ws("|", *blk_parts).alias("blk"),
-        (F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - (shingle_n - 1)).alias("nsh"),
+        (F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) - (shingle_n - 1)).alias("nsh"),
     ).filter(F.col("nsh") > 0)
     a = keys.alias("a")
     b = keys.alias("b")
@@ -810,7 +814,7 @@ def ngram_jaccard_pairs(
         F.broadcast(cand_ids), F.col(id_col) == cand_ids.id, "left_semi"
     ).select(
         F.col(id_col).alias("id"),
-        gram_set_kernel(shingle_n)(token_hashes(F.col(text_col))).alias("sh"),
+        gram_set_kernel(shingle_n)(token_hashes(F.trim(F.col(text_col)))).alias("sh"),
     )
     return _pairwise_jaccard(candidates, cand_docs, n_ids_est, threshold)
 
@@ -908,7 +912,7 @@ def _ngram_oracle() -> str:
     return (
         "WITH t AS (SELECT doc_id, "
         f"  lang || '|' || CAST(CAST(floor(length(text) / {b}.0) AS INT) AS VARCHAR) AS blk, "
-        "  string_split_regex(lower(text), '\\s+') AS toks "
+        "  string_split_regex(lower(trim(text)), '\\s+') AS toks "
         "  FROM documents), "
         "g AS (SELECT doc_id, blk, "
         "  list_distinct(list_transform(generate_series(1, len(toks) - 2), "

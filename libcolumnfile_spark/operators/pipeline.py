@@ -350,10 +350,14 @@ def connected_components(
     )
 
     if driver_threshold:
-        # limit(+1).collect() probes the size without a full count job on
-        # oversized graphs — the scan aborts once the limit is hit
-        probe = e.limit(driver_threshold + 1).collect()
-        if len(probe) <= driver_threshold:
+        # Size probe WITHOUT row transfer: limit(+1).count() aborts the
+        # scan once the limit is hit and ships one number to the driver —
+        # an oversized graph (the case the distributed path exists for)
+        # must not pay a threshold-sized driver collect just to learn it
+        # is oversized. Only a confirmed-small edge set is collected.
+        n_edges = e.limit(driver_threshold + 1).count()
+        if n_edges <= driver_threshold:
+            probe = e.collect()
             spark = edges.sparkSession
             labels = spark.createDataFrame(
                 _union_find_labels([(r["u"], r["v"]) for r in probe]),

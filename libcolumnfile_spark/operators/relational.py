@@ -656,10 +656,15 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_cast returns NULL on malformed input instead of throwing
     # (Spark 4 runs ANSI mode, so plain CAST would fail the whole job on
     # one bad row — try_cast is the 100 TB-safe ingestion idiom)
+    # The double path pre-extracts a numeric token with the SAME regex on
+    # both engines: DuckDB's TRY_CAST accepts 'inf'/'nan' spellings that
+    # Spark's rejects, so casting raw prefixes is an engine-divergent
+    # comparison on adversarial fixtures (e.g. a doc starting "inf ").
     oracle=(
         "SELECT doc_id, "
         "TRY_CAST(split_part(text, ' ', 1) AS INTEGER) AS first_tok_int, "
-        "TRY_CAST(substring(text, 1, 4) AS DOUBLE) AS prefix_num "
+        r"TRY_CAST(regexp_extract(substring(text, 1, 4), '^[+-]?[0-9]+(\.[0-9]*)?', 0) "
+        "AS DOUBLE) AS prefix_num "
         "FROM documents"
     ),
     doc=(
@@ -676,7 +681,11 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("text"), F.lit(" "), F.lit(1))
         .try_cast("int")
         .alias("first_tok_int"),
-        F.substring(F.col("text"), 1, 4).try_cast("double").alias("prefix_num"),
+        F.regexp_extract(
+            F.substring(F.col("text"), 1, 4), r"^[+-]?[0-9]+(\.[0-9]*)?", 0
+        )
+        .try_cast("double")
+        .alias("prefix_num"),
     )
 
 
