@@ -108,6 +108,182 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget bin assignment for training batches)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training sequences
+    (contiguous-fill packing): docs are hash-bucketed into ``n_groups``
+    independent groups, and within each group (ordered by id) a doc
+    joins the pack its cumulative token offset falls in —
+    pack_id = floor((cumsum(tokens) - tokens) / budget).
+
+    Scale design: packing is inherently sequential, so the sequential
+    unit is the GROUP, not the corpus — groups pack independently and in
+    parallel (one hash-partition shuffle + a per-group window cumsum;
+    no global sort, no driver loop). ``n_groups`` is the parallelism
+    knob: size it to ~shuffle-partition count at the target scale.
+    Deterministic end-to-end (md5 bucketing + id order), so the same
+    corpus always packs identically — the reproducibility property
+    training-data freezes require. Docs longer than the budget start
+    their own pack and overflow it (split oversized docs upstream).
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        hash_bucket(F.col(id_col), n_groups).alias("grp"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(budget))).alias("pack_id"),
+    )
+
+
+def _pack_oracle(budget: int = 512, n_groups: int = 64) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"{_bucket_sql('doc_id', n_groups)} AS grp, "
+        "len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens "
+        "FROM documents) "
+        "SELECT doc_id, grp, n_tokens, "
+        "CAST(floor((sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id "
+        f"ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}.0) AS BIGINT) AS pack_id "
+        "FROM t"
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=_pack_oracle(),
+    doc=(
+        "Token-budget sequence packing: hash-grouped contiguous fill — "
+        "deterministic pack assignment for fixed-length training "
+        "batches, parallel across groups (window cumsum per group)."
+    ),
+    tags=("pipeline", "packing"),
+)
+def q_pack_sequences(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_groups=64)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screening
+# ---------------------------------------------------------------------------
+
+
+def contamination_screen(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval set — the
+    decontamination step of a training-data pipeline (drop or flag
+    training docs that leak eval content).
+
+    Output: (doc_id, n_grams, n_matched, contamination) for documents
+    with at least one overlapping gram.
+
+    Scale design: the benchmark gram set is DISTINCT + broadcast
+    (benchmarks are tiny next to a 100 TB corpus), so corpus grams are
+    matched map-side; the only shuffle carries (doc_id) partial counts
+    for MATCHED grams — a corpus with little contamination shuffles
+    almost nothing. Gram hashing uses the md5-derived cross-engine
+    family (md5_gram_hash), so the whole screen is oracle-checkable.
+    """
+    from libcolumnfile_spark.operators.dedup import md5_gram_hash, shingles
+
+    def gram_hashes(col):
+        return F.transform(shingles(F.trim(col), shingle_n), md5_gram_hash)
+
+    bench = (
+        benchmark.select(F.explode(gram_hashes(F.col(text_col))).alias("h"))
+        .distinct()
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), gram_hashes(F.col(text_col)).alias("hs")
+    ).filter(F.size("hs") > 0)
+    totals = docs.select("doc_id", F.size("hs").alias("n_grams"))
+    matched = (
+        docs.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        totals.join(matched, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
+
+
+def _contamination_oracle(shingle_n: int = 3, modulus: int = 97) -> str:
+    p = (1 << 31) - 1
+    n1 = shingle_n - 1
+    gram_hash = (
+        "CAST(('0x' || substr(md5(array_to_string(toks[i:i+" + str(n1) + "], ' ')), 1, 15)) "
+        f"AS BIGINT) % {p}"
+    )
+    grams = (
+        "list_distinct(list_transform(generate_series(1, len(toks) - "
+        f"{n1}), i -> {gram_hash}))"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, {grams} AS hs FROM t WHERE len(toks) >= {shingle_n}), "
+        f"b AS (SELECT DISTINCT unnest(hs) AS h FROM g WHERE doc_id % {modulus} = 0), "
+        "e AS (SELECT doc_id, unnest(hs) AS h FROM g), "
+        "tot AS (SELECT doc_id, len(hs) AS n_grams FROM g), "
+        "m AS (SELECT e.doc_id, count(*) AS n_matched FROM e JOIN b ON e.h = b.h "
+        "GROUP BY e.doc_id) "
+        "SELECT tot.doc_id, n_grams, n_matched, "
+        "round(CAST(n_matched AS DOUBLE) / n_grams, 6) AS contamination "
+        "FROM tot JOIN m ON tot.doc_id = m.doc_id"
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=_contamination_oracle(),
+    doc=(
+        "Benchmark-contamination screen: per-doc 3-gram overlap against "
+        "a (deterministic pseudo-)benchmark subset — broadcast benchmark "
+        "gram set, map-side matching, matched-grams-only shuffle."
+    ),
+    tags=("pipeline", "dedup"),
+)
+def q_contamination(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_screen(d, bench)
+
+
 @query(
     "q_sample_stratified",
     oracle=(

@@ -397,6 +397,71 @@ def q_fingerprint_winnow(spark, sf_dir):
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-token fraction (1 - distinct/total) and top-token share
+    (most frequent token / total) — high values flag boilerplate and
+    degenerate repetition for corpus filtering.
+
+    Plan shape: explode tokens -> two hash aggregations ((doc, token)
+    then doc). Both aggregate map-side first (partial_count), so the
+    exchanges carry one row per DISTINCT (doc, token) — bounded by
+    vocabulary, not corpus length. No Python anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("top_freq") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+        )
+    )
+
+
+@query(
+    "q_repetition",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok), "
+        "d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, "
+        "count(*) AS n_distinct, max(n) AS top_freq FROM c GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, n_distinct, "
+        "round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac, "
+        "round(CAST(top_freq AS DOUBLE) / n_tokens, 6) AS top_token_share "
+        "FROM d"
+    ),
+    doc=(
+        "Gopher-style repetition quality: duplicate-token fraction and "
+        "top-token share per document — vocabulary-bounded shuffles, "
+        "pure Catalyst."
+    ),
+    tags=("text", "quality"),
+)
+def q_repetition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return repetition_stats(d)
+
+
 @query(
     "q_token_count",
     # Identical RE2-compatible tokenizing regex on both engines (no

@@ -62,7 +62,8 @@ _PRIORITY = [
     # similarity search
     "q_sim_topk", "q_sim_pairs", "q_sim_pairs_probe", "q_sim_lsh",
     # corpus pipeline
-    "q_sample_hash", "q_pii_redact",
+    "q_sample_hash", "q_pii_redact", "q_pack_sequences", "q_contamination",
+    "q_repetition",
     # streaming batch faces
     "q_stream_tumbling", "q_stream_dedup",
 ]

@@ -17,7 +17,8 @@ from libcolumnfile_spark.queries import query
 from libcolumnfile_spark.sources.columnfile.datasource import MANIFEST_FILE, register
 from libcolumnfile_spark.tables import load_table
 
-_CACHE_ROOT = "/tmp/libcolumnfile_spark/colcache"
+from libcolumnfile_spark.sources.columnfile.fs import fs_exists, fs_join
+from libcolumnfile_spark.cache import cache_path
 
 
 def _parallel_partition_bytes(path: str) -> int:
@@ -43,8 +44,8 @@ def columnfile_table(
     commit, so its presence implies a complete dataset)."""
     register(spark)
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, key, name)
-    if not os.path.exists(os.path.join(path, MANIFEST_FILE)):
+    path = cache_path("colcache", key, name)
+    if not fs_exists(fs_join(path, MANIFEST_FILE)):
         w = load_table(spark, sf_dir, name).write.format("columnfile")
         if segment_bytes:
             w = w.option("segment_bytes", str(segment_bytes))
@@ -114,8 +115,8 @@ def q_columnfile_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the cached multi-segment orders dataset, read a column subset
     register(spark)
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, key, "orders")
-    if not os.path.exists(os.path.join(path, MANIFEST_FILE)):
+    path = cache_path("colcache", key, "orders")
+    if not fs_exists(fs_join(path, MANIFEST_FILE)):
         load_table(spark, sf_dir, "orders").write.format("columnfile").option(
             "segment_bytes", str(256 * 1024)
         ).mode("overwrite").save(path)
@@ -171,8 +172,8 @@ def q_columnfile_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     src = columnfile_table(spark, sf_dir, "supplier")
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, key, "supplier_zlib")
-    if not os.path.exists(os.path.join(path, MANIFEST_FILE)):
+    path = cache_path("colcache", key, "supplier_zlib")
+    if not fs_exists(fs_join(path, MANIFEST_FILE)):
         src.write.format("columnfile").option("compression", "zlib").mode(
             "overwrite"
         ).save(path)

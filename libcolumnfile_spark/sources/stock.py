@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from libcolumnfile_spark.sources.columnfile.fs import fs_exists, fs_join
 from libcolumnfile_spark.cache import cache_has, cache_path
 from libcolumnfile_spark.queries import query
 from libcolumnfile_spark.tables import load_table
@@ -108,8 +109,8 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, key, "documents_text")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = cache_path("stockcache", key, "documents_text")
+    if not fs_exists(fs_join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "documents").select("text").write.mode(
             "overwrite"
         ).text(path)
@@ -121,8 +122,8 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     — the physical layout that makes partition pruning possible. One-time
     conversion, cached like every other fixture derivation."""
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, key, "orders_partitioned")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = cache_path("stockcache", key, "orders_partitioned")
+    if not fs_exists(fs_join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(path)

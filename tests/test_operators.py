@@ -304,6 +304,71 @@ class TestApplyInPandas:
         assert by_g["b"] == [0.0]
 
 
+class TestPackSequences:
+    def test_contiguous_fill_semantics(self, spark):
+        from libcolumnfile_spark.operators.pipeline import pack_sequences
+
+        # one group (n_groups=1) so the fill order is just doc_id order
+        rows = [(i, "w " * 100) for i in range(1, 11)]  # 100 tokens each
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = pack_sequences(df, budget=250, n_groups=1).orderBy("doc_id").collect()
+        # cumulative offsets 0,100,200,300,... -> packs 0,0,0,1,1,2,2,(700)2,3,3
+        assert [r.pack_id for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+        assert all(r.n_tokens == 100 for r in out)
+
+    def test_oversized_doc_starts_own_pack(self, spark):
+        from libcolumnfile_spark.operators.pipeline import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, "w " * 600), (2, "w " * 10)], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r.pack_id for r in pack_sequences(df, budget=256, n_groups=1).collect()}
+        assert out[1] == 0  # starts at offset 0, overflows its pack
+        assert out[2] == 2  # next doc starts at offset 600 -> pack 2
+
+    def test_deterministic_across_runs(self, spark):
+        from libcolumnfile_spark.operators.pipeline import pack_sequences
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(tuple(r) for r in pack_sequences(d).collect())
+        b = sorted(tuple(r) for r in pack_sequences(d).collect())
+        assert a == b
+
+
+class TestContamination:
+    def test_benchmark_doc_fully_contaminated(self, spark, docs):
+        from libcolumnfile_spark.operators.pipeline import contamination_screen
+
+        bench = docs.filter(F.col("doc_id") == 1)
+        out = {r.doc_id: r for r in contamination_screen(docs, bench).collect()}
+        assert out[1].contamination == 1.0  # doc 1 IS the benchmark
+        assert out[2].contamination == 1.0  # exact duplicate of it
+        assert 0 < out[3].contamination < 1  # near-dup: partial overlap
+        assert 4 not in out and 5 not in out  # unrelated docs: no row
+
+    def test_clean_corpus_empty(self, spark, docs):
+        from libcolumnfile_spark.operators.pipeline import contamination_screen
+
+        bench = spark.createDataFrame(
+            [(99, "zzz qqq xxx yyy vvv www")], ["doc_id", "text"]
+        )
+        out = contamination_screen(docs, bench).filter(F.col("doc_id") != 99)
+        assert out.count() == 0
+
+
+class TestRepetition:
+    def test_degenerate_repetition_flagged(self, spark):
+        from libcolumnfile_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam"), (2, "all words here are unique")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert out[1].dup_token_frac == 0.8 and out[1].top_token_share == 1.0
+        assert out[2].dup_token_frac == 0.0 and out[2].top_token_share == 0.2
+
+
 class TestWinnowFingerprint:
     def _prints(self, spark, docs):
         df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
