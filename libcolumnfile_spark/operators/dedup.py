@@ -1001,3 +1001,115 @@ def q_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(
         d, block_col="lang", threshold=0.15, length_bucket=_NGRAM_LENGTH_BUCKET
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup: chunk documents into fixed k-token passages,
+# dedup passages globally, reassemble surviving text per document.
+# ---------------------------------------------------------------------------
+
+_PASSAGE_TOKENS = 8
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = _PASSAGE_TOKENS,
+) -> DataFrame:
+    """Sub-document (passage-level) exact dedup — the boilerplate-removal
+    pass of a training-data pipeline: repeated passages (headers, license
+    blocks, navigation chrome) are kept only at their first occurrence
+    corpus-wide, and each document is reassembled from its surviving
+    passages.
+
+    A "passage" is a run of ``chunk_tokens`` consecutive whitespace
+    tokens (fixture text has no paragraph breaks; real corpora would
+    split on blank lines first and chunk within). First occurrence =
+    smallest (doc_id, chunk index) over the passage's md5, decided by a
+    row_number window over the hash — ONE shuffle keyed by passage hash
+    (16 bytes + ids; passage text rides along only to be re-emitted).
+    Reassembly is a per-doc sort_array(collect_list(struct(pos, chunk)))
+    — grouping state bounded by document length.
+
+    Output: (doc_id, n_chunks, n_kept, clean_text) for documents that
+    keep at least one passage.
+    """
+    from pyspark.sql import Window
+
+    chunks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("toks") / float(chunk_tokens)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * chunk_tokens + 1, chunk_tokens), " "
+                    ),
+                )
+            ).alias("cpos", "chunk"),
+        )
+    )
+    w_first = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "cpos")
+    w_doc = Window.partitionBy("doc_id")
+    flagged = chunks.withColumn("rn", F.row_number().over(w_first)).withColumn(
+        "n_chunks", F.count(F.lit(1)).over(w_doc).cast("bigint")
+    )
+    kept = flagged.filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id", "n_chunks")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cpos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")
+    )
+
+
+def _passage_oracle(chunk_tokens: int = _PASSAGE_TOKENS) -> str:
+    k = chunk_tokens
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "c AS (SELECT doc_id, "
+        f"unnest(generate_series(0, CAST(ceil(len(toks) / {k}.0) AS INT) - 1)) AS cpos, "
+        f"unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / {k}.0) AS INT) - 1), "
+        f"i -> array_to_string(toks[i * {k} + 1 : i * {k} + {k}], ' '))) AS chunk "
+        "FROM t WHERE len(toks) >= 1), "
+        "f AS (SELECT doc_id, cpos, chunk, "
+        "row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cpos) AS rn, "
+        "count(*) OVER (PARTITION BY doc_id) AS n_chunks FROM c) "
+        "SELECT doc_id, n_chunks, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(chunk, ' ' ORDER BY cpos) AS clean_text "
+        "FROM f WHERE rn = 1 GROUP BY doc_id, n_chunks"
+    )
+
+
+@query(
+    "q_dedup_passage",
+    oracle=_passage_oracle(),
+    doc=(
+        "Passage-level exact dedup: fixed 8-token chunks, corpus-wide "
+        "first-occurrence survivorship by md5, per-doc reassembly of "
+        "surviving passages. One hash-keyed shuffle + one doc-keyed "
+        "regroup."
+    ),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_passage(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return passage_dedup(d)

@@ -726,3 +726,89 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: gap-based session assignment over an event log
+# (the batch analog of the streaming session window, q_stream_session).
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "INTERVAL '30' MINUTE",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization: events more than ``gap`` apart start a
+    new session. Classic two-window shape: lag() marks session starts,
+    a running sum over the marks numbers sessions, then one group-by
+    aggregates per session.
+
+    ONE shuffle: all three steps partition by user, so Catalyst reuses a
+    single Exchange(user) — the windows sort once per partition and the
+    final hash agg sees co-partitioned input. Timestamp arithmetic stays
+    in TimestampType (microsecond precision) on both engines; no
+    unix-seconds truncation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    marked = df.withColumn(
+        "__new_session",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) - F.lag(ts_col).over(w) > F.expr(gap)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = marked.withColumn(
+        "session_idx",
+        F.sum("__new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return (
+        numbered.groupBy(F.col(user_col).alias("user_id"), "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_idx", "n_events", "session_start",
+            "session_end", "total_value",
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = (
+    "WITH m AS (SELECT user_id, ts, value, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30' MINUTE "
+    "THEN 1 ELSE 0 END AS new_session FROM events), "
+    "n AS (SELECT user_id, ts, value, "
+    "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx "
+    "FROM m) "
+    "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
+    "min(ts) AS session_start, max(ts) AS session_end, "
+    "round(sum(value), 4) AS total_value "
+    "FROM n GROUP BY user_id, session_idx"
+)
+
+
+@query(
+    "q_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
+    doc=(
+        "Batch gap-based sessionization (30-minute gap): lag-mark + "
+        "running-sum session numbering + per-session aggregate, all on "
+        "one Exchange(user_id)."
+    ),
+    tags=("window", "agg", "pipeline"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(T(spark, sf_dir, "events"))

@@ -588,3 +588,89 @@ def q_sim_ivf(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch k-NN join: top-k neighbors for EVERY query vector in one pass
+# (vs brute_force_topk's single query vector).
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact batch cosine k-NN join: for each query vector, its top-k
+    corpus neighbors. Output (q_id, c_id, cos_sim, rn).
+
+    Scale design: the query side is broadcast (a query batch is small
+    next to a corpus — the asymmetric regime kNN joins run in), so
+    scoring is map-side over corpus partitions with NO corpus shuffle.
+    The top-k selection is TWO-PHASE to dodge the q_id-window skew trap
+    (a single window over q_id funnels the whole scored set through
+    n_queries reducers): phase 1 takes top-k within (q_id, salt) —
+    corpus-hash salt, so ~salt_buckets * k rows survive per query —
+    phase 2 re-ranks those survivors per q_id. Any global top-k row is
+    top-k within its salt bucket, so the two-phase result is exact.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    w1 = Window.partitionBy("q_id", F.pmod(F.col("c_id"), F.lit(salt_buckets))).orderBy(
+        F.desc("cos_sim"), F.asc("c_id")
+    )
+    survivors = scored.withColumn("__rn1", F.row_number().over(w1)).filter(
+        F.col("__rn1") <= k
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_sim", "rn")
+    )
+
+
+_KNN_ORACLE = (
+    "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 8), "
+    "c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv "
+    "FROM embeddings WHERE vec_id >= 8), "
+    "s AS (SELECT q_id, c_id, "
+    "round(list_cosine_similarity(cv, qv), 6) AS cos_sim FROM c CROSS JOIN q), "
+    "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id "
+    "ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rn FROM s) "
+    "SELECT q_id, c_id, cos_sim, rn FROM r WHERE rn <= 5"
+)
+
+
+@query(
+    "q_sim_knn",
+    oracle=_KNN_ORACLE,
+    doc=(
+        "Batch cosine k-NN join (8 query vectors x corpus): broadcast "
+        "query side, map-side scoring, exact two-phase salted top-k per "
+        "query (no q_id-window skew funnel)."
+    ),
+    tags=("similarity",),
+)
+def q_sim_knn(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb.filter(F.col("vec_id") < 8),
+        _spread(emb.filter(F.col("vec_id") >= 8)),
+        k=5,
+    )

@@ -490,3 +490,207 @@ def q_token_count(spark, sf_dir):
         token_count(t).alias("ws_tokens"),
         bpe.cast("bigint").alias("bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF scoring, inverted index, quality-percentile filtering
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf: ln((N+1)/(df+1)) + 1).
+
+    Plan shape: one token explode feeds BOTH aggregations — (doc, tok)
+    term frequencies and per-token document frequencies — each a
+    partial+final hash agg whose exchange carries one row per distinct
+    key (vocabulary-bounded, not corpus-bounded). N arrives via a 1-row
+    aggregate cross join (broadcast nested loop of a single row; no
+    driver collect). The final per-doc top-k is a window row_number —
+    its shuffle carries only the vocabulary-bounded tf rows.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "tok", "tf", "df", "score", "rn")
+    )
+
+
+_TFIDF_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok), "
+    "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "s AS (SELECT doc_id, tf.tok, tf, df, "
+    "round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score "
+    "FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, tok) AS rn FROM s) "
+    "SELECT doc_id, tok, tf, df, score, rn FROM r WHERE rn <= 3"
+)
+
+
+@query(
+    "q_tfidf",
+    oracle=_TFIDF_ORACLE,
+    doc=(
+        "Top-3 TF-IDF terms per document (smooth idf). Vocabulary-bounded "
+        "shuffles: the explode feeds two hash aggs whose exchanges carry "
+        "distinct keys only; N via 1-row broadcast cross join."
+    ),
+    tags=("text",),
+)
+def q_tfidf(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Token -> (document frequency, first-``postings_cap`` posting list).
+
+    The posting-list head is bounded BEFORE the collect: a window
+    row_number per token keeps only the first ``postings_cap`` doc ids,
+    so the collect_list aggregation state is capped per token no matter
+    how many documents contain it — full (unbounded) posting lists at
+    corpus scale would instead be sharded by (tok, doc_id range). df is
+    a separate count agg over the same distinct (tok, doc) rows.
+    """
+    from pyspark.sql import Window
+
+    d0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).dropDuplicates(["tok", "doc_id"])
+    dfreq = d0.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    head = (
+        d0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= postings_cap)
+        .groupBy("tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return dfreq.join(head, "tok").select("tok", "df", "postings_head")
+
+
+_INVERTED_INDEX_ORACLE = (
+    "WITH tok AS (SELECT DISTINCT doc_id, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+    "dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok), "
+    "r AS (SELECT tok, doc_id, row_number() OVER (PARTITION BY tok "
+    "ORDER BY doc_id) AS rn FROM tok), "
+    "head AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ',' "
+    "ORDER BY doc_id) AS postings_head FROM r WHERE rn <= 20 GROUP BY tok) "
+    "SELECT dfreq.tok, df, postings_head FROM dfreq JOIN head ON dfreq.tok = head.tok"
+)
+
+
+@query(
+    "q_inverted_index",
+    oracle=_INVERTED_INDEX_ORACLE,
+    doc=(
+        "Inverted-index build: token -> document frequency + capped "
+        "posting-list head (window-bounded collect keeps aggregation "
+        "state O(cap) per token)."
+    ),
+    tags=("text", "similarity"),
+)
+def q_inverted_index(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return inverted_index(d)
+
+
+@query(
+    "q_quality_filter",
+    # percent_rank is (rank-1)/(n-1) on both engines; the (quality,
+    # doc_id) ordering makes every rank unique, so the >= 0.5 cut is
+    # deterministic. quality itself is the round(4) composite from
+    # q_quality (value-hash-verified since round 2).
+    oracle=(
+        "WITH c AS (SELECT doc_id, lang, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "  ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_alnum, "
+        "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper "
+        "FROM documents), "
+        "r AS (SELECT doc_id, lang, "
+        "CASE WHEN n_chars_calc > 0 THEN CAST(n_chars_calc - n_alnum AS DOUBLE) / n_chars_calc ELSE 0.0 END AS pr, "
+        "CASE WHEN n_chars_calc > 0 THEN CAST(n_upper AS DOUBLE) / n_chars_calc ELSE 0.0 END AS ur, "
+        "n_tokens FROM c), "
+        "q AS (SELECT doc_id, lang, "
+        "round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 "
+        "  + (1.0 - least(pr * 5.0, 1.0)) * 0.3 "
+        "  + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 4) AS quality FROM r), "
+        "p AS (SELECT doc_id, lang, quality, "
+        "percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS prank FROM q) "
+        "SELECT doc_id, lang, quality, round(prank, 6) AS quality_rank "
+        "FROM p WHERE prank >= 0.5"
+    ),
+    doc=(
+        "Quality-percentile gate: keep the top half of documents per "
+        "language by composite quality score (percent_rank window over "
+        "the per-language partition) — the distribution-aware filtering "
+        "step of a corpus pipeline, vs q_quality's raw features."
+    ),
+    tags=("text", "quality", "window"),
+)
+def q_quality_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    q = quality_features(d).select("doc_id", "quality")
+    scored = d.select("doc_id", "lang").join(q, "doc_id")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("prank", F.percent_rank().over(w))
+        .filter(F.col("prank") >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.round("prank", 6).alias("quality_rank"),
+        )
+    )

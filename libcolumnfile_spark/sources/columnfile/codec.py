@@ -322,45 +322,66 @@ def decode_runs(buf: bytes) -> list[tuple[bytes | None, int]]:
     copy instead of the memmove aliasing trick.
     """
     runs: list[tuple[bytes | None, int]] = []
+    append = runs.append
     pos = 0
     n = len(buf)
     value = b""
     total_rows = 0
-    while pos < n:
-        repeat, pos = get_uint(buf, pos)
-        reserved, pos = get_uint(buf, pos)
-        if reserved != 0:
-            raise ColumnFileFormatError(
-                "incompatible format: reserved value not zero"
-            )
-        total_rows += repeat
-        if total_rows > MAX_ROWS_PER_COLUMN_SEGMENT:
-            raise ColumnFileFormatError("corrupt input: implausible repeat count")
-        if pos >= n:
-            raise ColumnFileFormatError("corrupt input: truncated run")
-        b0 = buf[pos]
-        if (b0 & 0xC0) == 0xC0:
-            pos += 1
-            if b0 == CODE_NULL:
-                runs.append((None, repeat))
-                continue
-            shared_prefix = (b0 & 0x3F) + 2
-            suffix_length, pos = get_uint(buf, pos)
-            if shared_prefix > len(value):
-                raise ColumnFileFormatError(
-                    "corrupt input: shared prefix longer than previous value"
-                )
-            if pos + suffix_length > n:
-                raise ColumnFileFormatError("corrupt input: truncated value")
-            value = value[:shared_prefix] + buf[pos : pos + suffix_length]
-            pos += suffix_length
-        else:
-            size, pos = get_uint(buf, pos)
-            if pos + size > n:
-                raise ColumnFileFormatError("corrupt input: truncated value")
-            value = buf[pos : pos + size]
-            pos += size
-        runs.append((value, repeat))
+    # Hot loop: the overwhelmingly common layout is single-byte varints
+    # (repeat < 128, reserved == 0, length < 128) — read those inline and
+    # fall back to get_uint only for continuation bytes. IndexError from
+    # a truncated read maps to the same clean error get_uint raises.
+    try:
+        while pos < n:
+            b = buf[pos]
+            if b < 0x80:
+                repeat = b
+                pos += 1
+            else:
+                repeat, pos = get_uint(buf, pos)
+            b = buf[pos]
+            if b == 0:
+                pos += 1
+            else:
+                reserved, pos = get_uint(buf, pos)
+                if reserved != 0:
+                    raise ColumnFileFormatError(
+                        "incompatible format: reserved value not zero"
+                    )
+            total_rows += repeat
+            if total_rows > MAX_ROWS_PER_COLUMN_SEGMENT:
+                raise ColumnFileFormatError("corrupt input: implausible repeat count")
+            if pos >= n:
+                raise ColumnFileFormatError("corrupt input: truncated run")
+            b0 = buf[pos]
+            if (b0 & 0xC0) == 0xC0:
+                pos += 1
+                if b0 == CODE_NULL:
+                    append((None, repeat))
+                    continue
+                shared_prefix = (b0 & 0x3F) + 2
+                suffix_length, pos = get_uint(buf, pos)
+                if shared_prefix > len(value):
+                    raise ColumnFileFormatError(
+                        "corrupt input: shared prefix longer than previous value"
+                    )
+                if pos + suffix_length > n:
+                    raise ColumnFileFormatError("corrupt input: truncated value")
+                value = value[:shared_prefix] + buf[pos : pos + suffix_length]
+                pos += suffix_length
+            else:
+                if b0 < 0x80:
+                    size = b0
+                    pos += 1
+                else:
+                    size, pos = get_uint(buf, pos)
+                if pos + size > n:
+                    raise ColumnFileFormatError("corrupt input: truncated value")
+                value = buf[pos : pos + size]
+                pos += size
+            append((value, repeat))
+    except IndexError:
+        raise ColumnFileFormatError("corrupt input: truncated varint") from None
     return runs
 
 

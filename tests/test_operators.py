@@ -399,3 +399,112 @@ class TestWinnowFingerprint:
         p = self._prints(spark, ["", "tiny", "exactly11ch"])
         assert p[0] == set() and p[1] == set()
         assert len(p[2]) == 1  # 11 chars = k+w-1 -> exactly one window
+
+
+class TestPassageDedup:
+    def test_repeated_passage_kept_once(self, spark):
+        # 8-token boilerplate chunk shared by docs 1 and 2 at chunk 0
+        boiler = "one two three four five six seven eight"
+        rows = [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " iota kappa lambda mu nu xi omicron pi"),
+            (3, "unique words only in this document here now"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in dedup.passage_dedup(d).collect()}
+        # doc 1 keeps both chunks; doc 2 loses the boilerplate chunk
+        assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+        assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+        assert out[2]["clean_text"] == "iota kappa lambda mu nu xi omicron pi"
+        assert out[3]["n_kept"] == 1
+
+    def test_fully_duplicate_doc_dropped(self, spark):
+        t = "a b c d e f g h"
+        d = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in dedup.passage_dedup(d).collect()}
+        assert 1 in out and 2 not in out  # doc 2 keeps zero passages
+
+    def test_reassembly_preserves_order(self, spark):
+        toks = [f"w{i}" for i in range(24)]  # 3 chunks, all unique
+        d = spark.createDataFrame([(7, " ".join(toks))], ["doc_id", "text"])
+        out = dedup.passage_dedup(d).collect()[0]
+        assert out["clean_text"] == " ".join(toks)
+
+
+class TestKnnJoin:
+    def test_matches_brute_force_per_query(self, spark):
+        import numpy as np
+
+        rng = [similarity.deterministic_query_vector(8, seed=s) for s in range(30)]
+        d = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+            "vec_id: bigint, embedding: array<float>",
+        )
+        q = d.filter(F.col("vec_id") < 3)
+        c = d.filter(F.col("vec_id") >= 3)
+        got = similarity.knn_join(q, c, k=4).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], []).append((r["rn"], r["c_id"], r["cos_sim"]))
+        assert set(by_q) == {0, 1, 2}
+        for q_id, lst in by_q.items():
+            assert sorted(r[0] for r in lst) == [1, 2, 3, 4]
+            # cross-check against the single-query brute force path
+            qv = rng[q_id]
+            brute = similarity.brute_force_topk(c, qv, k=4).collect()
+            assert [r["vec_id"] for r in brute] == [
+                c_id for _, c_id, _ in sorted(lst)
+            ]
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from datetime import datetime, timedelta
+
+        from libcolumnfile_spark.operators.relational import sessionize
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, t0, 1.0),
+            (1, t0 + timedelta(minutes=10), 2.0),
+            (1, t0 + timedelta(minutes=50), 4.0),  # 40-min gap -> new session
+            (2, t0, 8.0),
+        ]
+        d = spark.createDataFrame(rows, "user_id: bigint, ts: timestamp, value: double")
+        out = {(r["user_id"], r["session_idx"]): r for r in sessionize(d).collect()}
+        assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["total_value"] == 3.0
+        assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["total_value"] == 4.0
+        assert out[(2, 1)]["n_events"] == 1
+
+    def test_exact_gap_boundary_same_session(self, spark):
+        from datetime import datetime, timedelta
+
+        from libcolumnfile_spark.operators.relational import sessionize
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, t0, 1.0), (1, t0 + timedelta(minutes=30), 1.0)]
+        d = spark.createDataFrame(rows, "user_id: bigint, ts: timestamp, value: double")
+        out = sessionize(d).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 2  # gap is strict >
+
+
+class TestTfidfIndex:
+    def test_tfidf_ranks_rare_terms_higher(self, spark):
+        rows = [
+            (1, "common rare"),
+            (2, "common common common common"),
+            (3, "common other other"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = text.tfidf_topk(d, k=1).collect()
+        top = {r["doc_id"]: r["tok"] for r in out}
+        assert top[1] == "rare"  # equal tf: df=1 beats df=3
+        assert top[3] == "other"
+
+    def test_inverted_index_caps_postings(self, spark):
+        rows = [(i, "shared unique%d" % i) for i in range(30)]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["tok"]: r for r in text.inverted_index(d, postings_cap=5).collect()}
+        assert out["shared"]["df"] == 30
+        assert out["shared"]["postings_head"] == "0,1,2,3,4"
+        assert out["unique7"]["df"] == 1 and out["unique7"]["postings_head"] == "7"
