@@ -33,6 +33,19 @@ CONTRACTS = {
     "q_dedup_ngram": (3.2, 6.0),
     "q_dedup_cc": (2.3, 5.0),
     "q_sim_pairs": (2.6, 5.0),
+    # shuffle-bound round-3 operators: one or two hash/sort exchanges,
+    # no pair generation — growth must stay near-linear
+    "q_dedup_passage": (0.8, 2.5),
+    "q_tfidf": (1.8, 4.0),
+    "q_inverted_index": (1.5, 3.5),
+    "q_sim_knn": (1.5, 3.5),      # broadcast queries: corpus map-side
+    "q_sessionize": (1.5, 3.5),   # x10 events = 10x distinct users
+    # percent_rank partitions by language (5 values) — parallelism is
+    # capped at n_langs, so x10 concentrates on 5 sorted runs; still
+    # bounded-linear, just with a worse constant than hash-partitioned
+    # shapes (at real scale: per-lang quantile THRESHOLD + filter is the
+    # unbounded-cardinality variant)
+    "q_quality_filter": (2.7, 5.5),
 }
 
 

@@ -32,8 +32,12 @@ DEFAULT = [
     "q_dedup_cc",
 ]
 
-# id column to shift per replica (keeps keys unique across copies)
-ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
+# id column to shift per replica (keeps keys unique across copies).
+# events shifts user_id (not event_id): replicas become 10x DISTINCT
+# users, so per-user orderings (sessionization) stay deterministic —
+# duplicating (user_id, ts) pairs would instead make lag() ordering
+# ambiguous.
+ID_COLS = {"documents": "doc_id", "embeddings": "vec_id", "events": "user_id"}
 
 
 def ensure_x10(spark) -> str:
