@@ -1113,3 +1113,107 @@ def _passage_oracle(chunk_tokens: int = _PASSAGE_TOKENS) -> str:
 def q_dedup_passage(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return passage_dedup(d)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified SimHash (md5 hash family, 16 bits) — the cross-engine
+# twin of simhash_dedup, same role q_dedup_minhash_verified plays for
+# MinHash: the production path keeps the xxhash64 numpy kernel, this
+# variant makes the SimHash MATH value-checkable against a SQL oracle.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_V_BITS = 16
+
+
+def simhash_verified_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = _SIMHASH_V_BITS,
+) -> DataFrame:
+    """Identical-signature SimHash groups with an engine-portable hash
+    family: distinct tokens hash via md5_gram_hash (31-bit, identical in
+    DuckDB), bit b of the signature is the sign of the +-1 vote over
+    token-hash bit b.
+
+    Plan shape: explode distinct (doc, token-hash) rows, then ONE hash
+    aggregation computing all ``n_bits`` votes as conditional sums —
+    whole-stage-codegen'd integer CASEs, no interpreted HOF lambdas (the
+    measured trap simhash64's numpy kernel also avoids), no Python. The
+    vote input is vocabulary-bounded rows, the same exchange the
+    repetition/tfidf operators ride.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    th = toks.select("id", md5_gram_hash(F.col("tok")).alias("h"))
+    votes = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = sum(
+        [
+            F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+            for b in range(n_bits)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    sigs = votes.select("id", sig.alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("ids_csv"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def _simhash_verified_oracle(n_bits: int = _SIMHASH_V_BITS) -> str:
+    p = _MERSENNE_31
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return (
+        "WITH tok AS (SELECT DISTINCT doc_id AS id, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        "th AS (SELECT id, "
+        f"CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {p} AS h FROM tok), "
+        f"v AS (SELECT id, {votes} FROM th GROUP BY id), "
+        f"s AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM v) "
+        "SELECT simhash, count(*) AS group_size, "
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids_csv "
+        "FROM s GROUP BY simhash HAVING count(*) > 1"
+    )
+
+
+@query(
+    "q_dedup_simhash_verified",
+    oracle=_simhash_verified_oracle(),
+    doc=(
+        "Oracle-verified SimHash (16-bit, md5 hash family): bit votes as "
+        "codegen'd conditional sums over vocabulary-bounded (doc, "
+        "token-hash) rows; identical-signature groups value-checked "
+        "against DuckDB."
+    ),
+    tags=("dedup",),
+)
+def q_dedup_simhash_verified(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return simhash_verified_dedup(d)

@@ -508,3 +508,27 @@ class TestTfidfIndex:
         assert out["shared"]["df"] == 30
         assert out["shared"]["postings_head"] == "0,1,2,3,4"
         assert out["unique7"]["df"] == 1 and out["unique7"]["postings_head"] == "7"
+
+
+class TestSimhashVerified:
+    def test_identical_docs_group(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally different words here"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.simhash_verified_dedup(d).collect()
+        assert len(out) == 1
+        assert out[0]["group_size"] == 2 and out[0]["ids_csv"] == "1,2"
+
+    def test_token_order_and_dup_invariant(self, spark):
+        # SimHash over DISTINCT tokens: permutations and repeats of the
+        # same token set share a signature
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha alpha alpha"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.simhash_verified_dedup(d).collect()
+        assert len(out) == 1 and out[0]["ids_csv"] == "1,2"
