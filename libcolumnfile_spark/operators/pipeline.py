@@ -655,3 +655,71 @@ def q_dedup_cc(spark, sf_dir):
     e2 = star_edges(d, ["lang", "n_tokens"])
     cc = connected_components(e1.union(e2), nodes=d.select("doc_id"))
     return cc.select(F.col("id").alias("doc_id"), "comp")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline: dedup -> quality gate -> per-language rollup
+# in ONE composed plan (the composition smoke for the operator library).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_pipeline",
+    # avg_quality via exact DECIMAL(8,4) sum + one double division:
+    # quality is a round(4) double whose decimal value is NOT exactly
+    # representable, so a raw double avg depends on partial-agg order —
+    # the decimal sum is exact on both engines, division is correctly
+    # rounded, so the round(4) output is deterministic.
+    oracle=(
+        "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+        "s AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
+        "JOIN surv ON d.doc_id = surv.doc_id), "
+        "c AS (SELECT doc_id, lang, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "  ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_alnum, "
+        "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper "
+        "FROM s), "
+        "r AS (SELECT doc_id, lang, n_tokens, "
+        "CASE WHEN n_chars_calc > 0 THEN CAST(n_chars_calc - n_alnum AS DOUBLE) / n_chars_calc ELSE 0.0 END AS pr, "
+        "CASE WHEN n_chars_calc > 0 THEN CAST(n_upper AS DOUBLE) / n_chars_calc ELSE 0.0 END AS ur "
+        "FROM c), "
+        "q AS (SELECT doc_id, lang, n_tokens, "
+        "round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 "
+        "  + (1.0 - least(pr * 5.0, 1.0)) * 0.3 "
+        "  + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 4) AS quality FROM r) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "sum(n_tokens) AS total_tokens, "
+        "round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4) AS avg_quality "
+        "FROM q WHERE quality >= 0.5 GROUP BY lang"
+    ),
+    doc=(
+        "Composed corpus pipeline in one Catalyst plan: exact dedup "
+        "(md5 min-id survivors) -> quality features -> quality >= 0.5 "
+        "gate -> per-language rollup. The md5 exchange carries 16-byte "
+        "keys; the survivor join broadcasts the (hash, id) side when "
+        "small and shuffles otherwise; everything downstream is one "
+        "partial+final agg."
+    ),
+    tags=("pipeline", "dedup", "quality"),
+)
+def q_corpus_pipeline(spark, sf_dir):
+    from libcolumnfile_spark.operators.dedup import exact_dedup
+    from libcolumnfile_spark.operators.text import quality_features
+
+    d = T(spark, sf_dir, "documents")
+    survivors = exact_dedup(d, ["text"], "doc_id").select("doc_id")
+    s = d.join(survivors, "doc_id").select("doc_id", "lang", "text")
+    q = quality_features(s).join(s.select("doc_id", "lang"), "doc_id")
+    kept = q.filter(F.col("quality") >= 0.5)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
+    )
