@@ -559,14 +559,15 @@ def encode_fixed_fast(arr: pa.Array, dt: DataType):
 
 
 def encode_var_fast(arr: pa.Array, dt: DataType):
-    """Vectorized run-encode of a non-null string/binary Arrow array
-    whose every value is <= 127 bytes: each cell emits
-    ``varint(1) varint(0) varint(len) bytes`` with repeat fixed at 1 —
-    no RLE/prefix attempted (block compression recovers cross-cell
-    redundancy; the encoding is still fully legal format). Built with
-    numpy scatter/gather over the Arrow offsets — no per-cell Python.
+    """Vectorized run-encode of a non-null string/binary Arrow array:
+    each cell emits ``varint(1) varint(0) varint(len) bytes`` with repeat
+    fixed at 1 — no RLE/prefix attempted (block compression recovers
+    cross-cell redundancy; the encoding is still fully legal format).
+    Length varints up to 3 bytes (values < 1 MiB) are emitted with
+    masked scatter writes; everything is numpy scatter/gather over the
+    Arrow offsets — no per-cell Python.
 
-    Returns (encoded_bytes, n_values) or None on nulls / long values /
+    Returns (encoded_bytes, n_values) or None on nulls / >=1 MiB values /
     non-var types (caller falls back to the per-cell RunEncoder).
     """
     kind = _kind_of(dt)
@@ -580,24 +581,40 @@ def encode_var_fast(arr: pa.Array, dt: DataType):
                             offset=combined.offset * 4)
     valbuf = np.frombuffer(bufs[2], dtype=np.uint8)
     lens = np.diff(offsets).astype(np.int64)
-    if lens.size == 0 or lens.max(initial=0) > 127:
+    if lens.size == 0 or lens.max(initial=0) >= (1 << 20):
         return None
     n = len(lens)
-    strides = 3 + lens
+    # 6+7-bit varint length: 1 byte < 2^7, 2 bytes < 2^13, 3 bytes < 2^20
+    vlen = np.ones(n, dtype=np.int64)
+    vlen[lens >= (1 << 7)] = 2
+    vlen[lens >= (1 << 13)] = 3
+    strides = 2 + vlen + lens
     dst_starts = np.concatenate(([0], np.cumsum(strides)[:-1]))
     total = int(strides.sum())
     out = np.zeros(total, dtype=np.uint8)
+    # mark header bytes; data bytes are everything else, and they appear
+    # in source order — so the whole data payload lands with ONE
+    # boolean-mask assignment (no per-byte index arrays, which made an
+    # np.repeat-based gather slower than the Python loop it replaced)
+    hdr = np.zeros(total, dtype=bool)
+    hdr[dst_starts] = True
+    hdr[dst_starts + 1] = True
+    hdr[dst_starts + 2] = True
     out[dst_starts] = 1          # repeat
     # dst_starts + 1 is already 0 (reserved)
-    out[dst_starts + 2] = lens   # length varint (single byte, <= 127)
-    # gather value bytes: dst positions and src positions per byte
-    nz = lens > 0
-    if nz.any():
-        dst_idx = np.repeat(dst_starts[nz] + 3, lens[nz]) + (
-            np.arange(int(lens[nz].sum())) - np.repeat(np.concatenate(([0], np.cumsum(lens[nz])[:-1])), lens[nz])
-        )
-        src_idx = np.repeat(offsets[:-1][nz].astype(np.int64), lens[nz]) + (
-            np.arange(int(lens[nz].sum())) - np.repeat(np.concatenate(([0], np.cumsum(lens[nz])[:-1])), lens[nz])
-        )
-        out[dst_idx] = valbuf[src_idx]
+    m1 = vlen == 1
+    out[dst_starts[m1] + 2] = lens[m1]
+    m2 = vlen == 2
+    if m2.any():
+        out[dst_starts[m2] + 2] = (lens[m2] & 0x3F) | 0x80
+        out[dst_starts[m2] + 3] = lens[m2] >> 6
+        hdr[dst_starts[m2] + 3] = True
+    m3 = vlen == 3
+    if m3.any():
+        out[dst_starts[m3] + 2] = (lens[m3] & 0x3F) | 0x80
+        out[dst_starts[m3] + 3] = ((lens[m3] >> 6) & 0x7F) | 0x80
+        out[dst_starts[m3] + 4] = lens[m3] >> 13
+        hdr[dst_starts[m3] + 3] = True
+        hdr[dst_starts[m3] + 4] = True
+    out[~hdr] = valbuf[offsets[0] : offsets[-1]]
     return out.tobytes(), n
