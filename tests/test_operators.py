@@ -532,3 +532,23 @@ class TestSimhashVerified:
         d = spark.createDataFrame(rows, ["doc_id", "text"])
         out = dedup.simhash_verified_dedup(d).collect()
         assert len(out) == 1 and out[0]["ids_csv"] == "1,2"
+
+
+class TestPairStrategyEquivalence:
+    def test_kernel_and_join_paths_identical(self, spark):
+        """The size-based strategy switch must be invisible: kernel and
+        join paths produce the exact same (id_a, id_b, cos_sim) rows."""
+        vecs = [similarity.deterministic_query_vector(16, seed=s) for s in range(120)]
+        d = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id: bigint, embedding: array<float>",
+        )
+        kw = dict(threshold=0.2, n_planes=2)
+        join_rows = sorted(
+            map(tuple, similarity.cosine_near_pairs(d, kernel_min_bucket=10**9, **kw).collect())
+        )
+        kernel_rows = sorted(
+            map(tuple, similarity.cosine_near_pairs(d, kernel_min_bucket=1, **kw).collect())
+        )
+        assert len(join_rows) > 5
+        assert join_rows == kernel_rows
