@@ -545,10 +545,10 @@ class TestPairStrategyEquivalence:
         )
         kw = dict(threshold=0.2, n_planes=2)
         join_rows = sorted(
-            map(tuple, similarity.cosine_near_pairs(d, kernel_min_bucket=10**9, **kw).collect())
+            map(tuple, similarity.cosine_near_pairs(d, kernel_min_pairs=10**12, **kw).collect())
         )
         kernel_rows = sorted(
-            map(tuple, similarity.cosine_near_pairs(d, kernel_min_bucket=1, **kw).collect())
+            map(tuple, similarity.cosine_near_pairs(d, kernel_min_pairs=1, **kw).collect())
         )
         assert len(join_rows) > 5
         assert join_rows == kernel_rows

@@ -40,22 +40,28 @@ DEFAULT = [
 ID_COLS = {"documents": "doc_id", "embeddings": "vec_id", "events": "user_id"}
 
 
-def ensure_x10(spark) -> str:
-    x10_dir = cache_path("scale10")
+def ensure_scaled(spark, factor: int) -> str:
+    """Replicated fixtures at ``factor`` x sf0.1, ids shifted per replica."""
+    out_dir = cache_path(f"scale{factor}")
     for table, id_col in ID_COLS.items():
-        out = f"{x10_dir}/{table}.parquet"
+        out = f"{out_dir}/{table}.parquet"
         if os.path.exists(out):
             continue
         base = load_table(spark, BASE, table)
         n = base.agg(F.max(id_col)).first()[0] + 1
         copies = [
-            base.withColumn(id_col, F.col(id_col) + F.lit(i * n)) for i in range(10)
+            base.withColumn(id_col, F.col(id_col) + F.lit(i * n))
+            for i in range(factor)
         ]
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
         df.repartition(32).write.mode("overwrite").parquet(out)
-    return x10_dir
+    return out_dir
+
+
+def ensure_x10(spark) -> str:
+    return ensure_scaled(spark, 10)
 
 
 def median3(fn) -> float:
@@ -82,11 +88,16 @@ def best2(fn) -> float:
 
 
 def main() -> int:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    factor = 10
+    if args and args[0].startswith("--factor="):
+        factor = int(args[0].split("=", 1)[1])
+        args = args[1:]
+    names = args or DEFAULT
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    x10 = ensure_x10(spark)
-    print(f"{'query':24s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}")
+    scaled = ensure_scaled(spark, factor)
+    print(f"{'query':24s} {'sf0.1':>8s} {'x' + str(factor):>8s} {'ratio':>6s}")
     for name in names:
         fn = REGISTRY[name].spark_fn
 
@@ -95,8 +106,8 @@ def main() -> int:
             fn(spark, d).write.mode("overwrite").format("noop").save()
 
         t1 = median3(lambda: run(BASE))
-        t10 = median3(lambda: run(x10))
-        print(f"{name:24s} {t1:8.2f} {t10:8.2f} {t10 / t1:6.2f}")
+        tN = median3(lambda: run(scaled))
+        print(f"{name:24s} {t1:8.2f} {tN:8.2f} {tN / t1:6.2f}")
     spark.stop()
     return 0
 
