@@ -104,6 +104,65 @@ from libcolumnfile_spark.sources.columnfile.typed import (
 
 SCHEMA_FILE = "_schema.json"
 MANIFEST_FILE = "_manifest.json"
+
+
+# ---------------------------------------------------------------------------
+# In-scan filter evaluation (reference ColumnFileSelect two-phase scan,
+# src/columnfile-select.cc:79-211): filter columns decode FIRST; when no
+# row of a segment survives, the remaining columns are never
+# decompressed. Only VALUE predicates are evaluated (null never passes),
+# which is what makes the all-false segment skip safe even when other
+# columns of the segment carry more rows (their filter value would be
+# null). Every filter is still reported unsupported to Spark, so
+# FilterExec re-applies them — in-scan evaluation is an optimization,
+# never a correctness dependency.
+# ---------------------------------------------------------------------------
+
+
+def _value_filter_mask(f: Filter, arr: pa.Array):
+    """pyarrow boolean mask for one value predicate (nulls -> False)."""
+    import pyarrow.compute as pc
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    t = type(f)
+    if t is EqualTo:
+        m = pc.equal(arr, f.value)
+    elif t is GreaterThan:
+        m = pc.greater(arr, f.value)
+    elif t is GreaterThanOrEqual:
+        m = pc.greater_equal(arr, f.value)
+    elif t is LessThan:
+        m = pc.less(arr, f.value)
+    elif t is LessThanOrEqual:
+        m = pc.less_equal(arr, f.value)
+    elif t is In:
+        m = pc.is_in(arr, value_set=pa.array(list(f.value), type=arr.type))
+    elif t is StringContains:
+        m = pc.match_substring(arr, f.value)
+    elif t is StringStartsWith:
+        m = pc.starts_with(arr, f.value)
+    elif t is StringEndsWith:
+        m = pc.ends_with(arr, f.value)
+    else:
+        return None
+    return pc.fill_null(m, False)
+
+
+_VALUE_FILTER_TYPES = (
+    "EqualTo", "GreaterThan", "GreaterThanOrEqual", "LessThan",
+    "LessThanOrEqual", "In", "StringContains", "StringStartsWith",
+    "StringEndsWith",
+)
 DEFAULT_SEGMENT_BYTES = 16 << 20  # reference kFlushLimit, columnfile-cat.cc:49
 DEFAULT_PARTITION_BYTES = 128 << 20
 DEFAULT_BATCH_ROWS = 1 << 16
@@ -219,6 +278,7 @@ class ColumnFileReader(DataSourceReader):
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
         self._filters: list[Filter] = []
+        self._eval_filters: list[Filter] = []
         # Map each top-level read-schema field to its on-disk leaf column
         # indexes (a struct spans several consecutive leaves — reference
         # record shredding, columnfile-capnp.cc:94-149). Mapping comes
@@ -262,6 +322,22 @@ class ColumnFileReader(DataSourceReader):
         # all of them unsupported: Spark re-evaluates, so pruning can
         # never break correctness (exactly Parquet's row-group model).
         self._filters = list(filters)
+        # Value predicates on single-leaf top-level columns are ALSO
+        # evaluated inside the scan (two-phase segment read; see module
+        # comment): pick them out once, driver-side.
+        single_leaf = {
+            f.name: i
+            for f, (idxs, _dts) in zip(self.read_schema.fields, self.field_leaves)
+            if len(idxs) == 1
+            for i in idxs
+        }
+        self._eval_filters = [
+            f
+            for f in filters
+            if type(f).__name__ in _VALUE_FILTER_TYPES
+            and len(f.attribute) == 1
+            and f.attribute[0] in single_leaf
+        ] if self.list_layout == "cell" else []
         return filters
 
     def partitions(self):
@@ -297,13 +373,56 @@ class ColumnFileReader(DataSourceReader):
         wanted = {i for idxs, _ in self.field_leaves for i in idxs}
         want_offsets = {off for off, _ in partition.segments}
         capnp_mode = self.list_layout == "capnp"
+        # two-phase scan setup: leaf index + read dtype per evaluable
+        # filter column (single-leaf by construction, see pushFilters)
+        leaf_of = {
+            fld.name: (idxs[0], dts[0])
+            for fld, (idxs, dts) in zip(fields, self.field_leaves)
+            if len(idxs) == 1
+        }
+        eval_filters = [] if capnp_mode else self._eval_filters
+        filter_idxs = {leaf_of[f.attribute[0]][0] for f in eval_filters}
         with fs_open_input(partition.file) as f:
             # segment headers must be parsed in file order (cheap: header
             # bytes only); blobs of unselected segments are seeked past.
             for seg in scan_segments(partition.file):
                 if seg.offset not in want_offsets:
                     continue
-                bufs_by_idx = read_segment_raw(f, seg, wanted)
+                mask = None
+                decoded: dict[int, pa.Array] = {}
+                if eval_filters:
+                    # phase 1: decompress + decode ONLY the filter
+                    # columns; all-false => the segment's remaining
+                    # columns are never decompressed (reference
+                    # columnfile-select.cc:172-176)
+                    fbufs = read_segment_raw(f, seg, filter_idxs)
+                    # decode OUTSIDE the try: corrupt input must raise
+                    # the clean format error, not silently drop a column
+                    for name, (idx, dt) in leaf_of.items():
+                        if idx in filter_idxs:
+                            decoded[idx] = decode_buf_to_arrow(
+                                fbufs.get(idx, b""), dt
+                            )
+                    try:
+                        import pyarrow.compute as pc
+
+                        lengths = {len(decoded[i]) for i in filter_idxs}
+                        if len(lengths) == 1:
+                            for flt in eval_filters:
+                                arr = decoded[leaf_of[flt.attribute[0]][0]]
+                                m = _value_filter_mask(flt, arr)
+                                if m is None:
+                                    continue
+                                mask = m if mask is None else pc.and_(mask, m)
+                            if mask is not None and not pc.any(mask).as_py():
+                                continue  # segment skipped, phase 2 never runs
+                    except Exception:
+                        # evaluation is best-effort; Spark re-applies
+                        # every filter anyway
+                        mask = None
+                bufs_by_idx = read_segment_raw(f, seg, wanted - filter_idxs)
+                for idx in filter_idxs:
+                    bufs_by_idx[idx] = b""  # already decoded into `decoded`
                 if capnp_mode:
                     # element leaves are RAGGED (rows per element, not per
                     # record) — no padding; reassembly is per segment
@@ -325,11 +444,14 @@ class ColumnFileReader(DataSourceReader):
                     )
                     continue
                 # decode every wanted leaf, tracking the segment row count
+                # (filter leaves were decoded in phase 1 and are reused)
                 leaf_arrays: dict[int, pa.Array] = {}
                 n_rows = 0
                 for (idxs, leaf_dts) in self.field_leaves:
                     for idx, dt in zip(idxs, leaf_dts):
-                        arr = decode_buf_to_arrow(bufs_by_idx.get(idx, b""), dt)
+                        arr = decoded.get(idx)
+                        if arr is None:
+                            arr = decode_buf_to_arrow(bufs_by_idx.get(idx, b""), dt)
                         leaf_arrays[idx] = arr
                         n_rows = max(n_rows, len(arr))
                 if n_rows == 0:
@@ -347,6 +469,19 @@ class ColumnFileReader(DataSourceReader):
                     rebuild_column(field.dataType, [leaf_arrays[i] for i in idxs])
                     for field, (idxs, _) in zip(fields, self.field_leaves)
                 ]
+                if mask is not None:
+                    # rows beyond the filter column's length carry null
+                    # filter values: value predicates fail them
+                    if len(mask) < n_rows:
+                        mask = pa.concat_arrays(
+                            [
+                                mask.cast(pa.bool_()),
+                                pa.array([False] * (n_rows - len(mask)), type=pa.bool_()),
+                            ]
+                        )
+                    arrays = [arr.filter(mask) for arr in arrays]
+                    if len(arrays[0]) == 0:
+                        continue
                 yield pa.RecordBatch.from_arrays(
                     arrays, names=[f.name for f in fields]
                 )
