@@ -45,25 +45,27 @@ _PRIORITY = [
     "q_join_agg", "q_join_q5",
     # subqueries
     "q_subquery", "q_exists_subquery",
-    # windows
-    "q_window_rank", "q_window_running", "q_window_range",
+    # windows + event analytics
+    "q_window_rank", "q_window_running", "q_window_range", "q_sessionize",
     # reshape / scalar / nested
     "q_pivot", "q_scalar_str_date", "q_json_extract", "q_explode",
     # columnfile format layer + stock sources + partition pruning
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
     "q_partition_pruned",
-    # text analysis
+    # text analysis + IR
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality",
-    "q_token_count",
-    # deduplication
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash_verified",
-    "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_cc",
-    "q_dedup_embedding",
+    "q_token_count", "q_tfidf",
+    # deduplication — one representative per family, preferring the
+    # oracle-bearing variant (plain simhash's oracle twin is
+    # q_dedup_simhash_verified; the rows-only variants follow after)
+    "q_dedup_exact", "q_dedup_passage", "q_dedup_ngram",
+    "q_dedup_minhash_verified", "q_dedup_simhash_verified",
+    "q_dedup_cc", "q_dedup_embedding",
     # similarity search
-    "q_sim_topk", "q_sim_pairs", "q_sim_pairs_probe", "q_sim_lsh",
+    "q_sim_topk", "q_sim_knn", "q_sim_pairs", "q_sim_pairs_probe",
     # corpus pipeline
     "q_sample_hash", "q_pii_redact", "q_pack_sequences", "q_contamination",
-    "q_repetition",
+    "q_repetition", "q_corpus_pipeline",
     # streaming batch faces
     "q_stream_tumbling", "q_stream_dedup",
 ]
