@@ -745,3 +745,114 @@ def q_sim_knn(spark, sf_dir):
         _spread(emb.filter(F.col("vec_id") >= 8)),
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified IVF mechanism: SEEDED (fixed) centroids, so assignment,
+# list probing and candidate scoring are all plain double arithmetic a
+# SQL oracle can replicate — the cross-engine twin of q_sim_ivf, which
+# keeps the k-means-trained quantizer (iterative Lloyd steps are not
+# SQL-expressible; its quality is unit-tested instead).
+# ---------------------------------------------------------------------------
+
+_IVF_V_LISTS = 16
+_IVF_V_PROBE = 4
+_IVF_V_SEED = 31
+
+
+def _ivf_seeded_centroids(dim: int) -> list[list[float]]:
+    return [
+        deterministic_query_vector(dim, seed=_IVF_V_SEED * 1000 + c)
+        for c in range(_IVF_V_LISTS)
+    ]
+
+
+def ivf_seeded_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k with a fixed seeded coarse quantizer: every vector is
+    assigned to the centroid with the LARGEST dot product (staged
+    projections bind the 16 dot columns before the argmax CASE, the
+    lang_id_frame pattern), the query probes its best ``_IVF_V_PROBE``
+    lists, and only vectors in probed lists are cosine-scored.
+
+    Plan: assignment is map-only (centroids ride the closure); the probe
+    filter prunes ~(1 - probe/lists) of the corpus before scoring; the
+    final top-k is TakeOrderedAndProject. The probed-list selection uses
+    the same dot arithmetic driver-side, so the oracle replicates every
+    stage in SQL.
+    """
+    dim = len(query_vec)
+    cents = _ivf_seeded_centroids(dim)
+    # query-side probe list: same argmax-by-dot arithmetic, driver-side
+    qd = [(sum(q * c for q, c in zip(query_vec, cent)), i) for i, cent in enumerate(cents)]
+    probe = [i for _, i in sorted(qd, key=lambda t: (-t[0], t[1]))[:_IVF_V_PROBE]]
+    scored = df.withColumns(
+        {
+            f"__d{c}": dot(F.col(vec_col), _lit_vec(cent))
+            for c, cent in enumerate(cents)
+        }
+    )
+    best = F.greatest(*[F.col(f"__d{c}") for c in range(_IVF_V_LISTS)])
+    assign = F.lit(_IVF_V_LISTS - 1)
+    for c in reversed(range(_IVF_V_LISTS - 1)):
+        assign = F.when(F.col(f"__d{c}") == best, F.lit(c)).otherwise(assign)
+    q = _lit_vec(query_vec)
+    return (
+        scored.withColumn("__list", assign)
+        .filter(F.col("__list").isin(probe))
+        .select(
+            F.col(id_col),
+            F.col("__list").cast("int").alias("list_id"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _ivf_seeded_oracle() -> str:
+    cents = _ivf_seeded_centroids(_QUERY_DIM)
+    qd = [
+        (sum(q * c for q, c in zip(_QUERY_VEC, cent)), i)
+        for i, cent in enumerate(cents)
+    ]
+    probe = [i for _, i in sorted(qd, key=lambda t: (-t[0], t[1]))[:_IVF_V_PROBE]]
+    dots = ", ".join(
+        f"list_inner_product(v, {_duckdb_vec(c)}) AS d{i}" for i, c in enumerate(cents)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(_IVF_V_LISTS)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(_IVF_V_LISTS - 1))
+        + f" ELSE {_IVF_V_LISTS - 1} END"
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, v, {dots} FROM "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)), "
+        f"a AS (SELECT vec_id, v, CAST({case} AS INT) AS list_id FROM d) "
+        "SELECT vec_id, list_id, "
+        f"round(list_cosine_similarity(v, {_duckdb_query_vec_sql()}), 6) AS cos_sim "
+        f"FROM a WHERE list_id IN ({', '.join(map(str, probe))}) "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
+
+
+@query(
+    "q_sim_ivf_seeded",
+    oracle=_ivf_seeded_oracle(),
+    doc=(
+        "Oracle-verified IVF mechanism: fixed seeded coarse quantizer, "
+        "argmax-dot list assignment, 4-of-16 list probe, cosine top-10 "
+        "— every stage replicated in the SQL oracle (the k-means-trained "
+        "variant q_sim_ivf keeps its rows-only check)."
+    ),
+    tags=("similarity", "ivf"),
+)
+def q_sim_ivf_seeded(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_seeded_topk(_spread(emb), _QUERY_VEC, k=10)

@@ -552,3 +552,22 @@ class TestPairStrategyEquivalence:
         )
         assert len(join_rows) > 5
         assert join_rows == kernel_rows
+
+
+class TestIvfSeeded:
+    def test_full_probe_equals_brute_force(self, spark, monkeypatch):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        monkeypatch.setattr(similarity, "_IVF_V_PROBE", similarity._IVF_V_LISTS)
+        full = [r["vec_id"] for r in similarity.ivf_seeded_topk(emb, q, k=5).collect()]
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=5).collect()]
+        assert full == exact  # probing every list = exact search
+
+    def test_partial_probe_bounded_by_exact(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        approx = similarity.ivf_seeded_topk(emb, q, k=10).collect()
+        exact = similarity.brute_force_topk(emb, q, k=10).collect()
+        assert len(approx) == 10
+        assert approx[0]["cos_sim"] <= exact[0]["cos_sim"]
+        assert all(r["list_id"] >= 0 for r in approx)
