@@ -362,3 +362,65 @@ def test_decode_buf_to_arrow_both_paths_agree():
         slow = decode_runs_to_arrow(decode_runs(buf), dt)
         assert fast.equals(slow)
         assert fast.to_pylist() == vals
+
+
+class TestEncodeVarFastProperty:
+    """Property tests for the vectorized var-width encoder: any no-null
+    string/binary array must roundtrip bit-exactly through
+    encode_var_fast + decode_buf_to_arrow, across varint tier
+    boundaries (127/128, 8191/8192) and unicode content."""
+
+    def test_hypothesis_string_roundtrip(self):
+        import pyarrow as pa
+        from hypothesis import given, settings, strategies as st
+
+        from libcolumnfile_spark.sources.columnfile.typed import (
+            decode_buf_to_arrow,
+            encode_var_fast,
+        )
+        from pyspark.sql.types import StringType
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.text(max_size=300) | st.text(min_size=120, max_size=140),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def check(vals):
+            arr = pa.array(vals, type=pa.string())
+            got = encode_var_fast(arr, StringType())
+            assert got is not None
+            back = decode_buf_to_arrow(got[0], StringType())
+            assert back.to_pylist() == vals
+
+        check()
+
+    def test_tier_boundaries_exact(self):
+        import pyarrow as pa
+
+        from libcolumnfile_spark.sources.columnfile.typed import (
+            decode_buf_to_arrow,
+            encode_var_fast,
+        )
+        from pyspark.sql.types import BinaryType
+
+        vals = [
+            b"", b"x" * 126, b"x" * 127, b"x" * 128, b"x" * 129,
+            b"y" * 8191, b"y" * 8192, b"y" * 8193,
+            b"z" * ((1 << 20) - 1),
+        ]
+        arr = pa.array(vals, type=pa.binary())
+        enc, n = encode_var_fast(arr, BinaryType())
+        assert n == len(vals)
+        assert decode_buf_to_arrow(enc, BinaryType()).to_pylist() == vals
+
+    def test_null_and_oversize_fall_back(self):
+        import pyarrow as pa
+
+        from libcolumnfile_spark.sources.columnfile.typed import encode_var_fast
+        from pyspark.sql.types import StringType
+
+        assert encode_var_fast(pa.array(["a", None]), StringType()) is None
+        assert encode_var_fast(pa.array(["b" * (1 << 20)]), StringType()) is None
