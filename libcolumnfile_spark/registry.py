@@ -44,6 +44,9 @@ _PRIORITY = [
     # join surface
     "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
     "q_join_agg", "q_join_q5",
+    # canonical TPC-H shapes (scan-agg + disjunctive-pushdown reps;
+    # the rest of the pack follows after the front)
+    "q_tpch_q6", "q_tpch_q3",
     # subqueries
     "q_subquery", "q_exists_subquery",
     # windows + event analytics
