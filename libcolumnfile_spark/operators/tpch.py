@@ -388,3 +388,112 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(cond).agg(
         _rev_out()
     )
+
+
+@query(
+    "q_tpch_q8",
+    # share = CASE-sum / total-sum, both exact DECIMAL, ONE double
+    # division + round(6); year() cast to INT on both engines
+    oracle=(
+        "SELECT o_year, CAST(round("
+        "CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE) "
+        "/ CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share FROM ("
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume, "
+        "n2.n_name AS nation "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'"
+        ") all_nations GROUP BY o_year ORDER BY o_year"
+    ),
+    doc=(
+        "TPC-H Q8 (national market share): one nation's share of a "
+        "region's ECONOMY-part revenue per order year — seven-table "
+        "join, every dim broadcast, share computed as conditional/total "
+        "decimal sums in one aggregate."
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    # the correlated scalar avg runs over the FACT side (vs q_subquery's
+    # dim-side correlation): Catalyst decorrelates to a per-partkey
+    # aggregate joined back on the fact — avg of integral-valued
+    # quantities is exact-sum / count, deterministic on both engines
+    oracle=(
+        "SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < ("
+        "SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = lineitem.l_partkey)"
+    ),
+    doc=(
+        "TPC-H Q17 (small-quantity-order revenue): lineitems below 20% "
+        "of their part's average quantity — fact-side correlated scalar "
+        "subquery, decorrelated to one per-partkey aggregate + join."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spread(T(spark, sf_dir, "lineitem")).createOrReplaceTempView("cf_li_q17")
+    T(spark, sf_dir, "part").createOrReplaceTempView("cf_part_q17")
+    return spark.sql(
+        "SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly "
+        "FROM cf_li_q17 JOIN cf_part_q17 ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < ("
+        "SELECT 0.2 * avg(l2.l_quantity) FROM cf_li_q17 l2 "
+        "WHERE l2.l_partkey = cf_li_q17.l_partkey)"
+    )
