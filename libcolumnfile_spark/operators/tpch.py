@@ -2,10 +2,14 @@
 
 The fixtures are TPC-H-ish (TESTDATA.md): they carry most canonical
 columns but not all (no partsupp table, no l_shipmode/l_commitdate/
-l_receiptdate/c_phone), so this pack implements the canonical queries
-whose column footprint exists — adapted only where a missing column
-forces it (noted per query). Shapes already covered elsewhere are not
-duplicated (Q1 = q_group_agg, Q5 = q_join_q5, Q13 = q_join_outer).
+l_receiptdate/c_phone). This pack covers ALL 22 canonical queries:
+shapes already covered elsewhere are not duplicated (Q1 = q_group_agg,
+Q5 = q_join_q5, Q13 = q_join_outer); queries whose column footprint
+exists run canonically; the rest keep the canonical PLAN SHAPE with
+documented stand-ins (partsupp -> DISTINCT lineitem part-supp pairs,
+supply cost -> acctbal / retail-price fractions, commit/receipt-date
+gaps -> ship-vs-order-date gaps, phone country code -> nationkey) —
+noted per query.
 
 Money arithmetic follows the repo-wide parity rule: sums run in
 DECIMAL(18,2) (exact, order-independent), one round(2) + cast to double
@@ -496,4 +500,498 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE p_brand = 'Brand#1' AND l_quantity < ("
         "SELECT 0.2 * avg(l2.l_quantity) FROM cf_li_q17 l2 "
         "WHERE l2.l_partkey = cf_li_q17.l_partkey)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining canonical queries. The fixtures have no partsupp table and no
+# l_commitdate/l_receiptdate/l_shipmode/c_phone columns, so these keep the
+# canonical PLAN SHAPE (the point of the pack) with documented stand-ins:
+#   partsupp           -> SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+#   ps_supplycost      -> 10% of p_retailprice per unit (deterministic)
+#   commit/receipt gap -> l_shipdate vs o_orderdate + INTERVAL N DAYS
+#   c_phone cntrycode  -> c_nationkey
+# Each docstring notes its stand-ins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q4",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    doc=(
+        "TPC-H Q4 (order priority checking): orders in one quarter with at "
+        "least one late line (late = shipped >30 days after order date; the "
+        "fixture has no commit/receipt dates). A literal semi-join would "
+        "build a hash table over the FACT side; instead the quarter-"
+        "filtered orders (~3% of the dim) broadcast into one fact scan and "
+        "EXISTS becomes distinct-orderkey — no shuffle touches lineitem."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _spread(T(spark, sf_dir, "lineitem")).select("l_orderkey", "l_shipdate")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q9",
+    # profit = revenue - supply cost, all-decimal until the final round;
+    # supply cost proxied as 10% of p_retailprice per unit (no partsupp)
+    oracle=(
+        "SELECT nation, o_year, "
+        "CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit FROM ("
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2))) "
+        "- CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(4,2)) "
+        "* CAST(l_quantity AS DECIMAL(18,2)) AS amount "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%red%') profit "
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+    ),
+    doc=(
+        "TPC-H Q9 (product type profit): per supplier-nation per order-year "
+        "profit on 'red' parts — part-name filter prunes via the broadcast "
+        "part dim, profit stays DECIMAL-exact through the agg. Supply cost "
+        "is proxied as 10% of retail price per unit (fixture has no "
+        "partsupp); the join/agg shape is canonical."
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.expr(
+        "CAST(0.10 AS DECIMAL(4,2))"
+    ) * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    # line status stands in for the missing l_shipmode; "late" is the
+    # ship-vs-order-date gap as in q4. Counts are BIGINT on both engines.
+    oracle=(
+        "SELECT l_linestatus, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "AND l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    ),
+    doc=(
+        "TPC-H Q12 (shipping modes and priority): late lines in one year "
+        "split into high/low-priority conditional counts per line status "
+        "(stand-in for the missing l_shipmode). The year window pushes to "
+        "the fact scan; the date-gap predicate rides the join."
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(T(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = T(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q2",
+    # the min() correlates over doubles but does NO arithmetic on them, so
+    # cross-engine equality is exact
+    oracle=(
+        "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name "
+        "FROM part JOIN ps ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE p_size = 10 AND r_name = 'AMERICA' "
+        "AND s_acctbal = (SELECT min(s2.s_acctbal) FROM ps ps2 "
+        "JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey "
+        "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+        "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+        "WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'AMERICA') "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+    ),
+    doc=(
+        "TPC-H Q2 (minimum cost supplier): for size-10 parts, the AMERICA "
+        "supplier with the minimum account balance among the part's "
+        "suppliers (partsupp proxied by DISTINCT lineitem part-supp pairs; "
+        "acctbal stands in for ps_supplycost). The correlated min only "
+        "matters for size-10 parts, so that filter semi-joins below the "
+        "pair-distinct (one fact scan over ~5% of rows); the min is a "
+        "window over partkey — one shuffle, no recompute of the pair set."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    reg_pairs = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        reg_pairs.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    # all-decimal value sums; the mean-relative threshold compares
+    # val*cnt > total*2.5 entirely in DECIMAL — exact on both engines,
+    # one rounded double at output
+    oracle=(
+        "WITH v AS (SELECT l_partkey, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2)) "
+        "* CAST(l_extendedprice AS DECIMAL(18,2))) AS val "
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_3' GROUP BY l_partkey) "
+        "SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS value "
+        "FROM v WHERE val * (SELECT count(*) FROM v) "
+        "> (SELECT sum(val) FROM v) * CAST(2.5 AS DECIMAL(2,1)) "
+        "ORDER BY value DESC, l_partkey"
+    ),
+    doc=(
+        "TPC-H Q11 (important stock identification): per-part shipped "
+        "value from one nation's suppliers, keeping parts above 2.5x the "
+        "mean per-part share (the canonical FRACTION scales as 0.0001/SF; "
+        "a mean-relative threshold keeps one oracle valid at every SF; "
+        "qty*price over lineitem stands in for availqty*supplycost over "
+        "partsupp). The comparison runs as val*cnt > total*2.5 in DECIMAL "
+        "— exact on both engines. The scalar-subquery totals reuse the "
+        "SAME per-part aggregate and broadcast one row back."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity").cast("decimal(18,2)")
+                * F.col("l_extendedprice").cast("decimal(18,2)")
+            ).alias("val")
+        )
+    )
+    total = v.agg(
+        F.count("*").alias("n_parts"),
+        (F.sum("val") * F.expr("CAST(2.5 AS DECIMAL(2,1))")).alias("threshold"),
+    )
+    return (
+        v.join(F.broadcast(total), v.val * F.col("n_parts") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle=(
+        "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM ps JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+    doc=(
+        "TPC-H Q16 (parts/supplier relationship): distinct supplier count "
+        "per brand/type/size excluding negative-balance suppliers "
+        "(stand-in for the complaints LIKE filter; partsupp proxied by "
+        "DISTINCT lineitem pairs). The NOT IN plans as a broadcast "
+        "anti-join; the part-attribute filter semi-joins BELOW the "
+        "pair-distinct so the dedup shuffle only carries qualifying "
+        "parts' rows; the distinct count is a two-phase partial/final agg."
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    # sums of integral-valued quantities are exact in any order
+    oracle=(
+        "SELECT s_name, s_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_3' AND s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem WHERE l_partkey IN ("
+        "SELECT p_partkey FROM part WHERE p_name LIKE 'small%') "
+        "AND l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_suppkey HAVING sum(l_quantity) > 100) "
+        "ORDER BY s_name"
+    ),
+    doc=(
+        "TPC-H Q20 (potential part promotion): one nation's suppliers who "
+        "shipped >100 units of 'small' parts in 1997 (the availqty>half-"
+        "of-shipped partsupp test becomes a shipped-quantity threshold). "
+        "Nested IN chain: part-name set broadcasts into the fact scan as "
+        "a semi-join, the per-supplier HAVING aggregate semi-joins into "
+        "the supplier dim."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = _spread(T(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q21_BODY = (
+    "SELECT s_name, count(*) AS numwait "
+    "FROM {supplier} JOIN {lineitem} l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN {orders} o1 ON o1.o_orderkey = l1.l_orderkey "
+    "JOIN {nation} ON s_nationkey = n_nationkey "
+    "WHERE o1.o_orderstatus = 'F' AND n_name = 'NATION_3' "
+    "AND l1.l_shipdate > o1.o_orderdate + INTERVAL 60 {day} "
+    "AND EXISTS (SELECT 1 FROM {lineitem} l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM {lineitem} l3 "
+    "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+    "AND l3.l_shipdate > o1.o_orderdate + INTERVAL 60 {day}) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+)
+
+
+@query(
+    "q_tpch_q21",
+    oracle=_Q21_BODY.format(
+        supplier="supplier", lineitem="lineitem", orders="orders",
+        nation="nation", day="DAY",
+    ),
+    doc=(
+        "TPC-H Q21 (suppliers who kept orders waiting): one nation's "
+        "suppliers whose line was the ONLY late one in a multi-supplier "
+        "finished order (late = shipped >60 days after order date; the "
+        "fixture has no commit/receipt dates). Catalyst would decorrelate "
+        "the EXISTS / NOT EXISTS pair into three hash-join passes over the "
+        "fact; this implementation decorrelates BY HAND into two stacked "
+        "aggregates — per (order, supplier) late-line counts, then per "
+        "order supplier/late-supplier counts — so the fact is scanned "
+        "once and shuffled twice on narrow key columns, with the "
+        "only-late-supplier test a plain filter on the aggregate. "
+        "Semantics proven equal to the EXISTS oracle: numwait sums "
+        "late_cnt over orders with >1 supplier and exactly one of them "
+        "late."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_pair = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_cnt"))
+    )
+    w_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.when(F.col("late_cnt") > 0, 1).otherwise(0)).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("ok"))
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        per_pair.filter(F.col("late_cnt") > 0)
+        # no broadcast hint: the qualifying-order set scales with the fact
+        # table, so AQE picks broadcast only when it measures small
+        .join(w_order, F.col("l_orderkey") == F.col("ok"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_cnt").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    # the above-average test runs as bal * n > total in DECIMAL — exact on
+    # both engines (a double avg would differ in the last ulp by sum order)
+    oracle=(
+        "SELECT c_nationkey AS cntrycode, count(*) AS numcust, "
+        "CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) "
+        "AS totacctbal FROM customer "
+        "WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6) "
+        "AND CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM customer c2 "
+        "WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (0, 1, 2, 3, 4, 5, 6)) "
+        "> (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3 "
+        "WHERE c3.c_acctbal > 0 AND c3.c_nationkey IN (0, 1, 2, 3, 4, 5, 6)) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY cntrycode ORDER BY cntrycode"
+    ),
+    doc=(
+        "TPC-H Q22 (global sales opportunity): above-average-balance "
+        "customers in seven 'countries' (nationkey stands in for the "
+        "missing phone country code) with no RECENT orders (every fixture "
+        "customer has some order, so the canonical no-orders anti-join "
+        "becomes no-orders-since-2000). The average test is computed as "
+        "bal*n > total in DECIMAL so both engines compare exactly; the "
+        "scalar pair broadcasts, the anti-join shuffles on custkey."
+    ),
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = [0, 1, 2, 3, 4, 5, 6]
+    c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(codes))
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_pos"),
+    )
+    recent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(
+            F.broadcast(stats),
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos")
+            > F.col("total_pos"),
+        )
+        .join(F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
