@@ -723,3 +723,124 @@ def q_corpus_pipeline(spark, sf_dir):
             4,
         ).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: weighted source sampling, deterministic shuffle order,
+# repeat-factor upsampling — the "data mixture" steps a training run
+# performs after dedup/quality filtering.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = (("src1", 80), ("src2", 40))  # percent kept; others ↓
+_MIX_DEFAULT = 15
+
+
+def _mix_rate_col() -> Column:
+    c = None
+    for src, rate in _MIX_RATES:
+        c = F.when(F.col("source") == src, rate) if c is None else c.when(
+            F.col("source") == src, rate
+        )
+    return c.otherwise(F.lit(_MIX_DEFAULT))
+
+
+_MIX_RATE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES)
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+
+@query(
+    "q_mix_weighted",
+    oracle=(
+        "SELECT source, count(*) AS n_sampled FROM documents "
+        f"WHERE {_bucket_sql('doc_id')} < {_MIX_RATE_SQL} "
+        "GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "Weighted data mixing: per-source keep rates (80%/40%/15%) applied "
+        "through the SAME md5 hash-bucketing as q_sample_hash, so the mix "
+        "is reproducible row-by-row across engines and runs and composes "
+        "with the split assignment (a doc keeps one bucket for both "
+        "decisions). Pure map + one tiny per-source count shuffle; at "
+        "100 TB the sample rate per source is retuned by editing literals, "
+        "not re-shuffling data."
+    ),
+    tags=("pipeline", "sampling", "mixing"),
+)
+def q_mix_weighted(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.filter(hash_bucket(F.col("doc_id")) < _mix_rate_col())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_shuffle_order",
+    oracle=(
+        "SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) "
+        "AS BIGINT) AS position, doc_id "
+        "FROM documents ORDER BY position LIMIT 100"
+    ),
+    doc=(
+        "Deterministic global shuffle order (epoch-0 training order): sort "
+        "key = md5(doc_id), reproducible on any engine with no stored "
+        "state. The declared query materializes the head of the order as "
+        "TakeOrderedAndProject (no global sort); a full-corpus epoch writes "
+        "with repartitionByRange(shuffle_key) + sortWithinPartitions — "
+        "total order across output shards without a single-node sort."
+    ),
+    tags=("pipeline", "sampling", "shuffle"),
+)
+def q_shuffle_order(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    head = (
+        d.select(F.md5(F.col("doc_id").cast("string")).alias("sk"), "doc_id")
+        .orderBy("sk")
+        .limit(100)
+    )
+    # window over the already-limited head (<=100 rows) — not the corpus
+    return (
+        head.withColumn(
+            "position", F.row_number().over(Window.orderBy("sk")).cast("bigint")
+        )
+        .select("position", "doc_id")
+        .orderBy("position")
+    )
+
+
+@query(
+    "q_upsample_repeat",
+    oracle=(
+        "SELECT doc_id, source, unnest(generate_series(1, "
+        "CASE WHEN source = 'src1' THEN 3 WHEN source = 'src2' THEN 2 "
+        "ELSE 1 END)) AS copy_idx FROM documents"
+    ),
+    doc=(
+        "Repeat-factor upsampling (epoch mixing): high-value sources are "
+        "replicated 3x/2x via explode(sequence(1, factor)) — the standard "
+        "way to overweight a source across an epoch without copying bytes "
+        "at rest. Pure map-side row generation (no shuffle); each copy "
+        "carries copy_idx so downstream packing can interleave epochs."
+    ),
+    tags=("pipeline", "sampling", "mixing"),
+)
+def q_upsample_repeat(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    factor = (
+        F.when(F.col("source") == "src1", 3)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), factor)).alias("copy_idx"),
+    )
