@@ -46,6 +46,16 @@ CONTRACTS = {
     # shapes (at real scale: per-lang quantile THRESHOLD + filter is the
     # unbounded-cardinality variant)
     "q_quality_filter": (2.7, 5.5),
+    # TPC-H pack representatives (facts replicate x10 with a shared
+    # orderkey shift, dims fixed — tools/scale_probe.py FACT_COLS):
+    # broadcast-dim star joins and stacked aggregates must stay flat
+    "q_tpch_q3": (1.0, 2.5),    # fact scan + 2 broadcast dims + group
+    "q_tpch_q2": (0.9, 2.5),    # semi-filtered pair-distinct + window
+    "q_tpch_q21": (1.3, 3.0),   # two stacked aggs, 2 narrow shuffles
+    "q_tpch_q16": (0.9, 2.5),   # pair-distinct + count_distinct
+    # corpus mixing: pure map (+ tiny count shuffle)
+    "q_mix_weighted": (1.7, 3.5),
+    "q_upsample_repeat": (1.2, 3.0),
 }
 
 

@@ -39,24 +39,53 @@ DEFAULT = [
 # ambiguous.
 ID_COLS = {"documents": "doc_id", "embeddings": "vec_id", "events": "user_id"}
 
+# TPC-H star: fact tables replicate with a SHARED orderkey shift (a
+# lineitem row must still find its order), dim keys stay unchanged —
+# each replica order belongs to the same customer/part/supplier. This
+# matches how warehouses actually grow: facts 10x, dims much slower.
+FACT_COLS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
 
 def ensure_scaled(spark, factor: int) -> str:
     """Replicated fixtures at ``factor`` x sf0.1, ids shifted per replica."""
     out_dir = cache_path(f"scale{factor}")
-    for table, id_col in ID_COLS.items():
-        out = f"{out_dir}/{table}.parquet"
-        if os.path.exists(out):
-            continue
-        base = load_table(spark, BASE, table)
-        n = base.agg(F.max(id_col)).first()[0] + 1
+
+    def replicate(base, id_col, shift, out):
         copies = [
-            base.withColumn(id_col, F.col(id_col) + F.lit(i * n))
+            base.withColumn(id_col, F.col(id_col) + F.lit(i * shift))
             for i in range(factor)
         ]
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
         df.repartition(32).write.mode("overwrite").parquet(out)
+
+    for table, id_col in ID_COLS.items():
+        out = f"{out_dir}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, BASE, table)
+        n = base.agg(F.max(id_col)).first()[0] + 1
+        replicate(base, id_col, n, out)
+
+    # shared shift across both fact tables so the orderkey join survives
+    fact_missing = [t for t in FACT_COLS if not os.path.exists(f"{out_dir}/{t}.parquet")]
+    if fact_missing:
+        shift = (
+            load_table(spark, BASE, "orders").agg(F.max("o_orderkey")).first()[0] + 1
+        )
+        for table in fact_missing:
+            replicate(
+                load_table(spark, BASE, table),
+                FACT_COLS[table],
+                shift,
+                f"{out_dir}/{table}.parquet",
+            )
+    for table in DIM_TABLES:
+        out = f"{out_dir}/{table}.parquet"
+        if not os.path.exists(out):
+            load_table(spark, BASE, table).write.mode("overwrite").parquet(out)
     return out_dir
 
 
