@@ -890,11 +890,12 @@ _Q21_BODY = (
         "finished order (late = shipped >60 days after order date; the "
         "fixture has no commit/receipt dates). Catalyst would decorrelate "
         "the EXISTS / NOT EXISTS pair into three hash-join passes over the "
-        "fact; this implementation decorrelates BY HAND into two stacked "
-        "aggregates — per (order, supplier) late-line counts, then per "
-        "order supplier/late-supplier counts — so the fact is scanned "
-        "once and shuffled twice on narrow key columns, with the "
-        "only-late-supplier test a plain filter on the aggregate. "
+        "fact; this implementation decorrelates BY HAND into one "
+        "aggregate plus one window — per (order, supplier) late-line "
+        "counts, then per-order supplier/late-supplier counts windowed "
+        "over the SAME aggregate (one lineage => exactly one fact scan, "
+        "plan-audited) — shuffling twice on narrow key columns, with the "
+        "only-late-supplier test a plain filter. "
         "Semantics proven equal to the EXISTS oracle: numwait sums "
         "late_cnt over orders with >1 supplier and exactly one of them "
         "late."
@@ -909,27 +910,31 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    from pyspark.sql.window import Window
+
     per_pair = (
         li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_cnt"))
     )
-    w_order = (
-        per_pair.groupBy("l_orderkey")
-        .agg(
-            F.count("*").alias("n_supp"),
-            F.sum(F.when(F.col("late_cnt") > 0, 1).otherwise(0)).alias("n_late_supp"),
-        )
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select(F.col("l_orderkey").alias("ok"))
-    )
+    # per-order supplier/late-supplier counts as a WINDOW over the pair
+    # aggregate (not a second groupBy branch): keeps one lineage — one
+    # fact scan — where a dual-referenced aggregate would be recomputed
+    # with different column pruning and scan the fact twice
+    w = Window.partitionBy("l_orderkey")
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
-        per_pair.filter(F.col("late_cnt") > 0)
-        # no broadcast hint: the qualifying-order set scales with the fact
-        # table, so AQE picks broadcast only when it measures small
-        .join(w_order, F.col("l_orderkey") == F.col("ok"), "left_semi")
+        per_pair.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("late_cnt") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("late_cnt") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")

@@ -150,3 +150,59 @@ def test_partition_pruning_dynamic(spark):
     # subquery on the fact scan
     plan = plan_of(spark, "q_partition_pruned_dynamic")
     assert "dynamicpruning" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H pack plan contracts (operators/tpch.py): the pack's scale story
+# is "fact scans + broadcast dims + partial/final aggs + TakeOrdered
+# top-k" — pin exactly that.
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q3_shape(spark):
+    plan = plan_of(spark, "q_tpch_q3")
+    plans.assert_broadcast_join(q(spark, "q_tpch_q3"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q_tpch_q6")
+    # every Q6 predicate reaches the parquet scan
+    for frag in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"]:
+        assert frag in plan, f"missing pushed filter {frag}"
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan.split("HashAggregate")[0]
+
+
+def test_tpch_q4_no_fact_broadcast(spark):
+    # the quarter-filtered ORDERS broadcast, never lineitem: the only
+    # BroadcastExchange must hash o_orderkey-side rows (3 columns max)
+    plan = plan_of(spark, "q_tpch_q4")
+    plans.assert_broadcast_join(q(spark, "q_tpch_q4"))
+    import re as _re
+
+    bcasts = _re.findall(r"BroadcastExchange[\s\S]{0,400}?Input \[\d+\]: \[([^\]]+)\]", plan)
+    assert bcasts, "no BroadcastExchange found"
+    for cols in bcasts:
+        assert "l_extendedprice" not in cols and "l_quantity" not in cols, (
+            f"fact-side broadcast detected: {cols}"
+        )
+
+
+def test_tpch_q18_semi_before_outer_agg(spark):
+    # the >300-qty key set reduces the fact before the wide join
+    plan = plan_of(spark, "q_tpch_q18")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # having-agg + outer agg, each 2-phase
+
+
+def test_tpch_q21_single_fact_scan(spark):
+    # hand-decorrelated: exactly one scan of lineitem, no self-join of
+    # the raw fact (the EXISTS cascade would plan 3 lineitem scans)
+    plan = plan_of(spark, "q_tpch_q21")
+    assert plan.lower().count("lineitem.parquet") == 1, (
+        "q21 must scan the fact exactly once (got %d)"
+        % plan.lower().count("lineitem.parquet")
+    )
+    assert plan.count("HashAggregate") >= 2  # 2-phase pair agg
+    assert "Window" in plan  # per-order counts ride a window, not a 2nd agg
