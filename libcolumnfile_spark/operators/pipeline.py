@@ -844,3 +844,104 @@ def q_upsample_repeat(spark, sf_dir):
         "source",
         F.explode(F.sequence(F.lit(1).cast("bigint"), factor)).alias("copy_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset versioning: keyed upsert (MERGE) and snapshot diff — corpus
+# refreshes and release-over-release audits.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_upsert_merge",
+    oracle=(
+        "WITH updates AS ("
+        f"SELECT doc_id, n_chars + 1000 AS n_chars, source FROM documents WHERE {_bucket_sql('doc_id')} < 20 "
+        "UNION ALL "
+        f"SELECT doc_id + 1000000 AS doc_id, n_chars, source FROM documents WHERE {_bucket_sql('doc_id')} < 5"
+        ") "
+        "SELECT doc_id, n_chars, source FROM updates "
+        "UNION ALL "
+        "SELECT d.doc_id, d.n_chars, d.source FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)"
+    ),
+    doc=(
+        "Keyed upsert (SQL MERGE without a table format): an updates "
+        "batch (20% modified rows + 5% inserts, derived deterministically "
+        "from the fixture by hash bucket) replaces matching doc_ids and "
+        "appends new ones — updates UNION (target ANTI-JOIN updates), the "
+        "classic rewrite merge. At 100 TB the anti-join is the only "
+        "shuffle and co-partitions with a bucketed target; an update "
+        "batch small enough to broadcast makes the merge a pure map over "
+        "the target partitions (AQE decides — no hint needed)."
+    ),
+    tags=("pipeline", "versioning"),
+)
+def q_upsert_merge(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    b = hash_bucket(F.col("doc_id"))
+    updates = (
+        d.filter(b < 20)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            d.filter(b < 5).withColumn("doc_id", F.col("doc_id") + 1000000)
+        )
+    )
+    return updates.unionByName(
+        d.join(updates.select("doc_id"), "doc_id", "left_anti")
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=(
+        f"WITH old AS (SELECT doc_id, n_chars FROM documents WHERE {_bucket_sql('doc_id')} < 90), "
+        f"new AS (SELECT doc_id, CASE WHEN {_bucket_sql('doc_id')} BETWEEN 40 AND 59 "
+        "THEN n_chars + 7 ELSE n_chars END AS n_chars "
+        f"FROM documents WHERE {_bucket_sql('doc_id')} >= 10) "
+        "SELECT change, count(*) AS n FROM ("
+        "SELECT CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' "
+        "WHEN o.n_chars <> n.n_chars THEN 'changed' "
+        "ELSE 'unchanged' END AS change "
+        "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) x "
+        "GROUP BY change ORDER BY change"
+    ),
+    doc=(
+        "Snapshot diff (release-over-release corpus audit): two corpus "
+        "versions (simulated deterministically by hash-bucket carve-outs "
+        "and a payload perturbation) FULL OUTER JOIN on the key, each row "
+        "classified added/removed/changed/unchanged, counted per class. "
+        "One co-partitioned shuffle join on the key; payload equality "
+        "would compare content HASHES at scale, never the bodies (the "
+        "fixture compares the numeric payload directly)."
+    ),
+    tags=("pipeline", "versioning"),
+)
+def q_snapshot_diff(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    old = d.filter(b < 90).select("doc_id", "n_chars")
+    new = (
+        d.filter(b >= 10)
+        .select(
+            "doc_id",
+            F.when(b.between(40, 59), F.col("n_chars") + 7)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        .select(
+            F.when(F.col("o.doc_id").isNull(), "added")
+            .when(F.col("n.doc_id").isNull(), "removed")
+            .when(F.col("o.n_chars") != F.col("n.n_chars"), "changed")
+            .otherwise("unchanged")
+            .alias("change")
+        )
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )
