@@ -571,3 +571,32 @@ class TestIvfSeeded:
         assert len(approx) == 10
         assert approx[0]["cos_sim"] <= exact[0]["cos_sim"]
         assert all(r["list_id"] >= 0 for r in approx)
+
+
+class TestTpchQ21Decorrelation:
+    """q_tpch_q21's hand decorrelation (aggregate + window) must be
+    row-identical to the literal EXISTS / NOT EXISTS formulation run by
+    Spark itself — a second, independent check beside the DuckDB oracle
+    (same SQL text, different engine)."""
+
+    def test_equivalent_to_exists_formulation(self, spark):
+        from libcolumnfile_spark.operators.tpch import _Q21_BODY
+        from libcolumnfile_spark.registry import REGISTRY
+        from libcolumnfile_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        for t in ("lineitem", "orders", "supplier", "nation"):
+            load_table(spark, sf, t).createOrReplaceTempView(f"q21eq_{t}")
+        literal = spark.sql(
+            _Q21_BODY.format(
+                supplier="q21eq_supplier",
+                lineitem="q21eq_lineitem",
+                orders="q21eq_orders",
+                nation="q21eq_nation",
+                day="DAYS",
+            )
+        )
+        ours = REGISTRY["q_tpch_q21"].spark_fn(spark, sf)
+        assert sorted(map(tuple, ours.collect())) == sorted(
+            map(tuple, literal.collect())
+        )
