@@ -775,9 +775,9 @@ def ivf_seeded_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF top-k with a fixed seeded coarse quantizer: every vector is
-    assigned to the centroid with the LARGEST dot product (staged
-    projections bind the 16 dot columns before the argmax CASE, the
-    lang_id_frame pattern), the query probes its best ``_IVF_V_PROBE``
+    assigned to the centroid with the LARGEST dot product (one
+    Arrow-batched numpy argmax kernel, bit-identical to the HOF fold —
+    see the in-body note), the query probes its best ``_IVF_V_PROBE``
     lists, and only vectors in probed lists are cosine-scored.
 
     Plan: assignment is map-only (centroids ride the closure); the probe
@@ -791,19 +791,42 @@ def ivf_seeded_topk(
     # query-side probe list: same argmax-by-dot arithmetic, driver-side
     qd = [(sum(q * c for q, c in zip(query_vec, cent)), i) for i, cent in enumerate(cents)]
     probe = [i for _, i in sorted(qd, key=lambda t: (-t[0], t[1]))[:_IVF_V_PROBE]]
-    scored = df.withColumns(
-        {
-            f"__d{c}": dot(F.col(vec_col), _lit_vec(cent))
-            for c, cent in enumerate(cents)
-        }
-    )
-    best = F.greatest(*[F.col(f"__d{c}") for c in range(_IVF_V_LISTS)])
-    assign = F.lit(_IVF_V_LISTS - 1)
-    for c in reversed(range(_IVF_V_LISTS - 1)):
-        assign = F.when(F.col(f"__d{c}") == best, F.lit(c)).otherwise(assign)
+    # List assignment runs as ONE Arrow-batched numpy kernel, not 16
+    # Catalyst HOF dot columns: the lambda HOFs are interpreted per
+    # element (16 lists x 64 dims x N rows of ~1 us lambda calls made
+    # this the slowest bench query at 3.2 s warm for 2 k vectors), and
+    # the two static-expression rewrites both lost — per-column chains +
+    # argmax CASE explode under CollapseProject into a codegen OOM, and
+    # an array<struct(dot, -c)> + array_max form ran 3x SLOWER than the
+    # HOFs. The kernel accumulates dim-sequentially (acc += M[:,i]*c_i),
+    # the exact fold order of F.aggregate's ((0+t1)+t2)+..., with
+    # float64 products — bit-identical dots, so the argmax (strict >,
+    # first-max-wins like the oracle's CASE) picks identical lists.
+    # Cosine scoring of the ~probe/lists survivors stays in Catalyst so
+    # round() semantics keep matching the oracle.
+    import numpy as np
+    import pandas as pd
+
+    cents_arr = [np.asarray(c, dtype=np.float64) for c in cents]
+
+    @F.pandas_udf("int")
+    def _assign_list(emb: pd.Series) -> pd.Series:
+        M = np.array(list(emb), dtype=np.float64)
+        n = M.shape[0]
+        best_d = np.full(n, -np.inf)
+        best_c = np.zeros(n, dtype=np.int32)
+        for c, cent in enumerate(cents_arr):
+            acc = np.zeros(n)
+            for i in range(M.shape[1]):
+                acc += M[:, i] * cent[i]
+            better = acc > best_d
+            best_d = np.where(better, acc, best_d)
+            best_c = np.where(better, np.int32(c), best_c)
+        return pd.Series(best_c)
+
     q = _lit_vec(query_vec)
     return (
-        scored.withColumn("__list", assign)
+        df.withColumn("__list", _assign_list(F.col(vec_col)))
         .filter(F.col("__list").isin(probe))
         .select(
             F.col(id_col),
