@@ -206,3 +206,12 @@ def test_tpch_q21_single_fact_scan(spark):
     )
     assert plan.count("HashAggregate") >= 2  # 2-phase pair agg
     assert "Window" in plan  # per-order counts ride a window, not a 2nd agg
+
+
+def test_tpch_scalar_subquery_queries_scan_fact_once(spark):
+    # q11/q15/q17 pin their dual-referenced aggregates (persist), so the
+    # fact is scanned once — without the pin each branch re-scans it
+    for name in ("q_tpch_q11", "q_tpch_q15", "q_tpch_q17"):
+        plan = plan_of(spark, name)
+        n = plan.lower().count("lineitem.parquet")
+        assert n == 1, f"{name}: expected 1 lineitem scan, got {n}"
