@@ -333,3 +333,37 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.quarter("o_orderdate").alias("qtr"),
     )
+
+
+@query(
+    "q_histogram",
+    oracle=(
+        "SELECT least(CAST(floor(l_extendedprice / 5000.0) AS BIGINT), 19) AS bucket, "
+        "count(*) AS n, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
+        "FROM lineitem GROUP BY bucket ORDER BY bucket"
+    ),
+    doc=(
+        "Fixed-width histogram (20 buckets of 5000, top bucket clamped): "
+        "arithmetic binning instead of width_bucket so the bucket edge "
+        "arithmetic is the identical double division on both engines. "
+        "Map-side bucket + partial/final count-sum — shuffle volume is "
+        "O(buckets), the cheapest possible distribution profile."
+    ),
+    tags=("agg", "histogram"),
+)
+def q_histogram(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint"), F.lit(19).cast("bigint")
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -44,9 +44,9 @@ _PRIORITY = [
     # join surface
     "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
     "q_join_agg", "q_join_q5",
-    # canonical TPC-H shapes (scan-agg + disjunctive-pushdown reps;
-    # the rest of the pack follows after the front)
-    "q_tpch_q6", "q_tpch_q3",
+    # canonical TPC-H shapes (scan-agg, disjunctive-pushdown, and
+    # hand-decorrelation reps; the rest of the pack follows after)
+    "q_tpch_q6", "q_tpch_q3", "q_tpch_q21",
     # subqueries
     "q_subquery", "q_exists_subquery",
     # windows + event analytics
@@ -67,9 +67,9 @@ _PRIORITY = [
     "q_dedup_cc", "q_dedup_embedding",
     # similarity search
     "q_sim_topk", "q_sim_knn", "q_sim_pairs", "q_sim_pairs_probe",
-    # corpus pipeline
+    # corpus pipeline (incl. one mixing + one versioning rep)
     "q_sample_hash", "q_pii_redact", "q_pack_sequences", "q_contamination",
-    "q_repetition", "q_corpus_pipeline",
+    "q_repetition", "q_corpus_pipeline", "q_mix_weighted", "q_upsert_merge",
     # streaming batch faces
     "q_stream_tumbling", "q_stream_dedup",
 ]
