@@ -334,28 +334,37 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc=(
         "TPC-H Q18 (large volume customers): orders above 300 total "
-        "quantity — the HAVING subquery aggregates the fact once into a "
-        "small key set that semi-joins back (broadcast), then the outer "
-        "aggregate runs only over qualifying orders."
+        "quantity — the outer per-order sum IS the HAVING aggregate, so "
+        "one fact aggregate feeds both the filter and the output: one "
+        "scan, one narrow shuffle, dims broadcast onto the small "
+        "qualifying set."
     ),
     tags=("tpch", "join", "agg", "subquery"),
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the outer per-order sum IS the HAVING subquery's aggregate (the
+    # outer group is one row per order): compute it once, filter >300,
+    # and join the dims — one fact scan + one narrow shuffle, where the
+    # literal SQL shape scans the fact twice and re-aggregates
     li = _spread(T(spark, sf_dir, "lineitem"))
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
     )
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big), "l_orderkey")
-        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        big.join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )

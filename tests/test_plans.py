@@ -189,11 +189,13 @@ def test_tpch_q4_no_fact_broadcast(spark):
         )
 
 
-def test_tpch_q18_semi_before_outer_agg(spark):
-    # the >300-qty key set reduces the fact before the wide join
+def test_tpch_q18_single_agg_single_scan(spark):
+    # the HAVING aggregate doubles as the output aggregate: one fact
+    # scan, one 2-phase agg, top-k as TakeOrdered
     plan = plan_of(spark, "q_tpch_q18")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("HashAggregate") >= 4  # having-agg + outer agg, each 2-phase
+    assert plan.lower().count("lineitem.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_tpch_q21_single_fact_scan(spark):
