@@ -812,3 +812,66 @@ _SESSIONIZE_ORACLE = (
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(T(spark, sf_dir, "events"))
+
+
+@query(
+    "q_gap_fill",
+    oracle=(
+        "WITH span AS ("
+        "SELECT user_id, date_trunc('hour', min(ts)) AS t0, "
+        "date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY user_id), "
+        "grid AS (SELECT user_id, "
+        "unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts FROM span), "
+        "cnts AS (SELECT user_id, date_trunc('hour', ts) AS hour_ts, "
+        "count(*) AS n FROM events GROUP BY user_id, date_trunc('hour', ts)) "
+        "SELECT g.user_id, count(*) AS n_hours, "
+        "sum(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS n_gap_hours, "
+        "CAST(sum(COALESCE(c.n, 0)) AS BIGINT) AS n_events "
+        "FROM grid g LEFT JOIN cnts c "
+        "ON g.user_id = c.user_id AND g.hour_ts = c.hour_ts "
+        "GROUP BY g.user_id ORDER BY g.user_id"
+    ),
+    doc=(
+        "Time-series gap filling (resample to an hourly grid): per user, "
+        "generate the dense hour grid between first and last event "
+        "(explode(sequence(t0, t1, 1 hour))), left-join the per-hour "
+        "event counts, report grid size / gap hours / events per user. "
+        "Scale shape: the grid explodes from ONE row per user (never "
+        "from events), both aggregates are partial+final on narrow keys, "
+        "and the grid-counts join co-partitions on user_id — at 100 TB "
+        "the dense grid is O(users x hours), generated distributed, "
+        "never materialized on the driver."
+    ),
+    tags=("window", "timeseries"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    cnts = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g, c = grid.alias("g"), cnts.alias("c")
+    return (
+        g.join(
+            c,
+            (F.col("g.user_id") == F.col("c.user_id"))
+            & (F.col("g.hour_ts") == F.col("c.hour_ts")),
+            "left",
+        )
+        .groupBy(F.col("g.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("c.n").isNull(), 1).otherwise(0)).alias("n_gap_hours"),
+            F.sum(F.coalesce(F.col("c.n"), F.lit(0))).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
