@@ -875,3 +875,78 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_funnel",
+    oracle=(
+        "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e "
+        "JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' "
+        "AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 48 HOUR "
+        "GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e "
+        "JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' "
+        "AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 48 HOUR "
+        "GROUP BY e.user_id) "
+        "SELECT 'view' AS stage, count(*) AS n_users FROM v "
+        "UNION ALL SELECT 'click', count(*) FROM c "
+        "UNION ALL SELECT 'purchase', count(*) FROM p"
+    ),
+    doc=(
+        "Conversion funnel (view -> click within 48h -> purchase within "
+        "48h): per-user stage timestamps via three STACKED window minima "
+        "over the same user partition — one shuffle of events, three "
+        "window passes over the sorted partition (the oracle's 3-CTE "
+        "join chain re-scans events per stage; the window form scans "
+        "once). Stage counts unpivot via stack()."
+    ),
+    tags=("window", "funnel", "events"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    h48 = F.expr("INTERVAL 48 HOURS")
+    t = F.col
+    s = (
+        ev.withColumn(
+            "t_view", F.min(F.when(t("event_type") == "view", t("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (t("event_type") == "click")
+                    & (t("ts") > t("t_view"))
+                    & (t("ts") <= t("t_view") + h48),
+                    t("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(
+                F.when(
+                    (t("event_type") == "purchase")
+                    & (t("ts") > t("t_click"))
+                    & (t("ts") <= t("t_click") + h48),
+                    t("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = s.select("user_id", "t_view", "t_click", "t_buy").distinct()
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_buy").alias("n_buy"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', n_view, 'click', n_click, 'purchase', n_buy) "
+            "AS (stage, n_users)"
+        )
+    )
