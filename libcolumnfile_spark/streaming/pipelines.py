@@ -231,3 +231,45 @@ def running_totals_stateful(df: DataFrame, timeout_ms: int | None = None) -> Dat
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def upsert_stream(stream_df, target_dir: str, checkpoint_dir: str, key_col: str = "doc_id"):
+    """Streaming keyed upsert: each micro-batch MERGEs into a parquet
+    target (updates replace matching keys, new keys append) — the
+    foreachBatch form of operators/pipeline.py::q_upsert_merge.
+
+    Within a batch, last-write-wins per key ordered by the batch's own
+    rows (dropDuplicates after a deterministic sort). The merge is the
+    rewrite pattern: batch UNION (target ANTI-JOIN batch), written to a
+    fresh directory then swapped in — on a real deployment the swap is a
+    table-format transaction (Delta/Iceberg commit) and the anti-join
+    co-partitions with a bucketed target; exactly-once comes from the
+    checkpoint (foreachBatch may retry a batch, and the merge is
+    idempotent per key, so retries converge).
+    """
+    import os
+    import shutil
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.orderBy(key_col).dropDuplicates([key_col])
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            target = spark.read.parquet(target_dir)
+            merged = batch_df.unionByName(
+                target.join(batch_df.select(key_col), key_col, "left_anti")
+            )
+        else:
+            merged = batch_df
+        tmp = f"{target_dir}.__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(tmp, target_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -406,3 +406,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # no duplicate emission of any window
     rows = spark.read.parquet(sink).count()
     assert rows == len(got)
+
+
+def test_streaming_upsert_merges_incrementally(spark, tmp_path):
+    """Two micro-batch rounds of keyed updates must leave the target
+    exactly at sequential-merge state: round 2 overwrites round 1's
+    values for shared keys, appends new keys, keeps untouched rows."""
+    src = str(tmp_path / "updates_in")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_updates(rows, name):
+        spark.createDataFrame(rows, "doc_id bigint, n_chars bigint").coalesce(1)\
+            .write.mode("overwrite").parquet(f"{src}/{name}")
+
+    # round 1: keys 1..3
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id bigint, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    stream = spark.readStream.schema("doc_id bigint, n_chars bigint").parquet(f"{src}/*")
+    _run_stream(P.upsert_stream(stream, target, ckpt).start())
+    state1 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(target).collect()}
+    assert state1 == {1: 10, 2: 20, 3: 30}
+
+    # round 2: update key 2, insert key 4 — same checkpoint, only the new
+    # file is processed
+    spark.createDataFrame(
+        [(2, 99), (4, 40)], "doc_id bigint, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    stream = spark.readStream.schema("doc_id bigint, n_chars bigint").parquet(f"{src}/*")
+    _run_stream(P.upsert_stream(stream, target, ckpt).start())
+    state2 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(target).collect()}
+    assert state2 == {1: 10, 2: 99, 3: 30, 4: 40}
