@@ -945,3 +945,114 @@ def q_snapshot_diff(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: column profiling and constraint validation — the checks a
+# pipeline runs before promoting a corpus snapshot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_profile_columns",
+    oracle=(
+        "SELECT 'doc_id' AS col, count(*) AS n_rows, count(doc_id) AS n_nonnull, "
+        "count(DISTINCT doc_id) AS n_distinct, "
+        "CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v "
+        "FROM documents "
+        "UNION ALL SELECT 'lang', count(*), count(lang), count(DISTINCT lang), "
+        "min(lang), max(lang) FROM documents "
+        "UNION ALL SELECT 'n_chars', count(*), count(n_chars), "
+        "count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), "
+        "CAST(max(n_chars) AS VARCHAR) FROM documents ORDER BY col"
+    ),
+    doc=(
+        "Column profiling (rows / non-null / distinct / min / max per "
+        "column, stringified for a uniform schema): one aggregate pass "
+        "PER PROFILED COLUMN over the corpus, each partial+final with "
+        "O(1) shuffle rows — the summary a snapshot publisher attaches "
+        "to a release. (A single-pass variant would fuse the three "
+        "aggregates; kept separate to mirror the oracle exactly.)"
+    ),
+    tags=("pipeline", "quality", "profiling"),
+)
+def q_profile_columns(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+
+    def prof(col, numeric):
+        mn = F.min(col).cast("string").alias("min_v")
+        mx = F.max(col).cast("string").alias("max_v")
+        return d.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            mn,
+            mx,
+        ).select(F.lit(col).alias("col"), "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v")
+
+    return (
+        prof("doc_id", True)
+        .unionByName(prof("lang", False))
+        .unionByName(prof("n_chars", True))
+        .orderBy("col")
+    )
+
+
+@query(
+    "q_dq_constraints",
+    oracle=(
+        "SELECT 'acctbal_negative' AS rule, count(*) AS n_violations "
+        "FROM customer WHERE c_acctbal < 0 "
+        "UNION ALL SELECT 'discount_range', count(*) FROM lineitem "
+        "WHERE l_discount < 0 OR l_discount > 0.1 "
+        "UNION ALL SELECT 'doc_id_unique', count(*) FROM ("
+        "SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1) d "
+        "UNION ALL SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) "
+        "UNION ALL SELECT 'orders_custkey_fk', count(*) FROM orders "
+        "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) "
+        "ORDER BY rule"
+    ),
+    doc=(
+        "Constraint validation (business-rule range checks, key "
+        "uniqueness, referential integrity): each rule is one count — "
+        "ranges push to the scan, uniqueness is a keyed aggregate, FKs "
+        "are anti-join counts with the parent side broadcast (orders-> "
+        "customer) or co-partitioned (lineitem->orders at scale). The "
+        "expected answer on a healthy snapshot is all-zeros except the "
+        "known-dirty business rule (negative balances exist in the "
+        "fixture by construction)."
+    ),
+    tags=("pipeline", "quality", "validation"),
+)
+def q_dq_constraints(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    d = T(spark, sf_dir, "documents")
+
+    def one(rule, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    dup_docs = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    li_orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    )
+    o_orphans = o.join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        one("acctbal_negative", c.filter(F.col("c_acctbal") < 0))
+        .unionByName(
+            one(
+                "discount_range",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+            )
+        )
+        .unionByName(one("doc_id_unique", dup_docs))
+        .unionByName(one("lineitem_orderkey_fk", li_orphans))
+        .unionByName(one("orders_custkey_fk", o_orphans))
+        .orderBy("rule")
+    )
