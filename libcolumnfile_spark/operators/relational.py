@@ -845,12 +845,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "timeseries"),
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from libcolumnfile_spark.session import default_parallelism
+
     ev = T(spark, sf_dir, "events")
     span = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.date_trunc("hour", F.max("ts")).alias("t1"),
     )
-    grid = span.select(
+    # explicit repartition BEFORE the explode: the span aggregate is tiny
+    # (one row per user) so AQE coalesces it to ~1 partition, and the
+    # explode then amplifies ~#hours x on a single task (measured 7.5x
+    # at x10 data). REPARTITION_BY_NUM is exempt from coalescing, so the
+    # row generation fans out across cores; keying by user_id keeps a
+    # user's grid together for the join behind it.
+    grid = span.repartition(default_parallelism(), "user_id").select(
         "user_id",
         F.explode(
             F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))

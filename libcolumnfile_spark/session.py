@@ -35,15 +35,15 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions to the advisory size instead of
-        # preserving spark.sql.shuffle.partitions-many micro-tasks (the
-        # Spark docs' recommended production setting): large stages still
-        # split by size; small reduce stages stop paying 32 task launches
-        # for kilobytes. Explicit repartition(n) calls (tables.spread) are
-        # REPARTITION_BY_NUM and exempt from coalescing, so map-stage
-        # kernel parallelism is unaffected. Measured: -9% on the
-        # light-query bench subset, neutral on the heavy dedup pipelines.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst deliberately stays at its default (true).
+        # Measured trade (2026-08-14): `false` + 64 MB advisory size cut
+        # ~9% off the light-query bench subset by coalescing micro reduce
+        # stages, but broke three x10 scale contracts (q_tfidf 1.8->4+,
+        # q_inverted_index, q_sessionize) — byte-based coalescing starves
+        # compute-dense token stages whose rows are small but expensive;
+        # `false` + 8 MB advisory restored the contracts and gave the
+        # light win back. Partition-count parallelism is the scale-safe
+        # default for this engine's mixed byte/compute-density stages.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

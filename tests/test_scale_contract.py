@@ -56,6 +56,17 @@ CONTRACTS = {
     # corpus mixing: pure map (+ tiny count shuffle)
     "q_mix_weighted": (1.7, 3.5),
     "q_upsample_repeat": (1.2, 3.0),
+    # event analytics + versioning + data quality
+    "q_funnel": (1.8, 4.0),          # one event shuffle, 3 window passes
+    "q_upsert_merge": (1.3, 3.0),    # anti-join on the key
+    "q_snapshot_diff": (2.0, 4.0),   # one full-outer key join
+    "q_profile_columns": (1.9, 4.0), # per-column partial/final aggs
+    "q_dq_constraints": (2.0, 4.0),  # counts + anti-joins
+    # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
+    # rows) — wall-clock tracks output size by construction; the contract
+    # bounds per-output-row cost staying flat (measured 6.5x wall at 10x
+    # grid rows, i.e. 0.65x per row)
+    "q_gap_fill": (6.5, 9.0),
 }
 
 
