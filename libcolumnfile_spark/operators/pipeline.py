@@ -968,32 +968,39 @@ def q_snapshot_diff(spark, sf_dir):
     ),
     doc=(
         "Column profiling (rows / non-null / distinct / min / max per "
-        "column, stringified for a uniform schema): one aggregate pass "
-        "PER PROFILED COLUMN over the corpus, each partial+final with "
-        "O(1) shuffle rows — the summary a snapshot publisher attaches "
-        "to a release. (A single-pass variant would fuse the three "
-        "aggregates; kept separate to mirror the oracle exactly.)"
+        "column, stringified for a uniform schema): ALL columns profile "
+        "in ONE aggregate pass over the corpus (15 aggregate expressions, "
+        "partial+final, O(1) shuffle rows), then unpivot to one row per "
+        "column — the summary a snapshot publisher attaches to a "
+        "release. The oracle's 3-scan UNION form produces identical "
+        "values; the fused pass reads the data once."
     ),
     tags=("pipeline", "quality", "profiling"),
 )
 def q_profile_columns(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-
-    def prof(col, numeric):
-        mn = F.min(col).cast("string").alias("min_v")
-        mx = F.max(col).cast("string").alias("max_v")
-        return d.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(col).alias("n_nonnull"),
-            F.count_distinct(F.col(col)).alias("n_distinct"),
-            mn,
-            mx,
-        ).select(F.lit(col).alias("col"), "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v")
-
+    cols = ["doc_id", "lang", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
     return (
-        prof("doc_id", True)
-        .unionByName(prof("lang", False))
-        .unionByName(prof("n_chars", True))
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) "
+                "AS (col, n_nonnull, n_distinct, min_v, max_v)"
+            ),
+        )
+        .select("col", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v")
         .orderBy("col")
     )
 
