@@ -2,10 +2,11 @@
 
 The fixtures are TPC-H-ish (TESTDATA.md): they carry most canonical
 columns but not all (no partsupp table, no l_shipmode/l_commitdate/
-l_receiptdate/c_phone). This pack covers ALL 22 canonical queries:
-shapes already covered elsewhere are not duplicated (Q1 = q_group_agg,
-Q5 = q_join_q5, Q13 = q_join_outer); queries whose column footprint
-exists run canonically; the rest keep the canonical PLAN SHAPE with
+l_receiptdate/c_phone). This pack covers ALL 22 canonical queries
+under their canonical names (q_tpch_q1 .. q_tpch_q22; Q1/Q5/Q13 also
+have reduced-shape siblings q_group_agg / q_join_q5 / q_join_outer
+from round 1): queries whose column footprint exists run canonically;
+the rest keep the canonical PLAN SHAPE with
 documented stand-ins (partsupp -> DISTINCT lineitem part-supp pairs,
 supply cost -> acctbal / retail-price fractions, commit/receipt-date
 gaps -> ship-vs-order-date gaps, phone country code -> nationkey) —
@@ -1041,4 +1042,140 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@query(
+    "q_tpch_q1",
+    # every money sum in DECIMAL; averages as exact-sum / count with one
+    # round at the output (a double avg would differ in the last ulp)
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2))) "
+        "* (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price, "
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    doc=(
+        "TPC-H Q1 (pricing summary report), full canonical column set "
+        "including sum_charge and avg_price (q_group_agg carries the "
+        "reduced set): ONE partial/final hash aggregate over the fact "
+        "scan, 6 groups, shuffle volume O(groups x mappers)."
+    ),
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cnt = F.count(F.lit(1))
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=(
+        "SELECT n_name, "
+        f"{_rev_out_sql()} "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'AMERICA' "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC"
+    ),
+    doc=(
+        "TPC-H Q5 (local supplier volume), full canonical form with the "
+        "order-year window (q_join_q5 is the windowless shape): the year "
+        "filter prunes orders before the fact join, every dim broadcasts, "
+        "the local-supplier condition (c_nationkey = s_nationkey) rides "
+        "the supplier join."
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(T(spark, sf_dir, "lineitem"))
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_out())
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle=(
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey) c_orders "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    doc=(
+        "TPC-H Q13 (customer distribution), canonical custdist histogram "
+        "(the o_comment NOT-LIKE filter becomes a priority exclusion — "
+        "the fixture has no comment column): left-outer join with the "
+        "exclusion ON the join condition so no-order customers count 0, "
+        "two stacked aggregates each O(customers)."
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
