@@ -444,7 +444,12 @@ def minhash_lsh_dedup(
     # the whole point of LSH: the expensive exact step touches
     # O(candidates), not O(corpus).
     cand_ids, n_ids_est = _candidate_ids(candidates)
-    cand_docs = toks.join(F.broadcast(cand_ids), "id", "left_semi").select(
+    # hint only while the estimated id set is broadcast-sized — a
+    # dup-heavy corpus can make candidates O(corpus) and a forced
+    # broadcast would flood the driver (same policy as the doc-payload
+    # gate below at _BROADCAST_DOC_LIMIT)
+    ci = F.broadcast(cand_ids) if n_ids_est <= _BROADCAST_DOC_LIMIT else cand_ids
+    cand_docs = toks.join(ci, "id", "left_semi").select(
         "id", gram_set_kernel(shingle_n)(F.col("th")).alias("sh")
     )
     return _pairwise_jaccard(candidates, cand_docs, n_ids_est, threshold)
@@ -873,8 +878,9 @@ def ngram_jaccard_pairs(
     # per pair is the hottest expression, and int64 set-intersects cost a
     # fraction of string ones (hash collisions at p=2^31-1 over ~1e2-1e3
     # grams/doc perturb jaccard by < 1e-6 — below the rounding we emit)
+    ci = F.broadcast(cand_ids) if n_ids_est <= _BROADCAST_DOC_LIMIT else cand_ids
     cand_docs = df.join(
-        F.broadcast(cand_ids), F.col(id_col) == cand_ids.id, "left_semi"
+        ci, F.col(id_col) == cand_ids.id, "left_semi"
     ).select(
         F.col(id_col).alias("id"),
         gram_set_kernel(shingle_n)(token_hashes(F.trim(F.col(text_col)))).alias("sh"),

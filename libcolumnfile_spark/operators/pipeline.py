@@ -1048,7 +1048,7 @@ def q_dq_constraints(spark, sf_dir):
         o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
     )
     o_orphans = o.join(
-        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti"
+        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"
     )
     return (
         one("acctbal_negative", c.filter(F.col("c_acctbal") < 0))

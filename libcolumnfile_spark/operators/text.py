@@ -520,6 +520,10 @@ def tfidf_topk(
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
+        # dfreq is VOCABULARY-bounded (tokens, not documents — Heaps-law
+        # sublinear), one of the deliberate broadcast exceptions: unhinting
+        # it regressed the x10 contract 1.8->4.4x by shuffling the whole tf
+        # side for a lookup table
         tf.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(

@@ -115,7 +115,7 @@ def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return (
-        events.join(F.broadcast(seg), "user_id")
+        events.join(seg, "user_id")
         .groupBy("segment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
