@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.tables import maybe_broadcast as _mb
 from libcolumnfile_spark.tables import spread as _spread
 
 # ---------------------------------------------------------------------------
@@ -1048,7 +1049,7 @@ def q_dq_constraints(spark, sf_dir):
         o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
     )
     o_orphans = o.join(
-        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"
+        _mb(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti"
     )
     return (
         one("acctbal_negative", c.filter(F.col("c_acctbal") < 0))

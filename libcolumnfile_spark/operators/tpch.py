@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.tables import maybe_broadcast as _mb
 from libcolumnfile_spark.tables import spread as _spread
 
 # decimal-exact revenue term (same tree as q_join_q5, matched since r1).
@@ -88,8 +89,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(_mb(o), li.l_orderkey == o.o_orderkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_rev_out())
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -180,9 +181,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
-        li.join(s, li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(_mb(s), li.l_suppkey == s.s_suppkey)
+        .join(_mb(o), li.l_orderkey == o.o_orderkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -222,8 +223,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(_mb(o), li.l_orderkey == o.o_orderkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_rev_out())
@@ -267,7 +268,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
+        li.join(_mb(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 2
@@ -315,7 +316,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "supplier")
     return (
         rev0.join(F.broadcast(mx), rev0.total_rev_exact == mx.mx)
-        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .join(_mb(s), F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -362,8 +363,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     return (
-        big.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        big.join(_mb(o), F.col("l_orderkey") == o.o_orderkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -410,7 +411,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#13") & sz.between(1, 10) & q.between(10, 20))
         | ((br == "Brand#23") & sz.between(1, 15) & q.between(20, 30))
     )
-    return li.join(p, li.l_partkey == p.p_partkey).filter(cond).agg(
+    return li.join(_mb(p), li.l_partkey == p.p_partkey).filter(cond).agg(
         _rev_out()
     )
 
@@ -462,10 +463,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(_mb(p), li.l_partkey == p.p_partkey)
+        .join(_mb(s), li.l_suppkey == s.s_suppkey)
+        .join(_mb(o), li.l_orderkey == o.o_orderkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -526,7 +527,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (
         _spread(T(spark, sf_dir, "lineitem"))
-        .join(p, F.col("l_partkey") == p.p_partkey, "left_semi")
+        .join(_mb(p), F.col("l_partkey") == p.p_partkey, "left_semi")
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .persist()
     )
@@ -534,7 +535,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(stats, li.l_partkey == F.col("sk"))
+        li.join(_mb(stats), li.l_partkey == F.col("sk"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -587,7 +588,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _spread(T(spark, sf_dir, "lineitem")).select("l_orderkey", "l_shipdate")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(_mb(o), li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .select("o_orderkey", "o_orderpriority")
         .distinct()
@@ -637,9 +638,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0.10 AS DECIMAL(4,2))"
     ) * F.col("l_quantity").cast("decimal(18,2)")
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        li.join(_mb(p), li.l_partkey == p.p_partkey)
+        .join(_mb(s), li.l_suppkey == s.s_suppkey)
+        .join(_mb(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -684,7 +685,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(_mb(o), li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_linestatus")
         .agg(
@@ -731,7 +732,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part").filter(F.col("p_size") == 10)
     li = _spread(T(spark, sf_dir, "lineitem"))
     ps = (
-        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(_mb(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
@@ -739,7 +740,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     reg_pairs = (
-        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        ps.join(_mb(s), ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "s_name", "s_acctbal", "n_name")
@@ -748,7 +749,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         reg_pairs.withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
-        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(_mb(p), F.col("l_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -789,7 +790,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
+        li.join(_mb(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -847,13 +848,13 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _spread(T(spark, sf_dir, "lineitem"))
     ps = (
-        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(_mb(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
     return (
-        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(p, ps.l_partkey == p.p_partkey)
+        ps.join(_mb(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(_mb(p), ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -895,7 +896,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     qualifying = (
-        li.join(small, li.l_partkey == small.p_partkey, "left_semi")
+        li.join(_mb(small), li.l_partkey == small.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 100)
@@ -904,7 +905,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
-        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(_mb(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
@@ -962,7 +963,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     per_pair = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(_mb(o), li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_cnt"))
     )
@@ -984,7 +985,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") > 1)
             & (F.col("n_late_supp") == 1)
         )
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(_mb(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.sum("late_cnt").cast("bigint").alias("numwait"))
@@ -1039,7 +1040,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos")
             > F.col("total_pos"),
         )
-        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(_mb(recent), c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
@@ -1137,10 +1138,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(_mb(o), li.l_orderkey == o.o_orderkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .join(
-            s,
+            _mb(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from libcolumnfile_spark.tables import load_table
+from libcolumnfile_spark.tables import load_table, maybe_broadcast as _mb
 
 
 @dataclass
@@ -409,7 +409,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
     c = T(spark, sf_dir, "customer")
-    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+    return o.join(_mb(c), o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 
@@ -474,7 +474,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.round(
@@ -523,9 +523,9 @@ def q_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(_mb(c), o.o_custkey == c.c_custkey)
         .join(
-            s,
+            _mb(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

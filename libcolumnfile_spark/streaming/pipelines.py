@@ -26,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from libcolumnfile_spark.tables import maybe_broadcast as _mb
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -115,7 +117,7 @@ def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return (
-        events.join(seg, "user_id")
+        events.join(_mb(seg), "user_id")
         .groupBy("segment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

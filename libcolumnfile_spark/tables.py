@@ -121,3 +121,46 @@ def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> No
     """Register every fixture table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast hint iff the frame's input files total under the
+    session's autoBroadcastJoinThreshold — size-measured, never assumed.
+
+    Why it exists: deep join chains lose static size estimates (the
+    planner can't see through an upstream join), so an unhinted small
+    dim falls to sort-merge until AQE converts it — after the fact
+    side's shuffle write has already been paid. A FORCED hint is worse:
+    it OOMs when the side scales (the x100 probe caught exactly that).
+    This helper hints from the measured file size: small dim -> static
+    broadcast plan; big dim (or un-sizable derived input) -> no hint,
+    the size-based planner + AQE decide. Filters over the input only
+    shrink it, so the file total is a safe upper bound.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        threshold = int(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        if threshold <= 0:
+            return df
+        files = df.inputFiles()
+        if not files:
+            return df
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme in ("file", ""):
+                total += os.path.getsize(unquote(p.path))
+            else:
+                from libcolumnfile_spark.sources.columnfile.fs import fs_size
+
+                total += fs_size(f)
+        # parquet decompresses 2-5x, and the hash-relation build adds
+        # overhead on top — require 8x headroom so only genuinely
+        # dim-sized inputs hint (at sf0.1: orders 2.7 MB and below hint,
+        # the 10.8 MB lineitem fact does not)
+        if 0 < total * 8 <= threshold:
+            return F.broadcast(df)
+    except Exception:
+        pass
+    return df
