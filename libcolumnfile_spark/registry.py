@@ -41,7 +41,7 @@ _PRIORITY = [
     "q_union_all", "q_intersect", "q_sort", "q_topk",
     # aggregation surface
     "q_group_agg", "q_distinct", "q_rollup", "q_percentile",
-    "q_stats_agg", "q_minmax_by",
+    "q_stats_agg", "q_minmax_by", "q_histogram",
     # join surface
     "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
     "q_join_agg", "q_join_q5",
@@ -52,11 +52,12 @@ _PRIORITY = [
     "q_subquery", "q_exists_subquery",
     # windows + event analytics
     "q_window_rank", "q_window_running", "q_window_range", "q_sessionize",
+    "q_funnel", "q_gap_fill",
     # reshape / scalar / nested
     "q_pivot", "q_scalar_str_date", "q_json_extract", "q_explode",
     # columnfile format layer + stock sources + partition pruning
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
-    "q_partition_pruned",
+    "q_partition_pruned", "q_zorder_filter",
     # text analysis + IR
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality",
     "q_token_count", "q_tfidf",
@@ -71,6 +72,7 @@ _PRIORITY = [
     # corpus pipeline (incl. one mixing + one versioning rep)
     "q_sample_hash", "q_pii_redact", "q_pack_sequences", "q_contamination",
     "q_repetition", "q_corpus_pipeline", "q_mix_weighted", "q_upsert_merge",
+    "q_profile_columns", "q_dq_constraints",
     # streaming batch faces
     "q_stream_tumbling", "q_stream_dedup",
 ]
