@@ -106,6 +106,28 @@ CASES = {
         "SELECT g, sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS nulls, "
         "sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS negs FROM rnd_t1 GROUP BY g"
     ),
+    "except_shape": (
+        "SELECT k FROM rnd_t1 EXCEPT SELECT k FROM rnd_t2"
+    ),
+    "union_distinct": (
+        "SELECT k FROM rnd_t1 UNION SELECT k FROM rnd_t2"
+    ),
+    "window_rows_frame": (
+        "SELECT k, g, CAST(sum(k) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM (SELECT DISTINCT k, g FROM rnd_t1) x"
+    ),
+    "having_filter": (
+        "SELECT k, count(*) AS n FROM rnd_t1 GROUP BY k HAVING count(*) > 120"
+    ),
+    "left_outer_nulls": (
+        "SELECT rnd_t2.k, count(rnd_t1.k) AS matched FROM rnd_t2 "
+        "LEFT JOIN rnd_t1 ON rnd_t1.k = rnd_t2.k GROUP BY rnd_t2.k"
+    ),
+    "scalar_funcs": (
+        "SELECT k, abs(g) AS ag, coalesce(v, -1.0) AS cv, length(s) AS ls "
+        "FROM rnd_t1 WHERE g <> 0"
+    ),
 }
 
 
