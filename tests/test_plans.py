@@ -217,3 +217,19 @@ def test_tpch_scalar_subquery_queries_scan_fact_once(spark):
         plan = plan_of(spark, name)
         n = plan.lower().count("lineitem.parquet")
         assert n == 1, f"{name}: expected 1 lineitem scan, got {n}"
+
+
+def test_maybe_broadcast_is_size_gated(spark):
+    # dim-sized inputs get the static hint; the fact table must NOT
+    # (forced fact broadcasts OOM'd the x100 probe — the policy this
+    # helper encodes)
+    from libcolumnfile_spark.tables import load_table, maybe_broadcast
+
+    sf = "/root/testdata/sf0.1"
+
+    def hinted(df):
+        return "hint" in df._jdf.queryExecution().logical().toString().lower()
+
+    assert hinted(maybe_broadcast(load_table(spark, sf, "customer")))
+    assert hinted(maybe_broadcast(load_table(spark, sf, "orders")))
+    assert not hinted(maybe_broadcast(load_table(spark, sf, "lineitem")))
