@@ -49,6 +49,10 @@ CONTRACTS = {
     # TPC-H pack representatives (facts replicate x10 with a shared
     # orderkey shift, dims fixed — tools/scale_probe.py FACT_COLS):
     # broadcast-dim star joins and stacked aggregates must stay flat
+    "q_tpch_q1": (0.8, 2.5),    # one partial/final agg, 6 groups
+    "q_tpch_q5": (0.7, 2.5),    # 6-table chain, size-measured dims
+    "q_tpch_q13": (1.7, 3.5),   # outer join + stacked aggs on customer
+    "q_histogram": (0.8, 2.5),  # map-side bucket, O(buckets) shuffle
     "q_tpch_q3": (1.0, 2.5),    # fact scan + 2 broadcast dims + group
     "q_tpch_q2": (0.9, 2.5),    # semi-filtered pair-distinct + window
     "q_tpch_q21": (1.3, 3.0),   # two stacked aggs, 2 narrow shuffles
