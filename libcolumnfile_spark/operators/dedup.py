@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from libcolumnfile_spark.queries import query, T
+from libcolumnfile_spark.queries import pin, query, T
 from libcolumnfile_spark.tables import spread as _spread
 
 # ---------------------------------------------------------------------------
@@ -397,7 +397,7 @@ def minhash_lsh_dedup(
     # count: the first action (the candidate count below) populates the
     # cache as a side effect — an extra materialization job would only
     # add a scheduling round-trip.
-    toks = toks.persist()
+    toks = pin(toks)
     # signature + banding in ONE vectorized numpy kernel (map-side, no
     # shuffle) — see minhash_band_keys_kernel for the measured rationale
     bands_udf = minhash_band_keys_kernel(n_hashes, n_bands, shingle_n)
@@ -436,7 +436,7 @@ def minhash_lsh_dedup(
     # pipeline re-executes per consumer — measured ~0.8 s × 3 at sf0.1.
     # The frame is tiny (pairs that share a band), so this is cheap
     # insurance at any scale.
-    candidates = candidates.persist()
+    candidates = pin(candidates)
 
     # Verify stage recomputes shingles ONLY for candidate docs: semi-join
     # the corpus down to candidate ids first (candidates are the tiny
@@ -486,7 +486,7 @@ def _candidate_ids(candidates: DataFrame) -> tuple[DataFrame, int]:
     )
     n_ids_est = 2 * n_pairs
     if n_ids_est > _BROADCAST_DOC_LIMIT:
-        cand_ids = cand_ids.distinct().persist()
+        cand_ids = pin(cand_ids.distinct())
         n_ids_est = cand_ids.count()
     strategy = "broadcast" if n_ids_est <= _BROADCAST_DOC_LIMIT else "shuffle"
     print(
@@ -594,9 +594,9 @@ def minhash_exact_dedup(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
-    g = toks.select(
+    g = pin(toks.select(
         "id", shingles_from_tokens(F.col("toks"), shingle_n).alias("grams")
-    ).persist()
+    ))
     g.count()
     # hash + rehash AFTER exploding from the cache, as plain
     # projections/aggregates (whole-stage codegen — md5+conv inside a
@@ -869,7 +869,7 @@ def ngram_jaccard_pairs(
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     # three consumers (broadcast id set + both join sides) — persist so
     # the blocked self-join runs once (same rationale as minhash_lsh_dedup)
-    candidates = candidates.persist()
+    candidates = pin(candidates)
     # Verify stage: shingle ONLY the candidate docs (semi-join on the
     # broadcast candidate-id set), then exact Jaccard — the expensive
     # array work touches O(candidates), not O(corpus).

@@ -34,7 +34,13 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integer
     columns: result bit 2i = bit i of ``a``, bit 2i+1 = bit i of ``b``.
     A static shift/mask expression tree (2*bits terms) — whole-stage
-    codegens, no UDF."""
+    codegens, no UDF.
+
+    DOMAIN LIMIT: keys >= 2**bits alias onto the same interleaved range
+    (high bits are dropped), which silently degrades clustering quality
+    — correctness is unaffected (results are layout-invariant) but
+    pruning collapses. ``zorder_by(bits=None)`` derives ``bits`` from
+    the observed column max at write time to avoid this."""
     a = a.cast("bigint")
     b = b.cast("bigint")
     terms = []
@@ -44,9 +50,21 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
-def zorder_by(df: DataFrame, c1: str, c2: str, bits: int = 16) -> DataFrame:
+def zorder_by(df: DataFrame, c1: str, c2: str, bits: int | None = 16) -> DataFrame:
     """Cluster ``df`` along the Z-curve of (c1, c2): one range shuffle +
-    in-partition sort (no single-node global sort)."""
+    in-partition sort (no single-node global sort).
+
+    ``bits=None`` sizes the interleave from the observed column maxima
+    (one cheap min/max-only agg at write time — layout writes are
+    one-offs) so large key domains don't silently alias past the
+    morton_code 2**bits limit."""
+    if bits is None:
+        mx = df.agg(
+            F.max(F.col(c1).cast("bigint")).alias("m1"),
+            F.max(F.col(c2).cast("bigint")).alias("m2"),
+        ).first()
+        top = max(mx["m1"] or 0, mx["m2"] or 0, 1)
+        bits = min(32, max(1, int(top).bit_length()))
     z = morton_code(F.col(c1), F.col(c2), bits).alias("__z")
     from libcolumnfile_spark.session import default_parallelism
 

@@ -92,7 +92,7 @@ def q_sample_hash(spark, sf_dir):
         f"WHEN {_bucket_sql('doc_id')} < 80 THEN 'train' "
         f"WHEN {_bucket_sql('doc_id')} < 90 THEN 'valid' "
         "ELSE 'test' END AS split, "
-        "count(*) AS n_docs, sum(n_chars) AS n_chars "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars "
         "FROM documents GROUP BY 1"
     ),
     doc=(
@@ -144,7 +144,9 @@ def pack_sequences(
     t = df.select(
         F.col(id_col).alias("doc_id"),
         hash_bucket(F.col(id_col), n_groups).alias("grp"),
-        toks.alias("n_tokens"),
+        # bigint: F.size is int32, but the oracle's len() is BIGINT and
+        # the driver hash is dtype-sensitive (int32 5 != int64 5)
+        toks.cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("grp")
@@ -339,10 +341,11 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> tuple[Column, Column]:
-    """(n_emails, n_phones) occurrence counts (for scrub audit reports)."""
+    """(n_emails, n_phones) occurrence counts (for scrub audit reports).
+    BIGINT, matching DuckDB's len() — the driver hash is dtype-sensitive."""
     return (
-        F.size(F.regexp_extract_all(text, F.lit(_EMAIL_RE), 0)),
-        F.size(F.regexp_extract_all(text, F.lit(_PHONE_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(_EMAIL_RE), 0)).cast("bigint"),
+        F.size(F.regexp_extract_all(text, F.lit(_PHONE_RE), 0)).cast("bigint"),
     )
 
 
@@ -692,7 +695,7 @@ def q_dedup_cc(spark, sf_dir):
         "  + (1.0 - least(pr * 5.0, 1.0)) * 0.3 "
         "  + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 4) AS quality FROM r) "
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
-        "sum(n_tokens) AS total_tokens, "
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
         "round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4) AS avg_quality "
         "FROM q WHERE quality >= 0.5 GROUP BY lang"
     ),

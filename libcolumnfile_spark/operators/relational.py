@@ -722,7 +722,9 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.n_name").alias("name_a"),
             F.col("b.n_name").alias("name_b"),
-            dist.alias("dist"),
+            # bigint: Spark levenshtein is int32, DuckDB's is BIGINT, and
+            # the driver hash is dtype-sensitive
+            dist.cast("bigint").alias("dist"),
         )
         .filter(F.col("dist") <= 6)
     )
@@ -825,7 +827,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnts AS (SELECT user_id, date_trunc('hour', ts) AS hour_ts, "
         "count(*) AS n FROM events GROUP BY user_id, date_trunc('hour', ts)) "
         "SELECT g.user_id, count(*) AS n_hours, "
-        "sum(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS n_gap_hours, "
+        "CAST(sum(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_gap_hours, "
         "CAST(sum(COALESCE(c.n, 0)) AS BIGINT) AS n_events "
         "FROM grid g LEFT JOIN cnts c "
         "ON g.user_id = c.user_id AND g.hour_ts = c.hour_ts "

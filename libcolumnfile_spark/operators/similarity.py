@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from libcolumnfile_spark.queries import query, T
+from libcolumnfile_spark.queries import pin, query, T
 from libcolumnfile_spark.tables import spread as _spread
 
 
@@ -194,7 +194,7 @@ def cosine_near_pairs(
     # normalization + n_planes dot products feed both sides of the
     # self-join; persist so each vector is processed once, not twice
     # (count() force-fills the cache before the self-join scans twice)
-    bucketed = bucketed.persist()
+    bucketed = pin(bucketed)
     n_vectors = bucketed.count()
     # Two physical strategies for the same logical pairs, picked by the
     # expected bucket size (n / 2^planes) — the count above is free (it
@@ -809,9 +809,7 @@ def ivf_seeded_topk(
 
     cents_arr = [np.asarray(c, dtype=np.float64) for c in cents]
 
-    @F.pandas_udf("int")
-    def _assign_list(emb: pd.Series) -> pd.Series:
-        M = np.array(list(emb), dtype=np.float64)
+    def _assign_block(M: "np.ndarray") -> "np.ndarray":
         n = M.shape[0]
         best_d = np.full(n, -np.inf)
         best_c = np.zeros(n, dtype=np.int32)
@@ -822,7 +820,24 @@ def ivf_seeded_topk(
             better = acc > best_d
             best_d = np.where(better, acc, best_d)
             best_c = np.where(better, np.int32(c), best_c)
-        return pd.Series(best_c)
+        return best_c
+
+    @F.pandas_udf("int")
+    def _assign_list(emb: pd.Series) -> pd.Series:
+        # empty Arrow batches (AQE-coalesced empty partitions) and null
+        # embeddings make np.array ragged/1-D and crash M.shape[1]
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        null_mask = emb.isna()
+        if null_mask.any():
+            out = np.full(len(emb), -1, dtype=np.int32)
+            valid = emb[~null_mask]
+            if len(valid):
+                out[(~null_mask).to_numpy()] = _assign_block(
+                    np.array(list(valid), dtype=np.float64)
+                )
+            return pd.Series(out)
+        return pd.Series(_assign_block(np.array(list(emb), dtype=np.float64)))
 
     q = _lit_vec(query_vec)
     return (

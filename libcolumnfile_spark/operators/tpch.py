@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.queries import T, pin, query
 from libcolumnfile_spark.tables import maybe_broadcast as _mb
 from libcolumnfile_spark.tables import spread as _spread
 
@@ -310,8 +310,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev0 = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_rev().alias("total_rev_exact"))
-        .persist()
     )
+    rev0 = pin(rev0)
     mx = rev0.agg(F.max("total_rev_exact").alias("mx"))
     s = T(spark, sf_dir, "supplier")
     return (
@@ -529,8 +529,8 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(T(spark, sf_dir, "lineitem"))
         .join(_mb(p), F.col("l_partkey") == p.p_partkey, "left_semi")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-        .persist()
     )
+    li = pin(li)
     stats = li.groupBy(F.col("l_partkey").alias("sk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
@@ -659,10 +659,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ship-vs-order-date gap as in q4. Counts are BIGINT on both engines.
     oracle=(
         "SELECT l_linestatus, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS high_line_count, "
-        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS low_line_count "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
         "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
         "AND l_shipdate >= TIMESTAMP '1997-01-01' "
@@ -802,8 +802,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted: feeds both the threshold scalar and the filter join;
         # bounded by |part| rows, and without the pin each branch
         # re-scans the fact (2 lineitem scans, plan-audited)
-        .persist()
     )
+    v = pin(v)
     total = v.agg(
         F.count("*").alias("n_parts"),
         (F.sum("val") * F.expr("CAST(2.5 AS DECIMAL(2,1))")).alias("threshold"),

@@ -41,13 +41,52 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Persisted intermediates pinned by the CURRENT query (see pin()). A
+# query's pins must outlive its lazy result plan — the caller collects
+# after the function returns — so they are released lazily, when the
+# NEXT query is invoked. Bounds cached-partition accumulation across
+# repeated bench/driver invocations to one query's worth.
+_PINNED: list[DataFrame] = []
+_QUERY_DEPTH = 0
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + register for release at the next query invocation."""
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def _release_pins() -> None:
+    global _PINNED
+    for df in _PINNED:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    _PINNED = []
+
 
 def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator registering a declared query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
-        return fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # release the previous query's pins, but only at top level —
+            # a query composed from another query must not drop its own
+            global _QUERY_DEPTH
+            if _QUERY_DEPTH == 0:
+                _release_pins()
+            _QUERY_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _QUERY_DEPTH -= 1
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, spark_fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return wrapped
 
     return deco
 

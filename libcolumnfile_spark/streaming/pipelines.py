@@ -235,30 +235,56 @@ def running_totals_stateful(df: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
-def upsert_stream(stream_df, target_dir: str, checkpoint_dir: str, key_col: str = "doc_id"):
+def upsert_stream(
+    stream_df,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    ord_col: str | None = None,
+):
     """Streaming keyed upsert: each micro-batch MERGEs into a parquet
     target (updates replace matching keys, new keys append) — the
     foreachBatch form of operators/pipeline.py::q_upsert_merge.
 
-    Within a batch, last-write-wins per key ordered by the batch's own
-    rows (dropDuplicates after a deterministic sort). The merge is the
-    rewrite pattern: batch UNION (target ANTI-JOIN batch), written to a
-    fresh directory then swapped in — on a real deployment the swap is a
-    table-format transaction (Delta/Iceberg commit) and the anti-join
-    co-partitions with a bucketed target; exactly-once comes from the
-    checkpoint (foreachBatch may retry a batch, and the merge is
-    idempotent per key, so retries converge).
+    Within a batch, the winner per key is the row with the greatest
+    ``ord_col`` (ties broken arbitrarily) when one is given; without an
+    ordering column, WHICH duplicate survives is arbitrary —
+    dropDuplicates keeps an unspecified row per key, and no sort can
+    change that (pass ord_col for deterministic last-write-wins). The
+    merge is the rewrite pattern: batch UNION (target ANTI-JOIN batch),
+    written to a fresh directory then swapped in via rename-away /
+    rename-in (a crash between the two renames leaves a recoverable
+    ``.__bak``; the next retry restores it) — on a real deployment the
+    swap is a table-format transaction (Delta/Iceberg commit) and the
+    anti-join co-partitions with a bucketed target; exactly-once comes
+    from the checkpoint (foreachBatch may retry a batch, and the merge
+    is idempotent per key, so retries converge).
     """
     import os
     import shutil
 
+    from pyspark.sql import Window
+
+    bak_dir = f"{target_dir}.__bak"
+
     def merge_batch(batch_df, batch_id: int):
         spark = batch_df.sparkSession
-        batch_df = batch_df.orderBy(key_col).dropDuplicates([key_col])
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
+        if ord_col is not None:
+            w = Window.partitionBy(key_col).orderBy(F.col(ord_col).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([key_col])
+        # crash recovery: a previous attempt may have renamed the target
+        # away (to .__bak) and died before renaming the new one in
+        read_dir = target_dir if os.path.isdir(target_dir) else bak_dir
+        if os.path.isdir(read_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(read_dir)
         ):
-            target = spark.read.parquet(target_dir)
+            target = spark.read.parquet(read_dir)
             merged = batch_df.unionByName(
                 target.join(batch_df.select(key_col), key_col, "left_anti")
             )
@@ -266,9 +292,15 @@ def upsert_stream(stream_df, target_dir: str, checkpoint_dir: str, key_col: str 
             merged = batch_df
         tmp = f"{target_dir}.__stage_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # swap via rename, never rmtree-then-rename: the prior state stays
+        # recoverable at every instant of the swap
         if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
+            if os.path.isdir(bak_dir):
+                shutil.rmtree(bak_dir)
+            os.replace(target_dir, bak_dir)
         os.replace(tmp, target_dir)
+        if os.path.isdir(bak_dir):
+            shutil.rmtree(bak_dir)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

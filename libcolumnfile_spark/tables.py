@@ -134,8 +134,14 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
     it OOMs when the side scales (the x100 probe caught exactly that).
     This helper hints from the measured file size: small dim -> static
     broadcast plan; big dim (or un-sizable derived input) -> no hint,
-    the size-based planner + AQE decide. Filters over the input only
-    shrink it, so the file total is a safe upper bound.
+    the size-based planner + AQE decide.
+
+    PRECONDITION: the frame must be non-amplifying over its one input
+    (scan + filter/project/aggregate) — only then do the leaf file bytes
+    upper-bound the broadcast size. Row-amplifying plans (joins, explode
+    /Generate, grouping-set Expand, unions) would be under-estimated, so
+    the guard below detects them (multi-leaf plan, or Generate/Expand in
+    a single-leaf plan) and returns the frame unhinted.
     """
     from pyspark.sql import functions as F
 
@@ -143,9 +149,16 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
         threshold = int(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
         if threshold <= 0:
             return df
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.collectLeaves().size() > 1:
+            return df  # join/union: file bytes no longer bound the output
         files = df.inputFiles()
         if not files:
             return df
+        # single-leaf plans are a handful of nodes; the render is cheap
+        tree = analyzed.treeString()
+        if "Generate " in tree or "Expand " in tree:
+            return df  # explode / grouping-sets amplify rows past the bound
         total = 0
         for f in files:
             p = urlparse(f)

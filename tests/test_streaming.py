@@ -439,3 +439,48 @@ def test_streaming_upsert_merges_incrementally(spark, tmp_path):
     _run_stream(P.upsert_stream(stream, target, ckpt).start())
     state2 = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(target).collect()}
     assert state2 == {1: 10, 2: 99, 3: 30, 4: 40}
+
+
+def test_streaming_upsert_ord_col_deterministic_winner(spark, tmp_path):
+    """A batch with duplicate keys must resolve last-write-wins by the
+    explicit ordering column — the greatest ord_col row survives, on
+    every run (pipelines.py upsert_stream ord_col path)."""
+    src = str(tmp_path / "updates_in")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10, 1), (1, 77, 9), (1, 33, 5), (2, 20, 1)],
+        "doc_id bigint, n_chars bigint, ver bigint",
+    ).repartition(4).write.parquet(f"{src}/b1")
+    stream = spark.readStream.schema(
+        "doc_id bigint, n_chars bigint, ver bigint"
+    ).parquet(f"{src}/*")
+    _run_stream(P.upsert_stream(stream, target, ckpt, ord_col="ver").start())
+    state = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(target).collect()}
+    assert state == {1: 77, 2: 20}
+
+
+def test_streaming_upsert_recovers_from_crash_window(spark, tmp_path):
+    """If a crash hit between rename-away and rename-in (target gone,
+    .__bak present), the next batch must still merge against the prior
+    state instead of silently dropping it."""
+    src = str(tmp_path / "updates_in")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id bigint, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    stream = spark.readStream.schema("doc_id bigint, n_chars bigint").parquet(f"{src}/*")
+    _run_stream(P.upsert_stream(stream, target, ckpt).start())
+    # simulate the crash window: target renamed away, new dir never arrived
+    os.replace(target, f"{target}.__bak")
+    spark.createDataFrame(
+        [(2, 99), (3, 30)], "doc_id bigint, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    stream = spark.readStream.schema("doc_id bigint, n_chars bigint").parquet(f"{src}/*")
+    _run_stream(P.upsert_stream(stream, target, ckpt).start())
+    state = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(target).collect()}
+    assert state == {1: 10, 2: 99, 3: 30}
+    assert not os.path.isdir(f"{target}.__bak")
