@@ -1,11 +1,14 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed via Arrow-batched mapInPandas.
+"""Multimodal columns: image/audio/video as binary columns with typed
+metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no PIL/ffmpeg in this container — see
-fake_decode_image): it produces a deterministic fake so the Spark-side
-plumbing — schema, batch iteration, partitioning, UDF signatures — is
-real and tested. Swap `_decode_image_bytes` for a real decoder in
-production; nothing else changes.
+The decode step is REAL for PNG, binary netpbm (PPM/PGM), and WAV —
+dependency-free codecs in operators/media_codec.py (stdlib zlib/wave +
+numpy). q_media_decode encodes genuine PNG/PPM/WAV payloads from the
+documents fixture, decodes them back, and value-oracles the recovered
+dimensions / channel counts / pixel means / sample rates / RMS against
+DuckDB recomputing the same derivations. Only formats that need a
+native codec (JPEG, MP4/H.264) remain stubbed behind the same
+interface (decode_image raises NotImplementedError for JPEG).
 
 Scale notes: binary payloads never cross a shuffle here — all transforms
 are mapInPandas (map-only). At 100 TB of media, partition sizing is
@@ -25,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -165,6 +169,113 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL encode/decode (media_codec.py): PNG / PPM / WAV end-to-end
+# ---------------------------------------------------------------------------
+
+ENCODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+REAL_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("pixel_mean", DoubleType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def encode_media(df: DataFrame) -> DataFrame:
+    """Build REAL encoded payloads from the metadata columns of
+    media_table: constant-color PNG (even media_id) / PPM (odd) images at
+    the metadata dimensions, constant-amplitude PCM16 WAV at the metadata
+    duration. Video keeps the opaque fake payload (no stdlib MP4 codec).
+    Deterministic per media_id, so every decoded property is a pure
+    function of (doc_id, n_chars) — SQL-recomputable by the oracle.
+    """
+    import numpy as np
+
+    from libcolumnfile_spark.operators import media_codec as mc
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, kind, w, h, dur, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["width"], pdf["height"],
+                pdf["duration_ms"], pdf["payload"],
+            ):
+                if kind == "image":
+                    px = np.full((int(h), int(w), 3), int(mid) % 256, dtype=np.uint8)
+                    payloads.append(
+                        mc.encode_png(px) if mid % 2 == 0 else mc.encode_ppm(px)
+                    )
+                elif kind == "audio":
+                    amp = int(mid) % 1000 + 1
+                    frames = int(dur) * 8  # 8000 Hz
+                    payloads.append(
+                        mc.encode_wav(np.full(frames, amp, dtype=np.int16), 8000)
+                    )
+                else:  # video: opaque fake bytes (decode stays stubbed)
+                    payloads.append(bytes(payload) if payload is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(_map, schema=ENCODED_SCHEMA)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL decode over encoded payloads: sniffs PNG/PPM/WAV and parses
+    pixels/samples with media_codec; rows whose format needs a native
+    codec surface fmt='unsupported' with NULL properties (honest stub
+    boundary instead of fake numbers)."""
+    from libcolumnfile_spark.operators import media_codec as mc
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                rec = {"media_id": mid, "kind": kind, "fmt": None,
+                       "width": None, "height": None, "channels": None,
+                       "pixel_mean": None, "sample_rate": None,
+                       "duration_ms": None, "rms": None}
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    b = bytes(payload)
+                    if b[:4] == b"RIFF":
+                        d = mc.decode_wav(b)
+                        rec.update(fmt=d["fmt"], channels=d["channels"],
+                                   sample_rate=d["sample_rate"],
+                                   duration_ms=d["duration_ms"], rms=d["rms"])
+                    else:
+                        d = mc.decode_image(b)
+                        rec.update(fmt=d["fmt"], width=d["width"], height=d["height"],
+                                   channels=d["channels"], pixel_mean=d["pixel_mean"])
+                except Exception:
+                    rec["fmt"] = "unsupported"
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_map, schema=REAL_DECODED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
     """Video frame-sampling plumbing: expands each video row into frame
     timestamps (the decode of actual frames is the stubbed step). Shows
@@ -301,3 +412,145 @@ def resize_plumbing(df: DataFrame, max_side: int = 32) -> DataFrame:
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plumbing(media_table(spark, sf_dir))
+
+
+@query(
+    "q_media_decode",
+    # Every decoded property is a pure function of (doc_id, n_chars):
+    # the Spark side ENCODES real PNG/PPM/WAV bytes then DECODES them
+    # with media_codec; the oracle recomputes what a correct decode must
+    # recover. BIGINT for the nullable integer properties so both
+    # engines' pandas fetch paths materialize identically.
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind, "
+        "CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END) "
+        "     WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'unsupported' END AS fmt, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 64 + 16 AS BIGINT) END AS width, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 64 + 16 AS BIGINT) END AS height, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(3 AS BIGINT) "
+        "     WHEN doc_id % 3 = 1 THEN CAST(1 AS BIGINT) END AS channels, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS pixel_mean, "
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS BIGINT) END AS sample_rate, "
+        "CASE WHEN doc_id % 3 = 1 THEN CAST((n_chars % 5 + 1) * 1000 AS BIGINT) END AS duration_ms, "
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1000 + 1 AS DOUBLE) END AS rms "
+        "FROM documents"
+    ),
+    doc=(
+        "REAL multimodal decode round-trip: encode genuine PNG/PPM "
+        "images and PCM16 WAV audio from fixture-derived metadata, "
+        "decode them back with the dependency-free codecs "
+        "(media_codec.py: zlib+numpy PNG incl. all 5 row filters, "
+        "netpbm, RIFF/WAVE), and verify the recovered dimensions, "
+        "channel counts, exact pixel means, sample rates and RMS. "
+        "Video (no stdlib MP4 codec) honestly surfaces "
+        "fmt='unsupported' with NULL properties. Map-only end to end; "
+        "payload bytes never shuffle."
+    ),
+    tags=("multimodal", "udf"),
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(encode_media(media_table(spark, sf_dir)))
+
+
+RESIZE_REAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("out_w", LongType(), True),
+        StructField("out_h", LongType(), True),
+        StructField("resized_mean", DoubleType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL image resize: decode pixels, nearest-neighbor resample to the
+    aspect-preserving box, emit the ACTUAL resized array's shape and
+    pixel mean (not metadata arithmetic)."""
+    import numpy as np
+
+    from libcolumnfile_spark.operators import media_codec as mc
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = mc.decode_image(bytes(payload))
+                    w, h = d["width"], d["height"]
+                    # decode_image returns stats; the resample needs the
+                    # full pixel array — parse via the low-level path
+                    px = _pixels_of(bytes(payload))
+                    scale = min(1.0, max_side / max(w, h))
+                    ow, oh = int(w * scale), int(h * scale)
+                    r = mc.resize_nearest(px, ow, oh)
+                    rows.append(
+                        {"media_id": mid, "width": w, "height": h,
+                         "out_w": r.shape[1], "out_h": r.shape[0],
+                         "resized_mean": float(np.asarray(r, dtype=np.float64).mean())}
+                    )
+                except Exception:
+                    rows.append({"media_id": mid, "width": None, "height": None,
+                                 "out_w": None, "out_h": None, "resized_mean": None})
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "image").mapInPandas(_map, schema=RESIZE_REAL_SCHEMA)
+
+
+def _pixels_of(b: bytes):
+    """Decode the full pixel array (h, w, ch) from PNG or netpbm bytes."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from libcolumnfile_spark.operators import media_codec as mc
+
+    if b[:8] == mc.PNG_MAGIC:
+        pos = 8
+        idat = b""
+        while pos + 8 <= len(b):
+            (length,) = _struct.unpack(">I", b[pos : pos + 4])
+            tag = b[pos + 4 : pos + 8]
+            body = b[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, depth, ctype, _, _, _ = _struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat += body
+        ch = 1 if ctype == 0 else 3
+        flat = mc._unfilter(_zlib.decompress(idat), h, w, ch)
+        return flat.reshape(h, w, ch) if ch == 3 else flat.reshape(h, w)
+    d = mc.decode_ppm(b)
+    w, h, ch = d["width"], d["height"], d["channels"]
+    header_len = len(b) - w * h * ch
+    px = np.frombuffer(b, dtype=np.uint8, offset=header_len)
+    return px.reshape(h, w, ch) if ch == 3 else px.reshape(h, w)
+
+
+@query(
+    "q_media_resize_real",
+    # constant-color source image => the REAL resample must preserve the
+    # mean exactly; box arithmetic mirrors resize_media's int(w*scale)
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "CAST(n_chars % 64 + 16 AS BIGINT) AS width, "
+        "CAST(n_chars % 64 + 16 AS BIGINT) AS height, "
+        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS BIGINT) AS out_w, "
+        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS BIGINT) AS out_h, "
+        "CAST(doc_id % 256 AS DOUBLE) AS resized_mean "
+        "FROM documents WHERE doc_id % 3 = 0"
+    ),
+    doc=(
+        "REAL image resize: decode PNG/PPM pixel arrays, nearest-"
+        "neighbor resample to the <=32px aspect box (numpy index "
+        "gather), report the resized array's actual shape and pixel "
+        "mean. The oracle pins both the box arithmetic and that the "
+        "resample preserved the (constant) pixel distribution."
+    ),
+    tags=("multimodal", "udf"),
+)
+def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(encode_media(media_table(spark, sf_dir)))

@@ -136,17 +136,46 @@ def lsh_topk(
     )
 
 
+def adaptive_n_planes(
+    n_vectors: int,
+    target_pairs: int = 500_000,
+    lo: int = 4,
+    hi: int = 24,
+) -> int:
+    """Plane count sized so expected candidate pairs ~ n^2 / 2^planes
+    stays near ``target_pairs``: n_planes = ceil(log2(n^2 / target)).
+
+    This removes the quadratic-by-configuration failure mode of a FIXED
+    plane count (the x100 probe measured 62 s at n_planes=6 / 200k
+    vectors vs 3.6 s at n_planes=10): the bucket count now grows with
+    the corpus, keeping per-bucket products bounded. Pair it with
+    probes=1 (1-bit multi-probe) so the extra planes do not cost recall
+    — a cos-similar pair straddling one hyperplane is still found.
+    """
+    import math
+
+    if n_vectors < 2:
+        return lo
+    need = math.ceil(math.log2(max(1.0, float(n_vectors) * n_vectors / target_pairs)))
+    return min(hi, max(lo, need))
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     seed: int = 13,
     probes: int = 0,
     kernel_min_pairs: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-bucketed self-join.
+
+    ``n_planes=None`` self-tunes the plane count from the measured
+    vector count (see adaptive_n_planes) — the scale-safe default;
+    explicit values remain for oracle-pinned queries whose SQL replicates
+    a fixed bucketing.
 
     probes=0: only same-bucket pairs are scored (cosine-similar vectors
     collide with high probability under SRP); the join shuffles on the
@@ -167,6 +196,11 @@ def cosine_near_pairs(
     scale knob; this decouples it from recall.
     """
     dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    if n_planes is None:
+        # one metadata-cheap count sizes the bucket space; multi-probe
+        # keeps recall while the planes scale with the corpus
+        n_planes = adaptive_n_planes(df.count())
+        probes = 1
     planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
     # Unit-normalize map-side: pair scoring then needs ONE dot product
     # instead of dot + two norms — the aggregate runs once per PAIR

@@ -25,11 +25,18 @@ __all__ = [
 
 
 def formatted_plan(df: DataFrame) -> str:
-    """The formatted physical plan (pre-execution, AQE not yet applied)."""
+    """The formatted physical plan (pre-execution, AQE not yet applied).
+
+    Scan locations under the split-layout cache (tables.py
+    ``.table_cache/<table>-<digest>``) are normalized back to
+    ``<table>.parquet`` so plan contracts (single-fact-scan counts,
+    scan-source asserts) are layout-independent."""
+    import re
+
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    return re.sub(r"\.table_cache/([a-z_]+)-[0-9a-f]+-[0-9a-f]+-\d+", r"\1.parquet", buf.getvalue())
 
 
 def codegen_plan(df: DataFrame) -> str:

@@ -61,6 +61,8 @@ _PRIORITY = [
     # text analysis + IR
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality",
     "q_token_count", "q_tfidf",
+    # multimodal (REAL PNG/PPM/WAV decode round-trip, round 4)
+    "q_media_decode",
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)

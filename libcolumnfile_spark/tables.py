@@ -44,11 +44,110 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Memoized table DataFrames. spark.read.parquet costs ~80 ms per call
+# (footer fetch + schema analysis RPCs) — the single largest slice of the
+# per-query constant, paid up to 7x per TPC-H query and again per bench
+# rep. DataFrames are immutable lazy plans, so reuse is free; the cache
+# key includes the parquet file's (mtime, size) so a rewritten fixture
+# (tests writing into tmp sf dirs) never serves a stale plan, and the
+# session is held weakly so a stopped session's plans are collectable.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+_CONF_DONE: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+# --- ingest-time layout normalization -------------------------------------
+# The bench fixtures are ONE parquet file with ONE row group per table, so
+# Spark's file-split planner can never give a scan more than one task; the
+# old workaround (spread(): a round-robin exchange up to core count) costs
+# a measured ~0.45 s full-row shuffle per fact query at sf0.1. Instead,
+# normalize the layout ONCE at first read: rewrite the table as
+# default_parallelism() order-preserving parquet slices (pure pyarrow, no
+# Spark job), cached under .table_cache/ keyed by the source file's
+# identity. Every scan is then natively parallel and spread() becomes a
+# no-op. At 100 TB this is a no-op by construction: real datasets arrive
+# as many files / many row groups, and the gate below skips anything that
+# already splits or is too small to matter.
+
+_LAYOUT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".table_cache"
+)
+_LAYOUT_MIN_ROWS = 2000  # below this a single scan task is already fine
+
+
+def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
+    """Return the split-copy directory for ``path``, creating it on first
+    use. None => use the original file (already parallel, or too small,
+    or anything fails — this is an optimization, never a requirement)."""
+    try:
+        import pyarrow.parquet as pq
+
+        from libcolumnfile_spark.session import default_parallelism
+
+        n = default_parallelism()
+        digest = f"{st.st_mtime_ns:x}-{st.st_size:x}-{n}"
+        dest = os.path.join(_LAYOUT_CACHE_DIR, f"{name}-{digest}")
+        marker = os.path.join(dest, "_SUCCESS")
+        if os.path.exists(marker):
+            return dest
+        pf = pq.ParquetFile(path)
+        rows = pf.metadata.num_rows
+        if rows < _LAYOUT_MIN_ROWS or pf.metadata.num_row_groups > 1:
+            return None  # tiny, or the source already splits
+        table = pf.read()
+        chunk = -(-rows // n)
+        tmp = f"{dest}.__tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        # contiguous slices: row order is preserved end-to-end (part-00000
+        # holds rows [0, chunk), etc. — Spark lists part files in order)
+        for i in range(n):
+            sl = table.slice(i * chunk, chunk)
+            if sl.num_rows == 0:
+                break
+            # version 2.6 keeps TIMESTAMP(NANOS) as nanos, bit-identical
+            # to the source fixture (events.ts)
+            pq.write_table(
+                sl, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                version="2.6", compression="snappy",
+            )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.replace(tmp, dest)  # atomic: concurrent builders converge
+        except OSError:
+            import shutil
+
+            if os.path.exists(marker):  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+        return dest
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spark not in _CONF_DONE:
+        _ensure_session_confs(spark)
+        _CONF_DONE.add(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        st = None
+        key = None  # remote path: no cheap staleness check, skip cache
+    if key is not None:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        hit = per_session.get(key)
+        if hit is not None:
+            return hit
+        split = _split_layout(path, st, name)
+        if split is not None:
+            path = split
+    df = spark.read.parquet(path)
     # Parquet TIMESTAMP(NANOS) columns surface as int64 under
     # spark.sql.legacy.parquet.nanosAsLong (session.py); convert to
     # microsecond timestamps (DuckDB's TIMESTAMP precision) here so every
@@ -61,6 +160,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, LongType):
             # integer DIV: float division would lose precision above 2^53 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    if key is not None:
+        per_session[key] = df
     return df
 
 
@@ -91,6 +192,12 @@ def spread(df: DataFrame) -> DataFrame:
     from libcolumnfile_spark.session import default_parallelism
 
     n = default_parallelism()
+    # memoized table frames (load_table) flow through here once per
+    # query; the inputFiles() analysis RPC (~30 ms) is worth caching on
+    # the frame object itself (immutable plan -> stable answer)
+    cached = getattr(df, "_spread_result", None)
+    if cached is not None:
+        return cached
     try:
         files = df.inputFiles()
         if not files:
@@ -110,7 +217,12 @@ def spread(df: DataFrame) -> DataFrame:
         est = max(len(files), total // _OPEN_COST_BYTES + 1)
     except Exception:
         est = df.rdd.getNumPartitions()
-    return df.repartition(n) if est < n else df
+    out = df.repartition(n) if est < n else df
+    try:
+        df._spread_result = out
+    except Exception:
+        pass
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
@@ -149,31 +261,40 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
         threshold = int(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
         if threshold <= 0:
             return df
+        # per-frame memo (keyed by threshold — tests vary the conf):
+        # memoized table frames hit this once per query otherwise
+        cached = getattr(df, "_mb_cache", None)
+        if cached is not None and cached[0] == threshold:
+            return cached[1]
+        out = df
         analyzed = df._jdf.queryExecution().analyzed()
         if analyzed.collectLeaves().size() > 1:
-            return df  # join/union: file bytes no longer bound the output
-        files = df.inputFiles()
-        if not files:
-            return df
-        # single-leaf plans are a handful of nodes; the render is cheap
-        tree = analyzed.treeString()
-        if "Generate " in tree or "Expand " in tree:
-            return df  # explode / grouping-sets amplify rows past the bound
-        total = 0
-        for f in files:
-            p = urlparse(f)
-            if p.scheme in ("file", ""):
-                total += os.path.getsize(unquote(p.path))
-            else:
-                from libcolumnfile_spark.sources.columnfile.fs import fs_size
+            pass  # join/union: file bytes no longer bound the output
+        else:
+            files = df.inputFiles()
+            # single-leaf plans are a handful of nodes; render is cheap
+            tree = analyzed.treeString() if files else ""
+            if files and "Generate " not in tree and "Expand " not in tree:
+                total = 0
+                for f in files:
+                    p = urlparse(f)
+                    if p.scheme in ("file", ""):
+                        total += os.path.getsize(unquote(p.path))
+                    else:
+                        from libcolumnfile_spark.sources.columnfile.fs import fs_size
 
-                total += fs_size(f)
-        # parquet decompresses 2-5x, and the hash-relation build adds
-        # overhead on top — require 8x headroom so only genuinely
-        # dim-sized inputs hint (at sf0.1: orders 2.7 MB and below hint,
-        # the 10.8 MB lineitem fact does not)
-        if 0 < total * 8 <= threshold:
-            return F.broadcast(df)
+                        total += fs_size(f)
+                # parquet decompresses 2-5x, and the hash-relation build
+                # adds overhead on top — require 8x headroom so only
+                # genuinely dim-sized inputs hint (at sf0.1: orders
+                # 2.7 MB and below hint, the 10.8 MB lineitem fact no)
+                if 0 < total * 8 <= threshold:
+                    out = F.broadcast(df)
+        try:
+            df._mb_cache = (threshold, out)
+        except Exception:
+            pass
+        return out
     except Exception:
         pass
     return df

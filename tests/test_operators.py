@@ -195,6 +195,29 @@ class TestSimilarity:
         rows = probed.collect()
         assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
 
+    def test_adaptive_n_planes_formula(self):
+        """Plane count tracks corpus size: ceil(log2(n^2/target)),
+        clamped — so candidate pairs stay ~target regardless of n."""
+        assert similarity.adaptive_n_planes(100) == 4  # clamp lo
+        assert similarity.adaptive_n_planes(2_000) == 4
+        n = 200_000
+        p = similarity.adaptive_n_planes(n)
+        # expected same-bucket pairs back under ~2x target after bucketing
+        assert n * n / (1 << p) <= 2 * 500_000
+        assert similarity.adaptive_n_planes(10**9) == 24  # clamp hi
+
+    def test_adaptive_near_pairs_recall_vs_fixed(self, spark):
+        """n_planes=None (self-tuned, multi-probe) must keep every pair
+        the oracle-pinned fixed-plane configuration finds at this SF."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        fixed = similarity.cosine_near_pairs(emb, threshold=0.2, n_planes=6)
+        auto = similarity.cosine_near_pairs(emb, threshold=0.2, n_planes=None)
+        got_f = {(r.id_a, r.id_b) for r in fixed.collect()}
+        got_a = {(r.id_a, r.id_b) for r in auto.collect()}
+        # at 200 vectors the tuner picks the lo clamp (4 planes) with
+        # probing, which reaches at least the fixed-6 pair set
+        assert got_f <= got_a
+
     def test_multi_probe_finds_one_plane_straddlers(self, spark):
         """A near-identical pair that lands one hyperplane apart is the
         exact miss multi-probe exists to recover."""
