@@ -480,6 +480,28 @@ def q_sim_pairs_probe(spark, sf_dir):
     return cosine_near_pairs(emb, threshold=0.2, n_planes=8, probes=1)
 
 
+@query(
+    "q_sim_pairs_auto",
+    # rows-only: the plane count is chosen from the measured corpus size
+    # at plan time (adaptive_n_planes), so no static SQL can replicate
+    # the bucketing across scale factors. The recall contract vs the
+    # fixed-plane configs is pinned by
+    # tests/test_operators.py::test_adaptive_near_pairs_recall_vs_fixed,
+    # and the scale behavior by the x100 probe (BASELINE.md).
+    doc=(
+        "Embedding near-dup pairs with SELF-TUNED SRP: n_planes = "
+        "ceil(log2(n^2/target)) from the measured vector count + 1-bit "
+        "multi-probe, so candidate pairs stay ~constant-bounded as the "
+        "corpus grows — the configuration that removes the fixed-plane "
+        "quadratic at 100 TB (x100 probe: 200k vectors)."
+    ),
+    tags=("similarity", "dedup", "lsh"),
+)
+def q_sim_pairs_auto(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.2, n_planes=None)
+
+
 def _dedup_embedding_oracle(threshold: float) -> str:
     # Same unit-vector / SRP-bucket arithmetic as _sim_pairs_oracle, then
     # transitive closure by recursive-CTE fixpoint (exact at oracle SF).
