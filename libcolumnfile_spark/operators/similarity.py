@@ -220,11 +220,48 @@ def cosine_near_pairs(
     unit = F.when(norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)).otherwise(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * 0.0)
     )
-    bucketed = _spread(df).select(
-        F.col(id_col).alias("id"),
-        unit.alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    if n_planes >= 10:
+        # Adaptive/scale region: the HOF bucket expression interprets
+        # n_planes x dim lambda calls per vector (measured 8.9 s for 17
+        # planes x 200k vectors, vs 2.4 s for one Arrow numpy kernel).
+        # The kernel accumulates norm and every plane dot DIM-
+        # SEQUENTIALLY (acc += M[:,d]*p[d]) — the exact HOF fold order —
+        # so units and sign bits are bit-identical to the lsh_bucket
+        # path (same argument as the IVF assign kernel). Oracle-pinned
+        # fixed-plane queries (4/6/8 planes) keep the HOF path.
+        P = np.array(planes, dtype=np.float64)
+
+        @F.pandas_udf("struct<bucket:bigint, v:array<double>>")
+        def _prep(e: pd.Series) -> pd.DataFrame:
+            if len(e) == 0:
+                return pd.DataFrame({"bucket": [], "v": []})
+            M = np.array(list(e), dtype=np.float64)
+            nacc = np.zeros(len(M))
+            for d in range(M.shape[1]):
+                nacc += M[:, d] * M[:, d]
+            nrm = np.sqrt(nacc)
+            safe = np.where(nrm > 0, nrm, 1.0)
+            U = M / safe[:, None]
+            U[nrm == 0] = 0.0
+            bucket = np.zeros(len(M), dtype=np.int64)
+            for i in range(P.shape[0]):
+                dacc = np.zeros(len(M))
+                for d in range(M.shape[1]):
+                    dacc += M[:, d] * P[i, d]
+                bucket |= (dacc >= 0).astype(np.int64) << i
+            return pd.DataFrame({"bucket": bucket, "v": list(U)})
+
+        bucketed = (
+            _spread(df)
+            .select(F.col(id_col).alias("id"), _prep(F.col(vec_col)).alias("p"))
+            .select("id", F.col("p.v").alias("v"), F.col("p.bucket").alias("bucket"))
+        )
+    else:
+        bucketed = _spread(df).select(
+            F.col(id_col).alias("id"),
+            unit.alias("v"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
     # normalization + n_planes dot products feed both sides of the
     # self-join; persist so each vector is processed once, not twice
     # (count() force-fills the cache before the self-join scans twice)
@@ -311,17 +348,113 @@ def cosine_near_pairs(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
+        probe_factor = n_planes + 1
+        if probe_factor * n_vectors * (n_vectors / float(1 << n_planes)) >= kernel_min_pairs:
+            # SCALE path (x100 probe evidence): the explode-join
+            # materializes every candidate pair as a ROW carrying two
+            # double vectors before the per-pair dot (measured 21.5 s at
+            # 200k vectors / 11.5M output pairs). Instead: ONE
+            # groupBy(probe key) + a per-group kernel that (1) finds
+            # candidates with a float32 GEMM (margin slack covers the
+            # cast error), (2) exact-rescores ONLY the candidates with
+            # the dim-sequential float64 accumulation — the HOF fold
+            # order, so output is bit-identical to the join path — and
+            # (3) emits finished (id_a, id_b, raw_dot) rows. No pair-
+            # scale shuffle or rescore join exists anywhere. A pair
+            # (bucket xor <= 1 bit) appears in every common probe-key
+            # group; emitting only at key == min(bucket_a, bucket_b)
+            # dedups exactly.
+            emit = bucketed.select(
+                "id", "v", "bucket", F.explode(probe_keys).alias("key")
+            )
+            # float32 unit-dot error is ~1e-5 at dim<=1024; 1e-3 slack,
+            # and round(6) sits well inside it
+            margin32 = float(threshold) - 1e-3
+
+            def cand_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame(
+                    {
+                        "id_a": np.empty(0, np.int64),
+                        "id_b": np.empty(0, np.int64),
+                        "raw_dot": np.empty(0, np.float64),
+                    }
+                )
+                k = len(pdf)
+                if k < 2:
+                    return empty
+                V = np.array(list(pdf["v"]), dtype=np.float64)
+                V32 = V.astype(np.float32)
+                ids = pdf["id"].to_numpy()
+                buckets = pdf["bucket"].to_numpy()
+                key = int(pdf["key"].iloc[0])
+                S = V32 @ V32.T
+                iu, ju = np.triu_indices(k, 1)
+                keep = S[iu, ju] >= margin32
+                iu, ju = iu[keep], ju[keep]
+                xor = buckets[iu] ^ buckets[ju]
+                one_bit = (xor & (xor - 1)) == 0  # 0 or a power of two
+                at_min = np.minimum(buckets[iu], buckets[ju]) == key
+                iu, ju = iu[one_bit & at_min], ju[one_bit & at_min]
+                if not len(iu):
+                    return empty
+                A, B = V[iu], V[ju]
+                acc = np.zeros(len(iu))
+                for d in range(V.shape[1]):
+                    acc += A[:, d] * B[:, d]
+                return pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids[iu], ids[ju]),
+                        "id_b": np.maximum(ids[iu], ids[ju]),
+                        "raw_dot": acc,
+                    }
+                )
+
+            return (
+                emit.groupBy("key")
+                .applyInPandas(cand_group, "id_a long, id_b long, raw_dot double")
+                .select(
+                    "id_a", "id_b", F.round(F.col("raw_dot"), 6).alias("cos_sim")
+                )
+                .filter(F.col("cos_sim") >= threshold)
+            )
         a = bucketed.select(
             F.col("id"), F.col("v"), F.explode(probe_keys).alias("key")
         ).alias("a")
         b = bucketed.alias("b")
         cond = (F.col("a.key") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    # Pair scoring: the HOF aggregate dot is interpreted per element
+    # (~us/pair) — fine for the oracle-SF pair counts, superlinear pain
+    # at scale. Past the same measured pair threshold the kernel path
+    # uses, score pairs with ONE Arrow-batched numpy kernel instead:
+    # dim-sequential accumulation (acc += A[:,d]*B[:,d]) reproduces the
+    # HOF fold order exactly, so both paths emit bit-identical dots and
+    # the round(6)/threshold cut matches the oracle either way.
+    # (x100 probe, 200k vectors, adaptive planes: 22.4 s HOF -> kernel
+    # measured below 10 s.)
+    probe_factor = (n_planes + 1) if probes else 1
+    est_pairs = probe_factor * n_vectors * (n_vectors / float(1 << n_planes))
+    if est_pairs >= kernel_min_pairs:
+
+        @F.pandas_udf("double")
+        def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+            if len(va) == 0:
+                return pd.Series([], dtype="float64")
+            A = np.array(list(va), dtype=np.float64)
+            B = np.array(list(vb), dtype=np.float64)
+            acc = np.zeros(len(va))
+            for d in range(A.shape[1]):
+                acc += A[:, d] * B[:, d]
+            return pd.Series(acc)
+
+        score = F.round(_pair_dot(F.col("a.v"), F.col("b.v")), 6)
+    else:
+        score = F.round(dot(F.col("a.v"), F.col("b.v")), 6)
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            score.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
