@@ -35,15 +35,21 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # parallelismFirst deliberately stays at its default (true).
-        # Measured trade (2026-08-14): `false` + 64 MB advisory size cut
-        # ~9% off the light-query bench subset by coalescing micro reduce
-        # stages, but broke three x10 scale contracts (q_tfidf 1.8->4+,
-        # q_inverted_index, q_sessionize) — byte-based coalescing starves
-        # compute-dense token stages whose rows are small but expensive;
-        # `false` + 8 MB advisory restored the contracts and gave the
-        # light win back. Partition-count parallelism is the scale-safe
-        # default for this engine's mixed byte/compute-density stages.
+        # Byte-based reduce-stage coalescing (parallelismFirst=false +
+        # 8 MB advisory). History: round 3 kept parallelismFirst=true
+        # because `false` + 64 MB starved compute-dense token stages
+        # (q_tfidf x10 1.8->4+) — but that was measured when every scan
+        # entered through spread()'s round-robin exchange. With the
+        # round-4 split-layout cache the MAP side is natively parallel
+        # and unaffected by reduce coalescing; `false` + the small 8 MB
+        # advisory coalesces only micro reduce stages (a 3 MB window
+        # sort doesn't need 32 tasks). 8 MB measured ~8% off the mixed
+        # bench subset but pushed q_gap_fill's x10 ratio 3.1->5.2 (its
+        # 36 MB x10 grid join coalesced to ~5 tasks); 4 MB keeps every
+        # x10 contract green (gap_fill 3.0) with most of the win. At
+        # real scale reduce stages exceed the advisory and keep width.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
