@@ -1,0 +1,187 @@
+"""Product quantization (PQ) for compressed-domain ANN.
+
+At 100 TB / billions of vectors, even the IVF index's float vectors
+dominate storage and scan cost. PQ stores each vector as m sub-space
+code indices (here m=8 codes of 4 bits -> 4 bytes/vector vs 256 bytes
+of float32x64): queries score against the CODES via ADC (asymmetric
+distance computation) — a per-query lookup table of query-to-centroid
+dot products, built once driver-side, then a pure table-gather over the
+code table. The float vectors are never touched at query time.
+
+Spark-first shape:
+- codebook training is distributed Lloyd per sub-space: ONE pandas-UDF
+  assignment pass + ONE exploded groupBy mean per iteration; the driver
+  sees only m x ksub centroid rows per round (bounded, like the IVF
+  trainer at similarity.py);
+- encoding is map-only (numpy kernel);
+- ADC scoring is map-only (lookup-table gather) + TakeOrderedAndProject
+  top-k — no shuffle anywhere on the query path.
+
+Deterministic end-to-end: centroid init uses the shared splitmix64 walk
+(deterministic_query_vector), assignment ties break on lowest code, and
+empty cells keep their previous centroid — same corpus, same codebooks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.operators.similarity import deterministic_query_vector
+
+
+def _seeded_codebooks(dim: int, m: int, ksub: int, seed: int = 101) -> np.ndarray:
+    """(m, ksub, dim/m) deterministic init vectors."""
+    sub = dim // m
+    cb = np.empty((m, ksub, sub), dtype=np.float64)
+    for i in range(m):
+        for c in range(ksub):
+            cb[i, c] = deterministic_query_vector(sub, seed=seed + i * 1000 + c)
+    return cb
+
+
+def train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    seed: int = 101,
+) -> np.ndarray:
+    """Distributed Lloyd per sub-space. Returns (m, ksub, sub) float64."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb = _seeded_codebooks(dim, m, ksub, seed)
+    for _ in range(iters):
+        cb_b = cb.copy()
+
+        @F.pandas_udf("array<struct<subspace:int, code:int, subvec:array<double>>>")
+        def assign(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                return pd.Series([], dtype=object)
+            M = np.array(list(col), dtype=np.float64)
+            out = []
+            per_sub_codes = []
+            for i in range(m):
+                S = M[:, i * sub : (i + 1) * sub]
+                # squared L2 to each centroid; argmin, lowest-code tie-break
+                d2 = ((S[:, None, :] - cb_b[i][None, :, :]) ** 2).sum(axis=2)
+                per_sub_codes.append(np.argmin(d2, axis=1))
+            for r in range(len(M)):
+                out.append(
+                    [
+                        {
+                            "subspace": i,
+                            "code": int(per_sub_codes[i][r]),
+                            "subvec": list(M[r, i * sub : (i + 1) * sub]),
+                        }
+                        for i in range(m)
+                    ]
+                )
+            return pd.Series(out)
+
+        means = (
+            df.select(F.explode(assign(F.col(vec_col))).alias("a"))
+            .select("a.subspace", "a.code", F.posexplode("a.subvec").alias("pos", "x"))
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )  # bounded: m * ksub * sub rows
+        nxt = cb.copy()  # empty cells keep their previous centroid
+        for r in means:
+            nxt[r["subspace"], r["code"], r["pos"]] = r["mean"]
+        cb = nxt
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): 4 bytes of payload per vector at m=8/ksub=16
+    in a columnar format (vs 256 for the float vectors). Map-only."""
+    m, ksub, sub = codebooks.shape
+    cb_b = codebooks
+
+    @F.pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(list(col), dtype=np.float64)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for i in range(m):
+            S = M[:, i * sub : (i + 1) * sub]
+            d2 = ((S[:, None, :] - cb_b[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = np.argmin(d2, axis=1)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    return df.select(F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over the code table: build the (m, ksub) dot-product
+    lookup table driver-side (tiny), gather-sum per vector map-side,
+    TakeOrderedAndProject for the top-k. Approximate by construction —
+    the score is dot(query, reconstructed_centroid(codes))."""
+    m, ksub, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.empty((m, ksub), dtype=np.float64)
+    for i in range(m):
+        lut[i] = codebooks[i] @ q[i * sub : (i + 1) * sub]
+    lut_b = lut
+
+    @F.pandas_udf("double")
+    def adc(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.array(list(col), dtype=np.int64)  # (n, m)
+        score = np.zeros(len(C))
+        for i in range(m):
+            score += lut_b[i][C[:, i]]
+        return pd.Series(score)
+
+    return (
+        codes_df.select("vec_id", F.round(adc(F.col("codes")), 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_pq",
+    # rows-only: Lloyd-trained codebooks are engine-specific state (like
+    # the IVF index); recall vs brute force is pinned by TestPq.
+    doc=(
+        "Product-quantization ANN: distributed per-sub-space Lloyd "
+        "codebooks (driver sees m*ksub rows/round), map-only 4-byte "
+        "encoding, ADC lookup-table top-k with TakeOrderedAndProject — "
+        "the compressed-domain query path where float vectors are never "
+        "read at query time."
+    ),
+    tags=("similarity", "ann", "pq"),
+)
+def q_sim_pq(spark, sf_dir):
+    from libcolumnfile_spark.operators.similarity import _QUERY_VEC
+
+    emb = T(spark, sf_dir, "embeddings")
+    cb = train_codebooks(emb, iters=3)
+    codes = pq_encode(emb, cb)
+    return pq_topk(codes, cb, _QUERY_VEC, k=10)

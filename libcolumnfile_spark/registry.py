@@ -14,6 +14,8 @@ from libcolumnfile_spark.operators import aggregates as _aggregates  # noqa: F40
 from libcolumnfile_spark.operators import dedup as _dedup  # noqa: F401
 from libcolumnfile_spark.operators import similarity as _similarity  # noqa: F401
 from libcolumnfile_spark.operators import text as _text  # noqa: F401
+from libcolumnfile_spark.operators import bpe as _bpe  # noqa: F401
+from libcolumnfile_spark.operators import pq as _pq  # noqa: F401
 from libcolumnfile_spark.operators import relational as _relational  # noqa: F401
 from libcolumnfile_spark.operators import udfs as _udfs  # noqa: F401
 from libcolumnfile_spark.operators import multimodal as _multimodal  # noqa: F401
@@ -63,6 +65,8 @@ _PRIORITY = [
     "q_token_count", "q_tfidf",
     # multimodal (REAL PNG/PPM/WAV decode round-trip, round 4)
     "q_media_decode",
+    # tokenizer construction (REAL distributed BPE trainer, round 4)
+    "q_bpe_train",
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)
@@ -71,6 +75,7 @@ _PRIORITY = [
     "q_dedup_cc", "q_dedup_embedding",
     # similarity search
     "q_sim_topk", "q_sim_knn", "q_sim_pairs", "q_sim_pairs_probe",
+    "q_sim_pq",
     # corpus pipeline (incl. one mixing + one versioning rep)
     "q_sample_hash", "q_pii_redact", "q_pack_sequences", "q_contamination",
     "q_repetition", "q_corpus_pipeline", "q_mix_weighted", "q_upsert_merge",

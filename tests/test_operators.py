@@ -623,3 +623,147 @@ class TestTpchQ21Decorrelation:
         assert sorted(map(tuple, ours.collect())) == sorted(
             map(tuple, literal.collect())
         )
+
+
+class TestBpe:
+    """Distributed BPE trainer vs an independent single-node reference."""
+
+    @staticmethod
+    def _reference_bpe(texts, num_merges, min_count=2):
+        """Plain-Python reference: same semantics, no Spark."""
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in (t or "").strip().lower().split():
+                if w:
+                    words[w] += 1
+        syms = {w: tuple(list(w) + ["</w>"]) for w in words}
+        merges = []
+        for rank in range(num_merges):
+            pairs = Counter()
+            for w, cnt in words.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += cnt
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            (left, right), cnt = best
+            if cnt < min_count:
+                break
+            merges.append((rank, left, right, cnt))
+            from libcolumnfile_spark.operators.bpe import merge_word
+
+            syms = {w: tuple(merge_word(list(s), left, right)) for w, s in syms.items()}
+        return merges
+
+    def test_train_matches_reference(self, spark):
+        from libcolumnfile_spark.operators import bpe
+
+        texts = [r["text"] for r in
+                 spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .select("text").collect()]
+        ref = self._reference_bpe(texts, num_merges=8)
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = bpe.train_bpe(df, num_merges=8)
+        assert got == ref, (got[:3], ref[:3])
+
+    def test_train_deterministic(self, spark):
+        from libcolumnfile_spark.operators import bpe
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = bpe.train_bpe(df, num_merges=5)
+        b = bpe.train_bpe(df, num_merges=5)
+        assert a == b and len(a) == 5
+
+    def test_merge_word_greedy_leftmost(self):
+        from libcolumnfile_spark.operators.bpe import merge_word
+
+        # non-overlapping leftmost-first: "aaa" with (a,a) -> ["aa","a"]
+        assert merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
+        assert merge_word(["x", "a", "b", "a", "b"], "a", "b") == ["x", "ab", "ab"]
+        assert merge_word(["q"], "a", "b") == ["q"]
+
+    def test_segment_applies_merges_in_order(self, spark):
+        from libcolumnfile_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            [(1, "low lower lowest low")], ["doc_id", "text"]
+        )
+        merges = bpe.train_bpe(df, num_merges=4, min_count=1)
+        seg = bpe.segment(df, merges).select("bpe_tokens").first()["bpe_tokens"]
+        # segmentation must reproduce the trainer's end-state for a word
+        # seen in training: rebuild "low</w>" via the reference path
+        symbols = list("low") + ["</w>"]
+        for _, l, r, _ in sorted(merges):
+            symbols = bpe.merge_word(symbols, l, r)
+        # tokens of the first "low" occurrence == trainer end-state
+        assert seg[: len(symbols)] == symbols
+
+    def test_query_entries_run(self, spark):
+        from libcolumnfile_spark.registry import REGISTRY
+
+        m = REGISTRY["q_bpe_train"].spark_fn(spark, "/root/testdata/sf0.001")
+        rows = m.collect()
+        assert 1 <= len(rows) <= 12
+        assert rows[0]["rank"] == 0
+        s = REGISTRY["q_bpe_segment"].spark_fn(spark, "/root/testdata/sf0.001")
+        out = s.collect()
+        assert len(out) == 500 and all(r["n_bpe_tokens"] > 0 for r in out)
+
+
+class TestPq:
+    """Product-quantization ANN: determinism, compression, recall."""
+
+    def test_encode_shape_and_determinism(self, spark):
+        from libcolumnfile_spark.operators import pq
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq.train_codebooks(emb, iters=2)
+        assert cb.shape == (8, 16, 8)
+        cb2 = pq.train_codebooks(emb, iters=2)
+        import numpy as np
+
+        assert np.array_equal(cb, cb2)
+        codes = pq.pq_encode(emb, cb).collect()
+        assert all(len(r["codes"]) == 8 for r in codes)
+        assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    def test_adc_topk_recall_vs_brute(self, spark):
+        from libcolumnfile_spark.operators import pq, similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        cb = pq.train_codebooks(emb, iters=3)
+        codes = pq.pq_encode(emb, cb)
+        approx = pq.pq_topk(codes, cb, q, k=10).collect()
+        exact = similarity.brute_force_topk(emb, q, k=10).collect()
+        assert len(approx) == 10
+        # ADC on 16x-compressed codes over near-random embeddings:
+        # non-trivial overlap with the true top-k
+        overlap = {r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}
+        assert len(overlap) >= 2, [r["vec_id"] for r in approx]
+
+    def test_adc_reconstruction_bound(self, spark):
+        """Scoring a vector that IS a reconstructed centroid combination
+        must be exact: ADC(codes(v)) == dot(q, reconstruct(codes(v)))."""
+        import numpy as np
+        from libcolumnfile_spark.operators import pq
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq.train_codebooks(emb, iters=1)
+        row = pq.pq_encode(emb, cb).first()
+        q = [0.5] * 64
+        got = pq.pq_topk(
+            pq.pq_encode(emb, cb).filter(F.col("vec_id") == row["vec_id"]), cb, q, k=1
+        ).first()["adc_score"]
+        recon = np.concatenate([cb[i, row["codes"][i]] for i in range(8)])
+        want = round(float(recon @ np.array(q)), 6)
+        assert got == want
+
+    def test_query_entry_runs(self, spark):
+        from libcolumnfile_spark.registry import REGISTRY
+
+        out = REGISTRY["q_sim_pq"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+        assert len(out) == 10
