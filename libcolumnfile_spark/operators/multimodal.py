@@ -396,8 +396,8 @@ def resize_plumbing(df: DataFrame, max_side: int = 32) -> DataFrame:
         "SELECT doc_id AS media_id, "
         "CAST(n_chars % 64 + 16 AS INT) AS width, "
         "CAST(n_chars % 64 + 16 AS INT) AS height, "
-        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS INT) AS out_w, "
-        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS INT) AS out_h, "
+        "CAST(floor((n_chars % 64 + 16) * least(CAST(1.0 AS DOUBLE), CAST(32.0 AS DOUBLE) / (n_chars % 64 + 16))) AS INT) AS out_w, "
+        "CAST(floor((n_chars % 64 + 16) * least(CAST(1.0 AS DOUBLE), CAST(32.0 AS DOUBLE) / (n_chars % 64 + 16))) AS INT) AS out_h, "
         "sha256(text) AS sha256 "
         "FROM documents WHERE doc_id % 3 <> 1"
     ),
@@ -538,8 +538,8 @@ def _pixels_of(b: bytes):
         "SELECT doc_id AS media_id, "
         "CAST(n_chars % 64 + 16 AS BIGINT) AS width, "
         "CAST(n_chars % 64 + 16 AS BIGINT) AS height, "
-        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS BIGINT) AS out_w, "
-        "CAST(floor((n_chars % 64 + 16) * least(1.0, 32.0 / (n_chars % 64 + 16))) AS BIGINT) AS out_h, "
+        "CAST(floor((n_chars % 64 + 16) * least(CAST(1.0 AS DOUBLE), CAST(32.0 AS DOUBLE) / (n_chars % 64 + 16))) AS BIGINT) AS out_w, "
+        "CAST(floor((n_chars % 64 + 16) * least(CAST(1.0 AS DOUBLE), CAST(32.0 AS DOUBLE) / (n_chars % 64 + 16))) AS BIGINT) AS out_h, "
         "CAST(doc_id % 256 AS DOUBLE) AS resized_mean "
         "FROM documents WHERE doc_id % 3 = 0"
     ),

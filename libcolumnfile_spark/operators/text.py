@@ -698,3 +698,212 @@ def q_quality_filter(spark, sf_dir):
             F.round("prank", 6).alias("quality_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (document-frequency chunk filter) + Gopher-style
+# quality rules — two standard corpus-cleaning passes.
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+    min_df: int = 5,
+) -> DataFrame:
+    """Corpus-wide boilerplate filter: a chunk (run of ``chunk_tokens``
+    whitespace tokens; real corpora would split on paragraph breaks
+    first) whose DOCUMENT FREQUENCY reaches ``min_df`` is boilerplate
+    (nav chrome, license headers, template text) and is dropped from
+    EVERY document — unlike passage_dedup (dedup.py), which keeps the
+    first occurrence.
+
+    Plan: chunk explode (map) -> df count per md5 (one partial+final
+    agg keyed by 16-byte hashes) -> per-doc reassembly of surviving
+    chunks (grouping state bounded by doc length). Two narrow shuffles
+    total; chunk text never joins against itself.
+    """
+    chunks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("toks") / float(chunk_tokens)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * chunk_tokens + 1, chunk_tokens), " "
+                    ),
+                )
+            ).alias("cpos", "chunk"),
+        )
+        .withColumn("h", F.md5("chunk"))
+    )
+    dfreq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    keep = chunks.join(dfreq, "h").withColumn(
+        "is_boiler", F.col("doc_freq") >= min_df
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct("cpos", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_chunks", "n_boiler", "clean_text")
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    min_stopword_frac: float = 0.01,
+    min_unique_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1
+    shape): token-count bounds, mean token length band, stopword
+    fraction floor, unique-token fraction floor. Pure Catalyst
+    expressions — a single map-only pass at any corpus size; each rule
+    is emitted as its own flag so downstream audits can attribute
+    rejections."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("sum_len"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: x.isin(*_GOPHER_STOPWORDS))
+        ).cast("bigint").alias("n_stop"),
+    )
+    mean_len = F.when(F.col("n_tokens") > 0, F.col("sum_len") / F.col("n_tokens")).otherwise(0.0)
+    stop_frac = F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")).otherwise(0.0)
+    uniq_frac = F.when(F.col("n_tokens") > 0, F.col("n_unique") / F.col("n_tokens")).otherwise(0.0)
+    out = t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_frac, 4).alias("stopword_frac"),
+        F.round(uniq_frac, 4).alias("unique_frac"),
+        F.col("n_tokens").between(min_tokens, max_tokens).alias("ok_count"),
+        mean_len.between(min_mean_len, max_mean_len).alias("ok_len"),
+        (stop_frac >= min_stopword_frac).alias("ok_stop"),
+        (uniq_frac >= min_unique_frac).alias("ok_unique"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_count") & F.col("ok_len") & F.col("ok_stop") & F.col("ok_unique"),
+    )
+
+
+_BOILER_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t "
+    "FROM documents WHERE length(trim(text)) > 0), "
+    "chunks AS (SELECT doc_id, i - 1 AS cpos, "
+    "array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ') AS chunk "
+    "FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)), "
+    "dfreq AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS doc_freq "
+    "FROM chunks GROUP BY 1) "
+    "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+    "CAST(sum(CASE WHEN doc_freq >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, "
+    "coalesce(string_agg(CASE WHEN doc_freq < 5 THEN chunk END, ' ' ORDER BY cpos), '') AS clean_text "
+    "FROM chunks c JOIN dfreq d ON md5(c.chunk) = d.h "
+    "GROUP BY c.doc_id"
+)
+
+_GOPHER_ORACLE = (
+    "WITH t AS (SELECT doc_id, "
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks FROM documents), "
+    "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique, "
+    "CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len, "
+    "CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT) AS n_stop "
+    "FROM t), "
+    "x AS (SELECT doc_id, n_tokens, "
+    "CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE 0.0 END AS ml, "
+    "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS sf, "
+    "CASE WHEN n_tokens > 0 THEN CAST(n_unique AS DOUBLE) / n_tokens ELSE 0.0 END AS uf "
+    "FROM m) "
+    "SELECT doc_id, n_tokens, round(ml, 4) AS mean_token_len, "
+    "round(sf, 4) AS stopword_frac, round(uf, 4) AS unique_frac, "
+    "n_tokens BETWEEN 10 AND 1000000 AS ok_count, "
+    "ml BETWEEN 2.0 AND 12.0 AS ok_len, "
+    "sf >= 0.01 AS ok_stop, uf >= 0.20 AS ok_unique, "
+    "(n_tokens BETWEEN 10 AND 1000000) AND (ml BETWEEN 2.0 AND 12.0) "
+    "AND sf >= 0.01 AND uf >= 0.20 AS keep "
+    "FROM x"
+)
+
+
+@query(
+    "q_boilerplate",
+    oracle=_BOILER_ORACLE,
+    doc=(
+        "Document-frequency boilerplate removal: chunks appearing in >=5 "
+        "distinct documents are dropped from every document (nav chrome "
+        "/ license headers / template text), docs reassembled from "
+        "surviving chunks — complements q_dedup_passage's keep-first "
+        "semantics. Two narrow hash shuffles, no self-join."
+    ),
+    tags=("text", "pipeline", "dedup"),
+)
+def q_boilerplate(spark, sf_dir):
+    return boilerplate_removal(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    doc=(
+        "Gopher-style heuristic quality rules: token-count bounds, mean "
+        "token length band, stopword-fraction floor, unique-token "
+        "fraction floor — per-rule flags + overall keep, one map-only "
+        "Catalyst pass (no UDF, no shuffle)."
+    ),
+    tags=("text", "quality", "pipeline"),
+)
+def q_gopher_rules(spark, sf_dir):
+    return gopher_rules(T(spark, sf_dir, "documents"))

@@ -61,7 +61,7 @@ _PRIORITY = [
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
     "q_partition_pruned", "q_zorder_filter",
     # text analysis + IR
-    "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality",
+    "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality", "q_gopher_rules",
     "q_token_count", "q_tfidf",
     # multimodal (REAL PNG/PPM/WAV decode round-trip, round 4)
     "q_media_decode",
@@ -70,7 +70,7 @@ _PRIORITY = [
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)
-    "q_dedup_exact", "q_dedup_passage", "q_dedup_ngram",
+    "q_dedup_exact", "q_dedup_passage", "q_boilerplate", "q_dedup_ngram",
     "q_dedup_minhash_verified", "q_dedup_simhash_verified",
     "q_dedup_cc", "q_dedup_embedding",
     # similarity search

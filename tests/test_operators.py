@@ -767,3 +767,38 @@ class TestPq:
 
         out = REGISTRY["q_sim_pq"].spark_fn(spark, "/root/testdata/sf0.001").collect()
         assert len(out) == 10
+
+
+class TestCorpusCleaning:
+    def test_boilerplate_dropped_everywhere(self, spark):
+        """A chunk shared by >= min_df docs must vanish from ALL of them
+        (vs passage_dedup's keep-first), and per-doc counts must agree."""
+        from libcolumnfile_spark.operators.text import boilerplate_removal
+
+        boiler = "copyright acme corp all rights reserved navigation menu"
+        rows = [(i, f"{boiler} unique{i} body text number {i} words here pad pad pad pad pad{i}") for i in range(6)]
+        rows.append((99, "a fully unique document with no shared chunks at all present"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in boilerplate_removal(df, min_df=5).collect()}
+        for i in range(6):
+            assert out[i]["n_boiler"] >= 1, out[i]
+            assert "copyright" not in out[i]["clean_text"]
+            assert f"unique{i}" in out[i]["clean_text"]
+        assert out[99]["n_boiler"] == 0
+        assert out[99]["clean_text"].startswith("a fully unique")
+
+    def test_gopher_rules_flags(self, spark):
+        from libcolumnfile_spark.operators.text import gopher_rules
+
+        rows = [
+            (1, "the cat and the dog ran to the house in the garden today"),  # keep
+            (2, "short text"),                            # too few tokens
+            (3, " ".join(["word"] * 50)),                 # unique_frac fails
+            (4, " ".join("supercalifragilisticexpialidocious" for _ in range(20))),  # mean len + unique fail
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["ok_count"] is False and out[2]["keep"] is False
+        assert out[3]["ok_unique"] is False and out[3]["keep"] is False
+        assert out[4]["ok_len"] is False and out[4]["keep"] is False
