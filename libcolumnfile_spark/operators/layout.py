@@ -64,7 +64,11 @@ def zorder_by(df: DataFrame, c1: str, c2: str, bits: int | None = 16) -> DataFra
             F.max(F.col(c2).cast("bigint")).alias("m2"),
         ).first()
         top = max(mx["m1"] or 0, mx["m2"] or 0, 1)
-        bits = min(32, max(1, int(top).bit_length()))
+        # cap at 31: with bits=32 the second key's bit 31 would land on
+        # bigint bit 63 (the sign bit), making large-domain z-codes
+        # negative and sorting them BEFORE small ones — clustering
+        # quality loss, though results stay layout-invariant
+        bits = min(31, max(1, int(top).bit_length()))
     z = morton_code(F.col(c1), F.col(c2), bits).alias("__z")
     from libcolumnfile_spark.session import default_parallelism
 

@@ -95,7 +95,13 @@ def train_codebooks(
         )  # bounded: m * ksub * sub rows
         nxt = cb.copy()  # empty cells keep their previous centroid
         for r in means:
-            nxt[r["subspace"], r["code"], r["pos"]] = r["mean"]
+            # F.avg over doubles is partial-aggregation-order dependent at
+            # the ~1e-15 relative level; rounding each iteration's
+            # centroids to 12 decimals makes the codebooks bit-identical
+            # across partitioning/layout changes (the determinism the
+            # docstring promises), while perturbing Lloyd by far less
+            # than its own convergence tolerance.
+            nxt[r["subspace"], r["code"], r["pos"]] = round(r["mean"], 12)
         cb = nxt
     return cb
 

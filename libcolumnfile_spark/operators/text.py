@@ -726,7 +726,12 @@ def boilerplate_removal(
     total; chunk text never joins against itself.
     """
     chunks = (
-        df.select(
+        # length(trim(..)) > 0 mirrors the oracle's predicate: Spark's
+        # split('') yields [''], so size(toks) >= 1 alone would admit
+        # empty/whitespace-only docs and emit an empty-string chunk
+        # (which could accumulate doc_freq and count as boilerplate)
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
         )

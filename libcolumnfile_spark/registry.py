@@ -50,19 +50,25 @@ _PRIORITY = [
     # canonical TPC-H shapes (scan-agg, disjunctive-pushdown, and
     # hand-decorrelation reps; the rest of the pack follows after)
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q21",
-    # subqueries
-    "q_subquery", "q_exists_subquery",
-    # windows + event analytics
-    "q_window_rank", "q_window_running", "q_window_range", "q_sessionize",
+    # subqueries (q_exists_subquery is the same decorrelation shape —
+    # demoted past the window to make room for similarity/dedup reps)
+    "q_subquery",
+    # windows + event analytics (q_window_range demoted likewise)
+    "q_window_rank", "q_window_running", "q_sessionize",
     "q_funnel", "q_gap_fill",
-    # reshape / scalar / nested
-    "q_pivot", "q_scalar_str_date", "q_json_extract", "q_explode",
+    # reshape / scalar / nested (q_json_extract demoted likewise)
+    "q_pivot", "q_scalar_str_date", "q_explode",
     # columnfile format layer + stock sources + partition pruning
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
     "q_partition_pruned", "q_zorder_filter",
     # text analysis + IR
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality", "q_gopher_rules",
     "q_token_count", "q_tfidf",
+    # similarity reps inside the 50-query driver window: the PQ-ANN path
+    # and the self-tuned SRP pair generator (round 4), plus the
+    # full-oracle minhash dedup twin — one rep each for the ANN,
+    # pair-similarity, and fuzzy-dedup families
+    "q_sim_pq", "q_sim_pairs_auto", "q_dedup_minhash_verified",
     # multimodal (REAL PNG/PPM/WAV decode round-trip, round 4)
     "q_media_decode",
     # tokenizer construction (REAL distributed BPE trainer, round 4)
@@ -71,11 +77,13 @@ _PRIORITY = [
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)
     "q_dedup_exact", "q_dedup_passage", "q_boilerplate", "q_dedup_ngram",
-    "q_dedup_minhash_verified", "q_dedup_simhash_verified",
+    "q_dedup_simhash_verified",
     "q_dedup_cc", "q_dedup_embedding",
     # similarity search
     "q_sim_topk", "q_sim_knn", "q_sim_pairs", "q_sim_pairs_probe",
-    "q_sim_pq",
+    # demoted-but-in-window reps sit above: q_sim_pq, q_sim_pairs_auto,
+    # q_dedup_minhash_verified
+    "q_exists_subquery", "q_window_range", "q_json_extract",
     # corpus pipeline (incl. one mixing + one versioning rep)
     "q_sample_hash", "q_pii_redact", "q_pack_sequences", "q_contamination",
     "q_repetition", "q_corpus_pipeline", "q_mix_weighted", "q_upsert_merge",

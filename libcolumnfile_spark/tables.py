@@ -91,6 +91,21 @@ def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
         marker = os.path.join(dest, "_SUCCESS")
         if os.path.exists(marker):
             return dest
+        # GC stale siblings for this table name (old mtime/size/parallelism
+        # digests, abandoned __tmp dirs): each is a full table copy, and
+        # without this every rewritten fixture or tmp-dir test table leaves
+        # a permanent copy — unbounded disk growth across test runs.
+        try:
+            import shutil
+
+            prefix = f"{name}-"
+            for entry in os.listdir(_LAYOUT_CACHE_DIR):
+                if entry.startswith(prefix) and entry != os.path.basename(dest):
+                    shutil.rmtree(
+                        os.path.join(_LAYOUT_CACHE_DIR, entry), ignore_errors=True
+                    )
+        except OSError:
+            pass
         pf = pq.ParquetFile(path)
         rows = pf.metadata.num_rows
         if rows < _LAYOUT_MIN_ROWS or pf.metadata.num_row_groups > 1:

@@ -675,8 +675,11 @@ class TestBpe:
         from libcolumnfile_spark.operators import bpe
 
         df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        fast = bpe.train_bpe(df, num_merges=6)
-        dist = bpe.train_bpe(df, num_merges=6, driver_vocab_threshold=0)
+        # 20 merges > _CHECKPOINT_EVERY: the incremental distributed loop
+        # crosses a localCheckpoint lineage-truncation boundary, so this
+        # also pins that the checkpoint swap preserves state exactly
+        fast = bpe.train_bpe(df, num_merges=20)
+        dist = bpe.train_bpe(df, num_merges=20, driver_vocab_threshold=0)
         assert fast == dist
 
     def test_train_deterministic(self, spark):
