@@ -75,17 +75,30 @@ _LAYOUT_CACHE_DIR = os.path.join(
 )
 _LAYOUT_MIN_ROWS = 2000  # below this a single scan task is already fine
 
+# Slice count is sized by BYTES, not row count: a measured A/B
+# (tools/layout_ab.py, r4->r5) showed 32-way slicing of the sub-MB
+# documents/events fixtures made their sub-second queries 60-250%
+# SLOWER (32 task dispatches + 32 parquet opens against ~20 KB files),
+# while the 10.8 MB lineitem fact gained 10-56% from parallel scans.
+# Each slice must carry at least this many source bytes; tables smaller
+# than 2 slices stay a single file.
+_SLICE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SLICE_MIN_BYTES", 512 * 1024))
+
 
 def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
     """Return the split-copy directory for ``path``, creating it on first
     use. None => use the original file (already parallel, or too small,
     or anything fails — this is an optimization, never a requirement)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPLIT_LAYOUT"):
+        return None  # kill switch: A/B measurement + user escape hatch
     try:
         import pyarrow.parquet as pq
 
         from libcolumnfile_spark.session import default_parallelism
 
-        n = default_parallelism()
+        n = min(default_parallelism(), max(1, st.st_size // _SLICE_MIN_BYTES))
+        if n < 2:
+            return None  # too small for slicing to pay for itself
         digest = f"{st.st_mtime_ns:x}-{st.st_size:x}-{n}"
         dest = os.path.join(_LAYOUT_CACHE_DIR, f"{name}-{digest}")
         marker = os.path.join(dest, "_SUCCESS")
