@@ -424,3 +424,168 @@ class TestEncodeVarFastProperty:
 
         assert encode_var_fast(pa.array(["a", None]), StringType()) is None
         assert encode_var_fast(pa.array(["b" * (1 << 20)]), StringType()) is None
+
+
+class TestGoldenBytes:
+    """Hand-authored golden .col files, written out literally byte by
+    byte from the reference spec — NOT via our own encoder — and pinned
+    in both directions: the reader must decode exactly these rows, and
+    the writer, fed the same rows, must reproduce the files bit-exact.
+
+    This is the strongest bit-compatibility evidence available without
+    the C++ toolchain in the sandbox: every byte below is derived by
+    hand from src/columnfile-internal.h:21-87 (magic, varint coding),
+    src/columnfile-writer.cc:55-111 (segment framing: BE32 header size,
+    varint compression/field-count/column/size) and
+    src/columnfile-writer.cc:259-318 + src/columnfile.h:28-56 (run
+    coding: varint repeat, reserved 0, control byte 0xff=null /
+    0xc0..0xfe=prefix-copy of control-0xbe bytes / else first length
+    byte; prefix elision only when shared > 2, capped at 0x40)."""
+
+    MAGIC = b"\n\t\"\x00"
+
+    # --- golden file 1: none codec, 2 columns, prefix elision ---------
+    URL1 = b"http://www.example.org/abc.html"    # 31 bytes
+    URL2 = b"http://www.example.org/image.jpeg"  # 33 bytes, shares 23
+    URL3 = b"http://www.example.org/image.png"   # 32 bytes, shares 29
+    X200 = b"x" * 200
+    P70 = b"P" * 70
+
+    def _g1(self):
+        col0 = (
+            # run: repeat=1, reserved=0, plain value len 31
+            b"\x01\x00\x1f" + self.URL1
+            # run: prefix-copy 23 bytes (control 0xc0|(23-2)=0xd5), +10
+            + b"\x01\x00\xd5\x0a" + b"image.jpeg"
+            # run: prefix-copy 29 (control 0xc0|27=0xdb), +3
+            + b"\x01\x00\xdb\x03" + b"png"
+            # run: 2 nulls
+            + b"\x02\x00\xff"
+            # run: repeat=3, len 200 = varint 0x88 0x03 (two-byte form)
+            + b"\x03\x00\x88\x03" + self.X200
+        )
+        col1 = (
+            b"\x03\x00\x01a"            # "a" x3
+            + b"\x02\x00\x01b"          # "b" x2 (shared prefix 0)
+            + b"\x01\x00\x46" + self.P70  # 70-byte value, 1-byte varint
+            # shared prefix 70 capped at 0x40=64: control 0xfe, +7
+            + b"\x01\x00\xfe\x07" + b"PPPPPPQ"
+            + b"\x01\x00\x01z"
+        )
+        assert len(col0) == 262 and len(col1) == 96
+        header = (
+            b"\x00"          # compression none
+            b"\x02"          # 2 fields
+            b"\x00\x86\x04"  # col 0, size 262 (varint 0x86 0x04)
+            b"\x01\x60"      # col 1, size 96
+        )
+        blob = (
+            self.MAGIC
+            + len(header).to_bytes(4, "big") + header + col0 + col1
+        )
+        rows = [
+            {0: self.URL1, 1: b"a"},
+            {0: self.URL2, 1: b"a"},
+            {0: self.URL3, 1: b"a"},
+            {0: None, 1: b"b"},
+            {0: None, 1: b"b"},
+            {0: self.X200, 1: self.P70},
+            {0: self.X200, 1: self.P70 + b"Q"},
+            {0: self.X200, 1: b"z"},
+        ]
+        return blob, rows
+
+    def _g2(self):
+        """Two segments with divergent column sets + multi-byte varint
+        column index (200 = 0x88 0x03)."""
+        seg1 = (
+            (4).to_bytes(4, "big")
+            + b"\x00\x01\x05\x0a"          # none, 1 field, col 5, 10 bytes
+            + b"\x01\x00\x02aa" + b"\x01\x00\x02ab"
+        )
+        seg2 = (
+            (7).to_bytes(4, "big")
+            + b"\x00\x02\x05\x05" + b"\x88\x03" + b"\x0b"
+            + b"\x01\x00\x02ac"                       # col 5
+            + b"\x01\x00\xff" + b"\x01\x00\x05hello"  # col 200
+        )
+        blob = self.MAGIC + seg1 + seg2
+        rows = [
+            {5: b"aa"},
+            {5: b"ab"},
+            {5: b"ac", 200: None},
+            {200: b"hello"},
+        ]
+        return blob, rows
+
+    def _g4(self):
+        """Varint boundary cases: empty value, 3-byte repeat varint
+        (300 = 0xac 0x04), 3-byte length varint (8300 = 0xac 0x81 0x01),
+        minimum prefix-copy control byte 0xc1 (shared prefix 3)."""
+        y8300 = b"y" * 8300
+        col0 = (
+            b"\x01\x00\x00"                 # empty value
+            + b"\x01\x00\x04abcX"
+            + b"\x01\x00\xc1\x01Y"          # shared 3 -> control 0xc1
+            + b"\xac\x04\x00\xac\x81\x01" + y8300  # repeat 300
+        )
+        assert len(col0) == 8321
+        header = b"\x00\x01\x00" + b"\x81\x82\x01"  # blob size 8321
+        blob = self.MAGIC + len(header).to_bytes(4, "big") + header + col0
+        rows = (
+            [{0: b""}, {0: b"abcX"}, {0: b"abcY"}]
+            + [{0: y8300}] * 300
+        )
+        return blob, rows
+
+    def _check_reader(self, blob, rows):
+        from libcolumnfile_spark.sources.columnfile.format import ColumnFileReader
+
+        with ColumnFileReader(blob) as r:
+            assert list(r.rows()) == rows
+
+    def _check_writer(self, blob, rows, flush_points=()):
+        import io
+
+        from libcolumnfile_spark.sources.columnfile.format import ColumnFileWriter
+
+        sink = io.BytesIO()
+        w = ColumnFileWriter(sink, compression="none")
+        for i, row in enumerate(rows):
+            w.put_row(sorted(row.items()))
+            if i + 1 in flush_points:
+                w.flush()
+        w.finalize()
+        assert sink.getvalue() == blob
+
+    def test_g1_prefix_elision_reader_and_writer(self):
+        blob, rows = self._g1()
+        self._check_reader(blob, rows)
+        self._check_writer(blob, rows)
+
+    def test_g2_multi_segment_reader_and_writer(self):
+        blob, rows = self._g2()
+        self._check_reader(blob, rows)
+        self._check_writer(blob, rows, flush_points={2})
+
+    def test_g4_varint_boundaries_reader_and_writer(self):
+        blob, rows = self._g4()
+        self._check_reader(blob, rows)
+        self._check_writer(blob, rows)
+
+    def test_g3_zlib_literal_stream_decodes(self):
+        """zlib-compressed segment with a LITERAL RFC-1950 stream (and
+        the varint uncompressed-size prefix both the reference reader,
+        src/columnfile-reader.cc:537-541, and ours require). Decode-pin
+        only: compressed bytes are codec-version-dependent, so the
+        writer side is covered by per-codec roundtrip tests instead."""
+        stream = bytes.fromhex(
+            "789c636260cd48cdc9c96764602dcf2fca4901001e04044a"
+        )
+        payload = b"\x10" + stream  # varint(16) size prefix + stream
+        header = b"\x04\x01\x00" + bytes([len(payload)])
+        blob = (
+            self.MAGIC + len(header).to_bytes(4, "big") + header + payload
+        )
+        rows = [{0: b"hello"}, {0: b"hello"}, {0: b"world"}]
+        self._check_reader(blob, rows)
