@@ -38,6 +38,31 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Residency allowance per query: the current query's own pin()s (up to
+# a handful of persisted intermediates, released at the NEXT query) plus
+# localCheckpoint blocks (dedup CC, BPE distributed path) that the
+# ContextCleaner releases only when their RDD is GC'd driver-side. A
+# LEAK, by contrast, grows with every query x rep (3 reps x several
+# persists each) — a small constant bound separates the two cleanly
+# across a 160-query sweep.
+_HYGIENE_LIMIT = 10
+
+
+def assert_cache_hygiene(spark, name: str, limit: int = _HYGIENE_LIMIT) -> None:
+    """Fail fast if persisted state is accumulating (a persist path that
+    exits early without its unpersist/pin release). Checks BOTH stores:
+    SQL-cached relations (DataFrame.persist -> CacheManager) and
+    RDD-level persists/localCheckpoints (getPersistentRDDs)."""
+    n_sql = spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+    n_rdd = spark.sparkContext._jsc.getPersistentRDDs().size()
+    if n_sql > limit or n_rdd > limit:
+        raise RuntimeError(
+            f"cache hygiene after {name}: {n_sql} cached relations / "
+            f"{n_rdd} persistent RDDs remain (> {limit}) — a persist/pin "
+            "path is leaking"
+        )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -62,6 +87,10 @@ def main() -> int:
             materialize(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # hygiene BEFORE the final clear: only the current query's own
+        # pins may be resident; accumulation past the allowance means
+        # some path is leaking persists that would tax the whole sweep
+        assert_cache_hygiene(spark, name)
         spark.catalog.clearCache()
 
     payload = bench_payload(timings, sf)

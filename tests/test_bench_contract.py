@@ -64,3 +64,28 @@ def test_real_registry_size_fits_window():
     line = format_bench_line(payload)
     assert len(line) <= 1800
     json.loads(line)
+
+
+def test_cache_hygiene_detects_leaks(spark):
+    """assert_cache_hygiene passes on a clean session, fails when a
+    sweep accumulates un-released persists (the leak mode it guards)."""
+    import pytest
+
+    from bench import assert_cache_hygiene
+
+    spark.catalog.clearCache()
+    assert_cache_hygiene(spark, "clean")  # must not raise
+
+    # distinct range lengths: identical-canonical plans would dedupe to
+    # ONE CacheManager entry (renamed columns canonicalize away)
+    leaked = [spark.range(100 + i).persist() for i in range(12)]
+    for df in leaked:
+        df.count()
+    try:
+        with pytest.raises(RuntimeError, match="cache hygiene"):
+            assert_cache_hygiene(spark, "leaky")
+    finally:
+        for df in leaked:
+            df.unpersist(blocking=True)
+    spark.catalog.clearCache()
+    assert_cache_hygiene(spark, "clean-again")
