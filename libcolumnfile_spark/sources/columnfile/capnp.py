@@ -23,8 +23,22 @@ Notes vs the reference:
 - the reference rejects lists of scalars ("missing implementation",
   columnfile-capnp.cc:86-90); we support them (count column + one
   element column) as the natural extension.
-- capnp unions are a TODO in the reference itself (:96,205); nothing to
-  match.
+- capnp unions are a TODO in the reference itself (:96,205 — it only
+  iterates getNonUnionFields), so the convention below is BEYOND
+  REFERENCE PARITY, designed as the natural extension of the same
+  shredding rules: a union field occupies a 16-bit-LE DISCRIMINANT
+  column (capnp's own discriminant width) followed by each arm's
+  columns in declaration order; per row, the discriminant holds the
+  active arm's 0-based index and every inactive arm's leaf columns hold
+  NULL (prefix-free with list/struct shredding, and rectangular — one
+  value per row per column). An unset union writes NULL to the
+  discriminant and all arm columns. Spark-side, a union is a StructType
+  field carrying metadata {"capnp_union": true} whose FIRST field is
+  ``tag`` (ShortType) and remaining fields are the arms — see
+  union_field(). The writer enforces the exactly-one-active-arm
+  invariant; the reader is the plain struct reassembly (the layout is
+  self-aligned by construction). Byte layout pinned in
+  tests/test_columnfile_capnp.py.
 """
 
 from __future__ import annotations
@@ -32,7 +46,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql.types import ArrayType, DataType, LongType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 from libcolumnfile_spark.sources.columnfile.codec import ColumnFileFormatError
 from libcolumnfile_spark.sources.columnfile.typed import (
@@ -41,6 +62,74 @@ from libcolumnfile_spark.sources.columnfile.typed import (
 )
 
 _COUNT_DT = LongType()  # u64 LE on disk; i64 view is safe for sane counts
+
+UNION_METADATA_KEY = "capnp_union"
+_TAG_FIELD = "tag"  # first field of a union struct; ShortType = u16-LE
+                    # on disk for the 0..32767 tag range capnp allows
+
+
+def union_field(name: str, arms: list[StructField]) -> StructField:
+    """Declare a capnp-style union field: struct<tag:smallint, arms...>
+    tagged with the union metadata the writer validates against."""
+    return StructField(
+        name,
+        StructType([StructField(_TAG_FIELD, ShortType(), True)] + list(arms)),
+        True,
+        metadata={UNION_METADATA_KEY: True},
+    )
+
+
+def is_union_field(f: StructField) -> bool:
+    try:
+        if not f.metadata.get(UNION_METADATA_KEY):
+            return False
+    except Exception:
+        return False
+    dt = f.dataType
+    if not isinstance(dt, StructType) or len(dt.fields) < 2:
+        raise ColumnFileFormatError(
+            f"union field {f.name!r} must be struct<tag:smallint, arms...>"
+        )
+    t = dt.fields[0]
+    if t.name != _TAG_FIELD or not isinstance(t.dataType, ShortType):
+        raise ColumnFileFormatError(
+            f"union field {f.name!r}: first field must be {_TAG_FIELD}:smallint"
+        )
+    return True
+
+
+def _normalize_union_value(f: StructField, value):
+    """Validate + normalize one union cell: returns a list of child
+    values [tag, arm0, arm1, ...] with inactive arms forced to None.
+    Enforces the exactly-one-active-arm invariant at WRITE time so the
+    on-disk layout is canonical (readers may trust discriminants)."""
+    dt: StructType = f.dataType
+    n_arms = len(dt.fields) - 1
+    if value is None:
+        return None
+    if isinstance(value, dict):
+        vals = [value.get(x.name) for x in dt.fields]
+    else:
+        vals = list(value)
+    tag = vals[0]
+    if tag is None:
+        if any(v is not None for v in vals[1:]):
+            raise ColumnFileFormatError(
+                f"union {f.name!r}: arm set but {_TAG_FIELD} is null"
+            )
+        return None
+    tag = int(tag)
+    if not (0 <= tag < n_arms):
+        raise ColumnFileFormatError(
+            f"union {f.name!r}: {_TAG_FIELD} {tag} out of range 0..{n_arms - 1}"
+        )
+    for i, v in enumerate(vals[1:]):
+        if i != tag and v is not None:
+            raise ColumnFileFormatError(
+                f"union {f.name!r}: inactive arm {dt.fields[1 + i].name!r} "
+                f"is set while {_TAG_FIELD}={tag}"
+            )
+    return vals
 
 
 def field_count(dt: DataType) -> int:
@@ -169,6 +258,10 @@ def write_rows_capnp(writer, schema: StructType, rows, segment_bytes: int = 0) -
                     vals = list(value)
                 for f, v in zip(dt.fields, vals):
                     fc = field_count(f.dataType)
+                    if is_union_field(f):
+                        # canonicalize: exactly-one-active-arm enforced,
+                        # inactive arms forced to NULL (module docstring)
+                        v = _normalize_union_value(f, v)
                     if isinstance(f.dataType, (StructType, ArrayType)):
                         queue.append((v, f.dataType, col))
                     elif v is None:

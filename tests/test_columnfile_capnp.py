@@ -197,3 +197,103 @@ def test_write_rows_capnp_breadth_first_matches_hand_layout(tmp_path):
     w.finalize()
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+# ---------------------------------------------------------------------------
+# Unions (BEYOND reference parity — the reference leaves them as a TODO,
+# columnfile-capnp.cc:96,205): u16-LE discriminant column + per-arm
+# columns, inactive arms NULL. See capnp.py module docstring.
+# ---------------------------------------------------------------------------
+
+from libcolumnfile_spark.sources.columnfile.capnp import (  # noqa: E402
+    union_field,
+)
+from libcolumnfile_spark.sources.columnfile.codec import (  # noqa: E402
+    ColumnFileFormatError,
+)
+
+UNION_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        union_field(
+            "contact",
+            [
+                StructField("phone", StringType(), True),
+                StructField("email", StringType(), True),
+            ],
+        ),
+    ]
+)
+
+UNION_ROWS = [
+    {"id": 1, "contact": {"tag": 0, "phone": "555-1234", "email": None}},
+    {"id": 2, "contact": {"tag": 1, "phone": None, "email": "a@b.c"}},
+    {"id": 3, "contact": None},  # whole union unset
+    {"id": 4, "contact": {"tag": 0, "phone": None, "email": None}},  # Void-ish arm
+]
+
+
+def test_capnp_union_layout_pinned(tmp_path):
+    """write_rows_capnp must emit EXACTLY the documented convention:
+    col0=id (i64-LE), col1=discriminant (u16-LE / null), col2=phone,
+    col3=email, inactive arms null."""
+    a, b = str(tmp_path / "a.col"), str(tmp_path / "b.col")
+
+    w = ColumnFileWriter(a, compression="none")
+    i64 = struct.Struct("<q").pack
+    u16 = struct.Struct("<h").pack
+    # row 1: phone arm
+    w.put(0, i64(1)); w.put(1, u16(0)); w.put(2, b"555-1234"); w.put_null(3)
+    # row 2: email arm
+    w.put(0, i64(2)); w.put(1, u16(1)); w.put_null(2); w.put(3, b"a@b.c")
+    # row 3: unset union -> discriminant and all arms null
+    w.put(0, i64(3)); w.put_null(1); w.put_null(2); w.put_null(3)
+    # row 4: phone arm active but value null
+    w.put(0, i64(4)); w.put(1, u16(0)); w.put_null(2); w.put_null(3)
+    w.add_rows(4)
+    w.flush()
+    w.finalize()
+
+    wb = ColumnFileWriter(b, compression="none")
+    write_rows_capnp(wb, UNION_SCHEMA, UNION_ROWS)
+    wb.flush()
+    wb.finalize()
+
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_capnp_union_roundtrip_via_spark(spark, tmp_path):
+    path = str(tmp_path / "uds")
+    rows = [
+        (1, (0, "555-1234", None)),
+        (2, (1, None, "a@b.c")),
+        (3, None),
+        (4, (0, None, None)),
+    ]
+    src = spark.createDataFrame(rows, UNION_SCHEMA)
+    src.write.format("columnfile").option("list_layout", "capnp").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("columnfile").load(path)
+    key = lambda r: r[0]
+    assert sorted((tuple(r) for r in back.collect()), key=key) == sorted(
+        (tuple(r) for r in src.collect()), key=key
+    )
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ({"id": 9, "contact": {"tag": 2, "phone": None, "email": None}},
+         "out of range"),
+        ({"id": 9, "contact": {"tag": 0, "phone": None, "email": "x@y"}},
+         "inactive arm"),
+        ({"id": 9, "contact": {"tag": None, "phone": "555", "email": None}},
+         "tag is null"),
+    ],
+)
+def test_capnp_union_writer_validates(tmp_path, bad, msg):
+    w = ColumnFileWriter(str(tmp_path / "v.col"), compression="none")
+    with pytest.raises(ColumnFileFormatError, match=msg):
+        write_rows_capnp(w, UNION_SCHEMA, [bad])
