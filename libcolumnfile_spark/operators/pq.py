@@ -44,6 +44,25 @@ def _seeded_codebooks(dim: int, m: int, ksub: int, seed: int = 101) -> np.ndarra
     return cb
 
 
+# dim probe memo keyed by the frame's input files: the probe is one
+# tiny job per train/encode call otherwise, and fixture identity is
+# exactly what the table-plan memo already keys on
+_DIM_CACHE: dict[tuple, int] = {}
+
+
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    try:
+        key = (vec_col,) + tuple(sorted(df.inputFiles()))
+    except Exception:
+        key = None
+    if key is not None and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    dim = len(df.select(vec_col).first()[0])
+    if key is not None:
+        _DIM_CACHE[key] = dim
+    return dim
+
+
 def train_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -52,45 +71,53 @@ def train_codebooks(
     iters: int = 5,
     seed: int = 101,
 ) -> np.ndarray:
-    """Distributed Lloyd per sub-space. Returns (m, ksub, sub) float64."""
-    dim = len(df.select(vec_col).first()[0])
+    """Distributed Lloyd per sub-space. Returns (m, ksub, sub) float64.
+
+    Each iteration is ONE mapInPandas pass emitting per-BATCH partial
+    sums (subspace, code, pos, psum, pcnt) — at most m*ksub*sub rows
+    per Arrow batch, regardless of corpus size — followed by a tiny
+    final aggregation. Map-side combining keeps the shuffle
+    O(batches * codebook), not O(vectors * dim): the same partial/final
+    split Catalyst gives hash aggregates, applied to the numpy kernel."""
+    dim = _vector_dim(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     cb = _seeded_codebooks(dim, m, ksub, seed)
+    vecs = df.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
         cb_b = cb.copy()
 
-        @F.pandas_udf("array<struct<subspace:int, code:int, subvec:array<double>>>")
-        def assign(col: pd.Series) -> pd.Series:
-            if len(col) == 0:
-                return pd.Series([], dtype=object)
-            M = np.array(list(col), dtype=np.float64)
-            out = []
-            per_sub_codes = []
-            for i in range(m):
-                S = M[:, i * sub : (i + 1) * sub]
-                # squared L2 to each centroid; argmin, lowest-code tie-break
-                d2 = ((S[:, None, :] - cb_b[i][None, :, :]) ** 2).sum(axis=2)
-                per_sub_codes.append(np.argmin(d2, axis=1))
-            for r in range(len(M)):
-                out.append(
-                    [
-                        {
-                            "subspace": i,
-                            "code": int(per_sub_codes[i][r]),
-                            "subvec": list(M[r, i * sub : (i + 1) * sub]),
-                        }
-                        for i in range(m)
-                    ]
-                )
-            return pd.Series(out)
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf["v"]), dtype=np.float64)
+                rows = {"subspace": [], "code": [], "pos": [], "psum": [], "pcnt": []}
+                for i in range(m):
+                    S = M[:, i * sub : (i + 1) * sub]
+                    # squared L2 argmin; np.argmin = lowest-code tie-break
+                    d2 = ((S[:, None, :] - cb_b[i][None, :, :]) ** 2).sum(axis=2)
+                    codes = np.argmin(d2, axis=1)
+                    sums = np.zeros((ksub, sub))
+                    np.add.at(sums, codes, S)
+                    cnts = np.bincount(codes, minlength=ksub).astype(np.float64)
+                    for c in np.nonzero(cnts)[0]:
+                        for p in range(sub):
+                            rows["subspace"].append(i)
+                            rows["code"].append(int(c))
+                            rows["pos"].append(p)
+                            rows["psum"].append(sums[c, p])
+                            rows["pcnt"].append(cnts[c])
+                yield pd.DataFrame(rows)
 
         means = (
-            df.select(F.explode(assign(F.col(vec_col))).alias("a"))
-            .select("a.subspace", "a.code", F.posexplode("a.subvec").alias("pos", "x"))
+            vecs.mapInPandas(
+                partials,
+                schema="subspace int, code int, pos int, psum double, pcnt double",
+            )
             .groupBy("subspace", "code", "pos")
-            .agg(F.avg("x").alias("mean"))
+            .agg((F.sum("psum") / F.sum("pcnt")).alias("mean"))
             .collect()
         )  # bounded: m * ksub * sub rows
         nxt = cb.copy()  # empty cells keep their previous centroid

@@ -77,12 +77,16 @@ _LAYOUT_MIN_ROWS = 2000  # below this a single scan task is already fine
 
 # Slice count is sized by BYTES, not row count: a measured A/B
 # (tools/layout_ab.py, r4->r5) showed 32-way slicing of the sub-MB
-# documents/events fixtures made their sub-second queries 60-250%
-# SLOWER (32 task dispatches + 32 parquet opens against ~20 KB files),
-# while the 10.8 MB lineitem fact gained 10-56% from parallel scans.
-# Each slice must carry at least this many source bytes; tables smaller
-# than 2 slices stay a single file.
-_SLICE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SLICE_MIN_BYTES", 512 * 1024))
+# documents/events fixtures made their sub-second Catalyst queries
+# 60-250% SLOWER (32 task dispatches + 32 parquet opens against ~20 KB
+# files), while python-kernel operators (media decode, LSH signatures,
+# PII regex) and the 10.8 MB lineitem fact NEED the full-width parallel
+# scan. A 3-way floor sweep (18 KB / 64 KB / 512 KB over a mixed
+# kernel+catalyst+TPC-H set) put 64 KB ahead overall: kernel queries
+# keep near-full parallelism, catalyst micro-queries pay ~0.1 s not
+# ~0.5 s, joins keep width. Tables smaller than 2 slices stay a single
+# file.
+_SLICE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SLICE_MIN_BYTES", 64 * 1024))
 
 
 def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:

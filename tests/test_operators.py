@@ -675,9 +675,9 @@ class TestBpe:
         from libcolumnfile_spark.operators import bpe
 
         df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        # 20 merges > _CHECKPOINT_EVERY: the incremental distributed loop
-        # crosses a localCheckpoint lineage-truncation boundary, so this
-        # also pins that the checkpoint swap preserves state exactly
+        # 20 merges: deep enough that un-truncated lineage would OOM
+        # (the union references syms twice per round), so this also pins
+        # the per-round localCheckpoint + coalesce discipline
         fast = bpe.train_bpe(df, num_merges=20)
         dist = bpe.train_bpe(df, num_merges=20, driver_vocab_threshold=0)
         assert fast == dist
