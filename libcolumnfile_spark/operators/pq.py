@@ -44,23 +44,14 @@ def _seeded_codebooks(dim: int, m: int, ksub: int, seed: int = 101) -> np.ndarra
     return cb
 
 
-# dim probe memo keyed by the frame's input files: the probe is one
-# tiny job per train/encode call otherwise, and fixture identity is
-# exactly what the table-plan memo already keys on
-_DIM_CACHE: dict[tuple, int] = {}
-
-
 def _vector_dim(df: DataFrame, vec_col: str) -> int:
-    try:
-        key = (vec_col,) + tuple(sorted(df.inputFiles()))
-    except Exception:
-        key = None
-    if key is not None and key in _DIM_CACHE:
-        return _DIM_CACHE[key]
-    dim = len(df.select(vec_col).first()[0])
-    if key is not None:
-        _DIM_CACHE[key] = dim
-    return dim
+    """Dim probe, memoized per (plan, input files) — one tiny job per
+    train/encode call otherwise."""
+    from libcolumnfile_spark.tables import input_keyed_memo
+
+    return input_keyed_memo(
+        df, f"pq-dim-{vec_col}", lambda: len(df.select(vec_col).first()[0])
+    )
 
 
 def train_codebooks(

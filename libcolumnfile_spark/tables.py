@@ -257,6 +257,29 @@ def spread(df: DataFrame) -> DataFrame:
     return out
 
 
+# Plan-keyed metadata memo: operators pay small probe ACTIONS (a
+# first() for vector dim, a count() for corpus cardinality) to size
+# their plans. Over immutable fixture files the answers never change,
+# so memoize per (semantic plan, input files) — the semantic hash keys
+# the exact computation (a filtered frame hashes differently), the
+# input-file list keys the data identity (split-cache paths embed the
+# source mtime/size digest). Falls back to computing when either key
+# component is unavailable (non-file sources).
+_META_MEMO: dict[tuple, object] = {}
+
+
+def input_keyed_memo(df: DataFrame, tag: str, compute):
+    try:
+        key = (tag, df.semanticHash()) + tuple(sorted(df.inputFiles()))
+        if len(key) == 2:  # no input files: in-memory source, don't memo
+            return compute()
+    except Exception:
+        return compute()
+    if key not in _META_MEMO:
+        _META_MEMO[key] = compute()
+    return _META_MEMO[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
