@@ -373,7 +373,7 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
     tags=("pipeline", "text"),
 )
 def q_pii_redact(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     dirty = F.concat(
         F.lit("contact "),
         F.col("source"),

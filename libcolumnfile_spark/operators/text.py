@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import query, T
+from libcolumnfile_spark.tables import spread as _spread
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
 # language-ID. Real pipelines plug in larger lists; the operator shape
@@ -235,7 +236,7 @@ def fingerprint(text: Column) -> Column:
     tags=("text",),
 )
 def q_text_stats(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     t = F.col("text")
     n_chars = F.length(t).cast("bigint")
     n_spaces = occurrence_count(t, " ")
@@ -294,7 +295,7 @@ def _lang_id_oracle() -> str:
     tags=("text",),
 )
 def q_lang_id(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     return lang_id_frame(d).select("doc_id", "lang", "lang_guess")
 
 
@@ -334,7 +335,7 @@ _QUALITY_ORACLE = (
     tags=("text",),
 )
 def q_quality(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     return quality_features(d)
 
 
@@ -380,7 +381,7 @@ def _winnow_oracle() -> str:
     tags=("text", "dedup"),
 )
 def q_fingerprint_winnow(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     prints = winnow_prints_kernel()(normalized)
     pr = d.select("doc_id", prints.alias("prints"))
@@ -482,7 +483,7 @@ def q_repetition(spark, sf_dir):
     tags=("text",),
 )
 def q_token_count(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     t = F.col("text")
     bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
     return d.select(
@@ -575,7 +576,7 @@ _TFIDF_ORACLE = (
     tags=("text",),
 )
 def q_tfidf(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = _spread(T(spark, sf_dir, "documents"))
     return tfidf_topk(d, k=3)
 
 
@@ -896,7 +897,7 @@ _GOPHER_ORACLE = (
     tags=("text", "pipeline", "dedup"),
 )
 def q_boilerplate(spark, sf_dir):
-    return boilerplate_removal(T(spark, sf_dir, "documents"))
+    return boilerplate_removal(_spread(T(spark, sf_dir, "documents")))
 
 
 @query(
@@ -911,4 +912,4 @@ def q_boilerplate(spark, sf_dir):
     tags=("text", "quality", "pipeline"),
 )
 def q_gopher_rules(spark, sf_dir):
-    return gopher_rules(T(spark, sf_dir, "documents"))
+    return gopher_rules(_spread(T(spark, sf_dir, "documents")))

@@ -75,24 +75,33 @@ _LAYOUT_CACHE_DIR = os.path.join(
 )
 _LAYOUT_MIN_ROWS = 2000  # below this a single scan task is already fine
 
-# Slice count is sized by BYTES, not row count: a measured A/B
-# (tools/layout_ab.py, r4->r5) showed 32-way slicing of the sub-MB
-# documents/events fixtures made their sub-second Catalyst queries
-# 60-250% SLOWER (32 task dispatches + 32 parquet opens against ~20 KB
-# files), while python-kernel operators (media decode, LSH signatures,
-# PII regex) and the 10.8 MB lineitem fact NEED the full-width parallel
-# scan. A 3-way floor sweep (18 KB / 64 KB / 512 KB over a mixed
-# kernel+catalyst+TPC-H set) put 64 KB ahead overall: kernel queries
-# keep near-full parallelism, catalyst micro-queries pay ~0.1 s not
-# ~0.5 s, joins keep width. Tables smaller than 2 slices stay a single
-# file.
-_SLICE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SLICE_MIN_BYTES", 64 * 1024))
+# Slice count is sized by BYTES, not row count, and there are TWO
+# layouts because one floor cannot serve both consumers (measured,
+# tools/layout_ab.py + 26-query floor sweeps, r5):
+# - CATALYST queries (windows, joins, streams over events/orders) pay
+#   per-slice task overhead against microsecond per-row work: 31-slice
+#   events cost them +0.15-0.45 s each; a 512 KB floor wins.
+# - PYTHON-KERNEL operators (LSH signatures, PII regex, lang-id) need
+#   a parallel scan: a single-slice table serializes the decode and
+#   then pays spread()'s exchange (+0.2-0.4 s each); a fine floor wins.
+# So load_table serves the COARSE layout, and spread() — which only
+# kernel operators call — re-routes bare table scans to a FINE-sliced
+# copy instead of repartitioning (no exchange, parallel from the scan).
+_SLICE_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SLICE_MIN_BYTES", 512 * 1024))
+_FINE_SLICE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FINE_SLICE_MIN_BYTES", 16 * 1024)
+)
 
 
-def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
+def _split_layout(
+    path: str, st: os.stat_result, name: str, min_bytes: int | None = None,
+    tag: str = "",
+) -> str | None:
     """Return the split-copy directory for ``path``, creating it on first
     use. None => use the original file (already parallel, or too small,
-    or anything fails — this is an optimization, never a requirement)."""
+    or anything fails — this is an optimization, never a requirement).
+    ``tag`` namespaces independent layouts of the same table (coarse vs
+    fine) so their GC sweeps don't delete each other."""
     if os.environ.get("SPARK_GRAFT_NO_SPLIT_LAYOUT"):
         return None  # kill switch: A/B measurement + user escape hatch
     try:
@@ -100,22 +109,26 @@ def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
 
         from libcolumnfile_spark.session import default_parallelism
 
-        n = min(default_parallelism(), max(1, st.st_size // _SLICE_MIN_BYTES))
+        floor = min_bytes or _SLICE_MIN_BYTES
+        n = min(default_parallelism(), max(1, st.st_size // floor))
         if n < 2:
             return None  # too small for slicing to pay for itself
+        family = f"{tag}-{name}" if tag else name
         digest = f"{st.st_mtime_ns:x}-{st.st_size:x}-{n}"
-        dest = os.path.join(_LAYOUT_CACHE_DIR, f"{name}-{digest}")
+        dest = os.path.join(_LAYOUT_CACHE_DIR, f"{family}-{digest}")
         marker = os.path.join(dest, "_SUCCESS")
         if os.path.exists(marker):
             return dest
-        # GC stale siblings for this table name (old mtime/size/parallelism
-        # digests, abandoned __tmp dirs): each is a full table copy, and
-        # without this every rewritten fixture or tmp-dir test table leaves
-        # a permanent copy — unbounded disk growth across test runs.
+        # GC stale siblings for this layout family (old mtime/size/
+        # parallelism digests, abandoned __tmp dirs): each is a full
+        # table copy, and without this every rewritten fixture or
+        # tmp-dir test table leaves a permanent copy — unbounded disk
+        # growth across test runs. The untagged (coarse) sweep must not
+        # match tagged families, hence the tag prefix.
         try:
             import shutil
 
-            prefix = f"{name}-"
+            prefix = f"{family}-"
             for entry in os.listdir(_LAYOUT_CACHE_DIR):
                 if entry.startswith(prefix) and entry != os.path.basename(dest):
                     shutil.rmtree(
@@ -125,7 +138,10 @@ def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
             pass
         pf = pq.ParquetFile(path)
         rows = pf.metadata.num_rows
-        if rows < _LAYOUT_MIN_ROWS or pf.metadata.num_row_groups > 1:
+        # row gate is COARSE-only: a fine (spread-requested) layout
+        # exists precisely because per-row compute is heavy, where even
+        # a few hundred rows are worth fanning out without an exchange
+        if (min_bytes is None and rows < _LAYOUT_MIN_ROWS) or pf.metadata.num_row_groups > 1:
             return None  # tiny, or the source already splits
         table = pf.read()
         chunk = -(-rows // n)
@@ -158,28 +174,7 @@ def _split_layout(path: str, st: os.stat_result, name: str) -> str | None:
         return None
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLE_NAMES:
-        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    if spark not in _CONF_DONE:
-        _ensure_session_confs(spark)
-        _CONF_DONE.add(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        st = None
-        key = None  # remote path: no cheap staleness check, skip cache
-    if key is not None:
-        per_session = _TABLE_CACHE.setdefault(spark, {})
-        hit = per_session.get(key)
-        if hit is not None:
-            return hit
-        split = _split_layout(path, st, name)
-        if split is not None:
-            path = split
-    df = spark.read.parquet(path)
+def _apply_ts_conversion(df: DataFrame, name: str) -> DataFrame:
     # Parquet TIMESTAMP(NANOS) columns surface as int64 under
     # spark.sql.legacy.parquet.nanosAsLong (session.py); convert to
     # microsecond timestamps (DuckDB's TIMESTAMP precision) here so every
@@ -192,7 +187,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, LongType):
             # integer DIV: float division would lose precision above 2^53 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if spark not in _CONF_DONE:
+        _ensure_session_confs(spark)
+        _CONF_DONE.add(spark)
+    src_path = os.path.join(sf_dir, f"{name}.parquet")
+    path = src_path
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        st = None
+        key = None  # remote path: no cheap staleness check, skip cache
+    per_session = None
     if key is not None:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        hit = per_session.get(key)
+        if hit is not None:
+            return hit
+        split = _split_layout(path, st, name)
+        if split is not None:
+            path = split
+    df = _apply_ts_conversion(spark.read.parquet(path), name)
+    if key is not None:
+        # spread() re-routes kernel operators to a FINE-sliced copy via
+        # this hook (built + memoized lazily): parallel scans without an
+        # exchange, while plain consumers keep the coarse layout above
+        def _refine(
+            _spark=spark, _path=src_path, _st=st, _name=name,
+            _per=per_session, _key=key,
+        ):
+            hit = _per.get(_key + ("fine",))
+            if hit is not None:
+                return hit
+            fine = _split_layout(
+                _path, _st, _name, min_bytes=_FINE_SLICE_MIN_BYTES, tag="fine"
+            )
+            if fine is None:
+                return None
+            fdf = _apply_ts_conversion(_spark.read.parquet(fine), _name)
+            _per[_key + ("fine",)] = fdf
+            return fdf
+
+        try:
+            df._lcf_refine = _refine
+        except Exception:
+            pass
         per_session[key] = df
     return df
 
@@ -249,7 +294,16 @@ def spread(df: DataFrame) -> DataFrame:
         est = max(len(files), total // _OPEN_COST_BYTES + 1)
     except Exception:
         est = df.rdd.getNumPartitions()
-    out = df.repartition(n) if est < n else df
+    if est < n:
+        # base-table frames carry a refine hook: serve the FINE-sliced
+        # layout (parallel from the scan, no exchange) instead of paying
+        # a full-row repartition shuffle
+        refine = getattr(df, "_lcf_refine", None)
+        out = refine() if refine is not None else None
+        if out is None:
+            out = df.repartition(n)
+    else:
+        out = df
     try:
         df._spread_result = out
     except Exception:

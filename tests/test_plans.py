@@ -189,12 +189,21 @@ def test_tpch_q4_no_fact_broadcast(spark):
         )
 
 
+def _fact_scan_count(plan: str, table: str = "lineitem") -> int:
+    """Count scans of the fact table by Location line: matches both the
+    raw fixture (lineitem.parquet) and the split-layout cache copies
+    (.table_cache/[fine-]lineitem-<digest>) the loader may serve."""
+    import re
+
+    return len(re.findall(r"location:.*(?:/|fine-)?%s[.-]" % table, plan.lower()))
+
+
 def test_tpch_q18_single_agg_single_scan(spark):
     # the HAVING aggregate doubles as the output aggregate: one fact
     # scan, one 2-phase agg, top-k as TakeOrdered
     plan = plan_of(spark, "q_tpch_q18")
     assert "TakeOrderedAndProject" in plan
-    assert plan.lower().count("lineitem.parquet") == 1
+    assert _fact_scan_count(plan) == 1
     assert plan.count("HashAggregate") >= 2
 
 
@@ -202,9 +211,9 @@ def test_tpch_q21_single_fact_scan(spark):
     # hand-decorrelated: exactly one scan of lineitem, no self-join of
     # the raw fact (the EXISTS cascade would plan 3 lineitem scans)
     plan = plan_of(spark, "q_tpch_q21")
-    assert plan.lower().count("lineitem.parquet") == 1, (
+    assert _fact_scan_count(plan) == 1, (
         "q21 must scan the fact exactly once (got %d)"
-        % plan.lower().count("lineitem.parquet")
+        % _fact_scan_count(plan)
     )
     assert plan.count("HashAggregate") >= 2  # 2-phase pair agg
     assert "Window" in plan  # per-order counts ride a window, not a 2nd agg
@@ -215,7 +224,7 @@ def test_tpch_scalar_subquery_queries_scan_fact_once(spark):
     # fact is scanned once — without the pin each branch re-scans it
     for name in ("q_tpch_q11", "q_tpch_q15", "q_tpch_q17"):
         plan = plan_of(spark, name)
-        n = plan.lower().count("lineitem.parquet")
+        n = _fact_scan_count(plan)
         assert n == 1, f"{name}: expected 1 lineitem scan, got {n}"
 
 
