@@ -33,7 +33,11 @@ def _parallel_partition_bytes(path: str) -> int:
     for f in os.listdir(path):
         if f.endswith(".col"):
             total += os.path.getsize(os.path.join(path, f))
-    return max(64 * 1024, min(128 * 1024 * 1024, total // max(1, default_parallelism())))
+    # 512 KB floor: below it a partition is a single 128 KB segment and
+    # the scan pays one Python-worker dispatch (~10 ms) per segment —
+    # 30 dispatches for a 3.8 MB dataset dwarfed the decode itself
+    # (same floor calculus as tables._SLICE_MIN_BYTES)
+    return max(512 * 1024, min(128 * 1024 * 1024, total // max(1, default_parallelism())))
 
 
 # Memoized columnfile DataFrames, mirroring tables._TABLE_CACHE: a
