@@ -73,11 +73,14 @@ CONTRACTS = {
     "q_snapshot_diff": (1.1, 3.0),   # one full-outer key join
     "q_profile_columns": (1.3, 3.0), # per-column partial/final aggs
     "q_dq_constraints": (2.4, 4.0),  # counts + anti-joins
-    # round-4 operators
+    # round-4/5 operators
     "q_bpe_train": (0.9, 2.5),       # vocabulary-bounded: flat by design
+    "q_bpe_segment": (1.2, 3.0),     # frozen merges, map-only encode
     "q_boilerplate": (2.3, 4.5),     # chunk df count + reassembly
     "q_gopher_rules": (1.1, 3.0),    # map-only Catalyst pass
-    "q_sim_pq": (1.1, 3.0),          # Lloyd rounds bounded by m*ksub
+    "q_sim_pq": (1.6, 3.0),          # Lloyd rounds bounded by m*ksub
+    "q_media_decode": (2.8, 4.5),    # per-row codec work rides idle cores
+    "q_media_resize_real": (1.9, 3.5),
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat
