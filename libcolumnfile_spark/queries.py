@@ -67,21 +67,94 @@ def _release_pins() -> None:
     _PINNED = []
 
 
-def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
-    """Decorator registering a declared query."""
+# ---------------------------------------------------------------------------
+# Plan cache: building a complex DataFrame plan costs 0.1-0.25 s of
+# Python->JVM expression chatter + analysis (measured: q_tpch_q21 0.24 s
+# of its 1.0 s wall) — the prepared-statement cost a SQL engine pays
+# once. Pure-plan queries (no inline driver actions, no pins, one-time
+# manifest-guarded fixture conversions only) are memoized per
+# (session, name, sf_dir, fixture version); re-invocations return the
+# same immutable plan and every action re-executes it as usual.
+# Training/probing queries (dedup, similarity, BPE, PQ, pipeline,
+# streaming modules) are excluded — their inline work IS the operator —
+# and a runtime guard refuses to memoize any invocation that created
+# pins, so a misplaced annotation cannot freeze persisted state or skip
+# a probe-dependent plan.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import weakref as _weakref
+
+_PLAN_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = _weakref.WeakKeyDictionary()
+
+_PLAN_CACHE_MODULES = {
+    "libcolumnfile_spark.queries",
+    "libcolumnfile_spark.operators.tpch",
+    "libcolumnfile_spark.operators.relational",
+    "libcolumnfile_spark.operators.aggregates",
+    "libcolumnfile_spark.operators.text",
+    "libcolumnfile_spark.operators.udfs",
+    "libcolumnfile_spark.operators.layout",
+    "libcolumnfile_spark.operators.multimodal",
+    "libcolumnfile_spark.sources.columnfile.queries",
+    "libcolumnfile_spark.sources.stock",
+}
+
+
+def _sf_dir_version(sf_dir: str) -> int:
+    """Cheap fixture-identity stamp: max mtime of the dir's parquet
+    files, so a rewritten tmp fixture never serves a stale plan."""
+    try:
+        return max(
+            (
+                e.stat().st_mtime_ns
+                for e in _os.scandir(sf_dir)
+                if e.name.endswith(".parquet")
+            ),
+            default=0,
+        )
+    except OSError:
+        return -1
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    plan_cache: bool | None = None,
+):
+    """Decorator registering a declared query. ``plan_cache`` defaults by
+    module (see _PLAN_CACHE_MODULES); pass an explicit bool to override."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        cacheable = (
+            plan_cache
+            if plan_cache is not None
+            else fn.__module__ in _PLAN_CACHE_MODULES
+        )
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # release the previous query's pins, but only at top level —
             # a query composed from another query must not drop its own
             global _QUERY_DEPTH
             if _QUERY_DEPTH == 0:
                 _release_pins()
+            key = None
+            if cacheable:
+                key = (name, sf_dir, _sf_dir_version(sf_dir))
+                per = _PLAN_MEMO.setdefault(spark, {})
+                hit = per.get(key)
+                if hit is not None:
+                    return hit
             _QUERY_DEPTH += 1
             try:
-                return fn(spark, sf_dir)
+                df = fn(spark, sf_dir)
             finally:
                 _QUERY_DEPTH -= 1
+            if key is not None and not _PINNED:
+                per[key] = df
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

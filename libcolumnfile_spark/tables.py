@@ -113,7 +113,16 @@ def _split_layout(
         n = min(default_parallelism(), max(1, st.st_size // floor))
         if n < 2:
             return None  # too small for slicing to pay for itself
-        family = f"{tag}-{name}" if tag else name
+        # family is namespaced by SOURCE path, not just table name: two
+        # fixtures both called "lineitem" (an sf dir, a tmp test dir, an
+        # x10 replica) must never GC each other's layout dirs — live
+        # session plans hold file listings into them
+        import hashlib
+
+        src_ns = hashlib.sha1(
+            os.path.dirname(os.path.abspath(path)).encode()
+        ).hexdigest()[:8]
+        family = f"{tag}-{name}-{src_ns}" if tag else f"{name}-{src_ns}"
         digest = f"{st.st_mtime_ns:x}-{st.st_size:x}-{n}"
         dest = os.path.join(_LAYOUT_CACHE_DIR, f"{family}-{digest}")
         marker = os.path.join(dest, "_SUCCESS")
