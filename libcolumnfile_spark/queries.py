@@ -117,6 +117,60 @@ def _sf_dir_version(sf_dir: str) -> int:
         return -1
 
 
+# ---------------------------------------------------------------------------
+# Cost-based degree of parallelism. A cost-based engine sizes its
+# pipeline width from the data (DuckDB picks morsel counts from row
+# counts; Spark's own AQE coalesces reduce partitions from runtime
+# stats) — but AQE can only merge partitions AFTER a 32-way map stage
+# has already written 32 shuffle files and the scheduler has paid for
+# 32 tasks per stage. On a 17 MB fixture that scheduling floor IS the
+# query (q_tpch_q11: 1.20 s at 32 initial partitions, 0.66 s at 8;
+# DuckDB 0.04 s). So: size the INITIAL shuffle partition count from the
+# query universe's input bytes, clamped at the session's configured
+# value. The clamp makes this identity at scale — any input past
+# ~2 MB x configured-parallelism (64 MB locally) keeps the configured
+# width, so x10/x100 probes and a real cluster (where the cluster conf
+# sets thousands of partitions) are untouched; only micro inputs stop
+# paying scheduler tax they cannot amortize.
+# ---------------------------------------------------------------------------
+
+_DOP_TARGET_BYTES = 2 * 1024 * 1024
+# the session's configured shuffle width, recorded before first tuning:
+# this is the ceiling, so a cluster-side setting is never exceeded
+_DOP_BASE: "_weakref.WeakKeyDictionary[SparkSession, int]" = _weakref.WeakKeyDictionary()
+
+
+def _tune_dop(spark: SparkSession, sf_dir: str) -> None:
+    base = _DOP_BASE.get(spark)
+    if base is None:
+        try:
+            base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return
+        _DOP_BASE[spark] = base
+    try:
+        total = 0
+        for e in _os.scandir(sf_dir):
+            if not e.name.endswith(".parquet"):
+                continue
+            if e.is_dir():
+                # Spark-written table: a directory of part files (the
+                # x10/x100 replicas are laid out this way) — sum the
+                # parts, or a 175 MB replica reads as a 4 KB dirent and
+                # gets DOP 1
+                total += sum(
+                    f.stat().st_size for f in _os.scandir(e.path) if f.is_file()
+                )
+            else:
+                total += e.stat().st_size
+    except OSError:
+        return
+    if total <= 0:
+        return
+    dop = max(1, min(base, (total + _DOP_TARGET_BYTES - 1) // _DOP_TARGET_BYTES))
+    spark.conf.set("spark.sql.shuffle.partitions", str(dop))
+
+
 def query(
     name: str,
     oracle: str | None = None,
@@ -140,6 +194,7 @@ def query(
             global _QUERY_DEPTH
             if _QUERY_DEPTH == 0:
                 _release_pins()
+                _tune_dop(spark, sf_dir)
             key = None
             if cacheable:
                 key = (name, sf_dir, _sf_dir_version(sf_dir))

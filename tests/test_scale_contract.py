@@ -43,10 +43,10 @@ CONTRACTS = {
     # shuffle-bound round-3 operators: one or two hash/sort exchanges,
     # no pair generation — growth must stay near-linear
     "q_dedup_passage": (1.1, 2.5),
-    "q_tfidf": (1.1, 3.0),
-    "q_inverted_index": (1.3, 3.0),
+    "q_tfidf": (2.9, 4.0),        # t1 fell with bytes-keyed DOP (x10 absolute ~2.1 s, unchanged)
+    "q_inverted_index": (2.4, 4.0),  # same denominator shift (x10 absolute ~1.4 s)
     "q_sim_knn": (1.2, 3.0),      # broadcast queries: corpus map-side
-    "q_sessionize": (2.5, 4.0),   # x10 events = 10x distinct users; t1 fell with the coarse-layout change, lifting the measured ratio
+    "q_sessionize": (3.1, 4.5),   # x10 events = 10x distinct users; t1 fell with coarse layout + bytes-keyed DOP, lifting the measured ratio (x10 absolute ~1.0 s)
     # percent_rank partitions by language (5 values) — parallelism is
     # capped at n_langs, so x10 concentrates on 5 sorted runs; still
     # bounded-linear, just with a worse constant than hash-partitioned
@@ -60,7 +60,7 @@ CONTRACTS = {
     "q_tpch_q5": (1.5, 3.0),    # 6-table chain, size-measured dims
     "q_tpch_q13": (1.3, 3.0),   # outer join + stacked aggs on customer
     "q_histogram": (1.2, 2.5),  # map-side bucket, O(buckets) shuffle
-    "q_tpch_q3": (1.6, 3.0),    # fact scan + 2 broadcast dims + group
+    "q_tpch_q3": (3.3, 4.5),    # fact scan + 2 broadcast dims + group; t1 fell 0.45->0.28 with bytes-keyed DOP, x10 absolute unchanged (~0.9 s)
     "q_tpch_q2": (0.8, 2.5),    # semi-filtered pair-distinct + window
     "q_tpch_q21": (1.8, 3.5),   # two stacked aggs, 2 narrow shuffles
     "q_tpch_q16": (0.9, 2.5),   # pair-distinct + count_distinct
