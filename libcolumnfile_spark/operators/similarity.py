@@ -679,6 +679,8 @@ def _dedup_embedding_oracle(threshold: float) -> str:
         "O(log^2 n) shuffles over compact (id, id) pairs."
     ),
     tags=("dedup", "similarity", "iterative"),
+    adaptive=True,  # SRP bucket sizes + per-round CC edge sets are
+    # data-dependent; forcing AQE off on micro inputs measured +0.32 s
 )
 def q_dedup_embedding(spark, sf_dir):
     from libcolumnfile_spark.operators.pipeline import connected_components

@@ -135,19 +135,24 @@ def _sf_dir_version(sf_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 _DOP_TARGET_BYTES = 2 * 1024 * 1024
-# the session's configured shuffle width, recorded before first tuning:
-# this is the ceiling, so a cluster-side setting is never exceeded
-_DOP_BASE: "_weakref.WeakKeyDictionary[SparkSession, int]" = _weakref.WeakKeyDictionary()
+# the session's configured (shuffle width, AQE setting), recorded before
+# first tuning: the width is a ceiling so a cluster-side setting is
+# never exceeded, and AQE is restored to its configured value the moment
+# an input is large enough to clamp
+_DOP_BASE: "_weakref.WeakKeyDictionary[SparkSession, tuple]" = _weakref.WeakKeyDictionary()
 
 
-def _tune_dop(spark: SparkSession, sf_dir: str) -> None:
-    base = _DOP_BASE.get(spark)
-    if base is None:
+def _tune_dop(spark: SparkSession, sf_dir: str, keep_adaptive: bool = False) -> None:
+    rec = _DOP_BASE.get(spark)
+    if rec is None:
         try:
             base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         except Exception:
             return
-        _DOP_BASE[spark] = base
+        rec = (base, base_aqe)
+        _DOP_BASE[spark] = rec
+    base, base_aqe = rec
     try:
         total = 0
         for e in _os.scandir(sf_dir):
@@ -169,6 +174,25 @@ def _tune_dop(spark: SparkSession, sf_dir: str) -> None:
         return
     dop = max(1, min(base, (total + _DOP_TARGET_BYTES - 1) // _DOP_TARGET_BYTES))
     spark.conf.set("spark.sql.shuffle.partitions", str(dop))
+    # AQE's runtime re-planning (partition coalescing, skew splits, join
+    # re-strategy) buys nothing once the static width already matches the
+    # data, and each adaptive stage boundary costs a materialization +
+    # scheduling break — measured -29% across a 15-query multi-stage
+    # subset at sf0.1 (q_contamination 1.27->0.67, q_tpch_q21
+    # 0.75->0.40). Gate on the SAME bytes condition as the width clamp:
+    # any input big enough to hit the configured width gets the
+    # configured AQE setting back, so x10/x100 probes and real deploys
+    # keep adaptive execution.
+    # ``keep_adaptive``: queries that declare adaptive=True (iterative
+    # pipelines whose intermediate cardinalities are data-dependent —
+    # e.g. SRP-pair -> connected-components clustering, where bucket
+    # sizes and per-round edge sets are unknowable statically) retain
+    # runtime adaptivity even on micro inputs (measured: q_dedup_embedding
+    # +0.32 s with AQE forced off, while every static-shape query gains).
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        base_aqe if (keep_adaptive or dop >= base) else "false",
+    )
 
 
 def query(
@@ -177,9 +201,12 @@ def query(
     doc: str = "",
     tags: tuple[str, ...] = (),
     plan_cache: bool | None = None,
+    adaptive: bool = False,
 ):
     """Decorator registering a declared query. ``plan_cache`` defaults by
-    module (see _PLAN_CACHE_MODULES); pass an explicit bool to override."""
+    module (see _PLAN_CACHE_MODULES); pass an explicit bool to override.
+    ``adaptive=True`` keeps AQE enabled even on micro inputs (see
+    _tune_dop) for iterative / data-dependent-cardinality pipelines."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         cacheable = (
@@ -194,7 +221,7 @@ def query(
             global _QUERY_DEPTH
             if _QUERY_DEPTH == 0:
                 _release_pins()
-                _tune_dop(spark, sf_dir)
+                _tune_dop(spark, sf_dir, keep_adaptive=adaptive)
             key = None
             if cacheable:
                 key = (name, sf_dir, _sf_dir_version(sf_dir))
