@@ -248,12 +248,28 @@ def encoded_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture prep (in production the encoded media IS the input), so it
     runs once and every query invocation reads the parquet."""
     from libcolumnfile_spark.cache import cache_has, cache_path
+    from libcolumnfile_spark.session import default_parallelism
+    from libcolumnfile_spark.tables import spread
 
+    # The fixture is byte-small (5k compressed payloads plan ~2 scan
+    # splits under the bytes/openCost formula) but decode/resize cost is
+    # per-ROW CPU — served as a 2-split table the codec kernels ran on
+    # 2 tasks (measured 0.29 s -> 0.77 s when the cached fixture
+    # landed). Write it pre-partitioned at core width so every read
+    # plans a natively parallel scan with NO runtime exchange; the
+    # layout is part of the fixture identity (dir name), so a coarse
+    # fixture from an older build regenerates rather than being reused.
+    # At real scale encoded media is the INPUT (many files >= cores) and
+    # the spread() guard below is a no-op either way.
+    n = default_parallelism()
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = cache_path("stockcache", key, "media_encoded")
-    if not cache_has("stockcache", key, "media_encoded", "_SUCCESS"):
-        encode_media(media_table(spark, sf_dir)).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    leaf = f"media_encoded-p{n}"
+    path = cache_path("stockcache", key, leaf)
+    if not cache_has("stockcache", key, leaf, "_SUCCESS"):
+        encode_media(media_table(spark, sf_dir)).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spread(spark.read.parquet(path))
 
 
 def decode_media(df: DataFrame) -> DataFrame:
