@@ -367,3 +367,160 @@ def q_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation)
+#
+# Beyond-reference pipeline operator: single-pass bounded-memory token
+# frequency estimation — the standard sketch for "how often does this
+# n-gram / URL / token appear in a 100 TB corpus" when an exact groupBy
+# over the full vocabulary is unwanted (e.g. as a pre-filter feeding a
+# later exact pass, or when the sketch itself ships downstream).
+# Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 55(1), 2005.
+#
+# Distribution profile: building the sketch is ONE scan — each element
+# maps to `depth` (row, bucket) cells via explode, and the groupBy
+# count is partial-aggregated map-side, so the shuffle carries at most
+# depth x width groups (the sketch size), never O(rows). Estimation
+# joins items against the depth*width-row sketch (broadcast-sized by
+# construction) and takes the per-item min over its depth cells.
+#
+# Hash family: md5-derived (the repo's engine-portable family, exactly
+# the md5_gram_hash construction from operators/dedup.py) so a DuckDB
+# oracle reproduces every cell and estimate bit-for-bit. A production
+# deployment at 100 TB swaps hash_expr for xxhash64 (JVM-side, no md5
+# cost) — the estimate guarantees are family-independent.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(col, i: int, width: int):
+    """Bucket of ``col`` in sketch row ``i``: md5-derived 60-bit hash of
+    the salted value, mod width. Deterministic across engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_sketch(
+    items: DataFrame, col: str = "item", depth: int = 3, width: int = 128
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) with up to depth*width rows.
+
+    One scan over ``items``: explode each element to its ``depth``
+    cells, then a partial+final count — shuffle bounded by the sketch
+    dimensions. Absent cells are zero by convention.
+    """
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_cell(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, queries_df: DataFrame, col: str = "item",
+    depth: int = 3, width: int = 128,
+) -> DataFrame:
+    """Point-query the sketch: est(x) = min over rows of cell(row, h_row(x)).
+
+    The sketch side is depth*width rows — broadcast by construction;
+    the join is map-side against the item stream. Guarantee: est >=
+    true count always; est <= true + eps*N with prob 1-delta for
+    width=ceil(e/eps), depth=ceil(ln 1/delta).
+    """
+    probes = queries_df.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_cell(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 3, 128, 20
+
+
+def _sketch_freq_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH, k: int = _CMS_TOPK) -> str:
+    cell = (
+        "CAST(('0x' || substr(md5({v} || '#{i}'), 1, 15)) AS BIGINT) % " + str(width)
+    )
+    cells_union = " UNION ALL ".join(
+        f"SELECT {i} AS row, " + cell.format(v="tok", i=i) + " AS bucket, "
+        "count(*) AS cnt FROM toks GROUP BY 2"
+        for i in range(depth)
+    )
+    est_branches = " UNION ALL ".join(
+        f"SELECT t.tok, c.cnt FROM top t JOIN cells c ON c.row = {i} "
+        "AND c.bucket = " + cell.format(v="t.tok", i=i)
+        for i in range(depth)
+    )
+    return (
+        "WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "  FROM documents WHERE length(trim(text)) > 0), "
+        "cnt AS (SELECT tok, count(*) AS exact_n FROM toks WHERE tok <> '' GROUP BY tok), "
+        f"cells AS ({cells_union}), "
+        f"top AS (SELECT tok, exact_n FROM cnt ORDER BY exact_n DESC, tok LIMIT {k}), "
+        f"ests AS ({est_branches}) "
+        "SELECT t.tok AS token, t.exact_n, min(e.cnt) AS cms_est "
+        "FROM top t JOIN ests e ON e.tok = t.tok "
+        "GROUP BY t.tok, t.exact_n"
+    )
+
+
+@query(
+    "q_sketch_freq",
+    oracle=_sketch_freq_oracle(),
+    doc=(
+        "Count-min sketch frequency estimation (Cormode-Muthukrishnan "
+        "2005): single-pass depth=3 x width=128 sketch over the document "
+        "token stream, point-queried for the exact top-20 tokens — "
+        "output (token, exact_n, cms_est) makes the one-sided error "
+        "visible (cms_est >= exact_n always). md5-derived hash family "
+        "(dedup.py md5_gram_hash construction) so the DuckDB oracle "
+        "reproduces every cell; production swaps in xxhash64. Scale: "
+        "sketch build is one scan with a depth*width-bounded shuffle; "
+        "estimation broadcasts the sketch."
+    ),
+    tags=("agg", "sketch", "llm-pipeline"),
+)
+def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = count_min_sketch(toks, "tok", _CMS_DEPTH, _CMS_WIDTH)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(_CMS_TOPK)
+    )
+    est = cms_estimate(sketch, top.select("tok"), "tok", _CMS_DEPTH, _CMS_WIDTH)
+    return top.join(est, "tok").select(
+        F.col("tok").alias("token"), "exact_n", F.col("cms_est")
+    )

@@ -1223,3 +1223,76 @@ def _simhash_verified_oracle(n_bits: int = _SIMHASH_V_BITS) -> str:
 def q_dedup_simhash_verified(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return simhash_verified_dedup(d)
+
+
+def md5_minhash_sig_key(
+    text_col: Column,
+    id_col: Column,
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> Column:
+    """Row-LOCAL deterministic MinHash signature key (md5 hash family,
+    one band spanning the whole signature) — the streaming-safe form of
+    minhash_exact_dedup's candidate key: a single projection expression
+    with no explode/groupBy, so it runs inside a streaming select ahead
+    of dropDuplicatesWithinWatermark. Same tokenization, grams, base
+    hash (md5_gram_hash) and affine family as the batch operator, so a
+    DuckDB oracle reproduces every key.
+
+    Documents too short to shingle (< shingle_n tokens) get a per-doc
+    ``short:<id>`` key: always unique, they pass through dedup.
+
+    Perf note: HOF lambdas evaluate interpreted per element, and the
+    md5 base hash is re-evaluated once per affine row (n_hashes x grams
+    evals) — the right trade for a per-row streaming stage. The batch
+    path (minhash_exact_dedup) keeps the explode/groupBy whole-stage-
+    codegen shape instead.
+    """
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    grams = shingles_from_tokens(toks, shingle_n)
+    hs = F.transform(grams, md5_gram_hash)
+
+    def rehash(a: int, b: int):
+        def fn(h):
+            return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
+
+        return fn
+
+    parts = [
+        F.array_min(F.transform(hs, rehash(a, b))).cast("string")
+        for a, b in _hash_params(n_hashes, seed)
+    ]
+    return F.when(
+        F.size(toks) >= shingle_n, F.concat_ws(",", *parts)
+    ).otherwise(F.concat(F.lit("short:"), id_col.cast("string")))
+
+
+def md5_sig_key_sql(
+    toks_expr: str,
+    id_expr: str,
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB scalar expression mirroring md5_minhash_sig_key, for use
+    in oracles: ``toks_expr``/``id_expr`` are SQL fragments naming the
+    token-list and id columns in scope."""
+    p = _MERSENNE_31
+    n1 = shingle_n - 1
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, len({toks_expr}) - {n1}), "
+        f"i -> array_to_string({toks_expr}[i:i+{n1}], ' ')))"
+    )
+    hs = (
+        f"list_transform({grams}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})"
+    )
+    sig = " || ',' || ".join(
+        f"CAST(list_min(list_transform({hs}, x -> ({a} * x + {b}) % {p})) AS VARCHAR)"
+        for a, b in _hash_params(n_hashes, seed)
+    )
+    return (
+        f"CASE WHEN len({toks_expr}) >= {shingle_n} THEN {sig} "
+        f"ELSE 'short:' || CAST({id_expr} AS VARCHAR) END"
+    )

@@ -1067,3 +1067,99 @@ def q_dq_constraints(spark, sf_dir):
         .unionByName(one("orders_custkey_fk", o_orphans))
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (storage management)
+#
+# Beyond-reference pipeline operator: rewrite a fragmented table
+# directory into files near a target size — the standard maintenance
+# pass every large ingest pipeline needs (streaming sinks and wide
+# fan-out writes leave thousands of KB-sized files whose per-file open
+# cost then dominates scans; Delta/Iceberg ship it as OPTIMIZE /
+# rewrite_data_files). The reference's closest concern is its writer's
+# size-based segment flush (columnfile-writer.cc:55-111), which bounds
+# segment size going DOWN; compaction bounds file count going UP.
+# ---------------------------------------------------------------------------
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Rewrite ``src_path`` (a parquet dir) into ~``target_bytes`` files
+    at ``dest_path``; returns the output file count.
+
+    File count = ceil(input_bytes / target_bytes) from the source's
+    actual file sizes. ``shuffle=False`` (default) uses coalesce: a
+    LOCAL merge of input splits with no exchange — the cheap path when
+    reducing file count, which is what compaction does. ``shuffle=True``
+    round-robins rows for evenly-sized output (one exchange of the
+    data), matching Delta OPTIMIZE's rewrite. At 100 TB either runs
+    embarrassingly parallel per output file; the decision is per
+    partition-directory in practice (compact only dirs whose mean file
+    size is under threshold).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(dest_path)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(dest_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _fragmented_documents_fixture(spark, sf_dir: str) -> tuple[str, str]:
+    """One-time fixture: the documents table deliberately shattered into
+    64 small files (the state a streaming sink leaves behind), plus the
+    compacted rewrite. Same manifest-guarded conversion pattern as the
+    csv/json/orc fixtures (sources/stock.py)."""
+    import hashlib
+
+    from libcolumnfile_spark.cache import cache_has, cache_path
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    frag = cache_path("stockcache", key, "docs_fragmented")
+    compacted = cache_path("stockcache", key, "docs_compacted")
+    if not cache_has("stockcache", key, "docs_fragmented", "_SUCCESS"):
+        T(spark, sf_dir, "documents").repartition(64).write.mode("overwrite").parquet(frag)
+    if not cache_has("stockcache", key, "docs_compacted", "_SUCCESS"):
+        # 4 MB target: collapses the 64 shards to a handful of files at
+        # any fixture SF while still exercising the ceil() sizing
+        compact_parquet(spark, frag, compacted, target_bytes=4 * 1024 * 1024)
+    return frag, compacted
+
+
+@query(
+    "q_compaction",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+    doc=(
+        "Small-file compaction (Delta OPTIMIZE / Iceberg "
+        "rewrite_data_files analogue): the documents table shattered "
+        "into 64 streaming-sink-style small files, compacted to "
+        "~4 MB-target files via compact_parquet (coalesce: local merge, "
+        "no exchange), then read back — the oracle pins losslessness "
+        "(every row survives the rewrite bit-for-bit); "
+        "tests/test_pipeline.py pins the file-count contract. Scale: "
+        "file count derives from actual input bytes; coalesce runs "
+        "embarrassingly parallel per output file with no shuffle."
+    ),
+    tags=("pipeline", "storage"),
+)
+def q_compaction(spark, sf_dir):
+    _frag, compacted = _fragmented_documents_fixture(spark, sf_dir)
+    return spark.read.parquet(compacted).select("doc_id", "lang", "source", "n_chars")

@@ -42,7 +42,7 @@ _PRIORITY = [
     # set ops / sort / topk
     "q_union_all", "q_intersect", "q_sort", "q_topk",
     # aggregation surface
-    "q_group_agg", "q_distinct", "q_rollup", "q_percentile",
+    "q_group_agg", "q_rollup", "q_percentile",
     "q_stats_agg", "q_minmax_by", "q_histogram",
     # join surface
     "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
@@ -54,10 +54,10 @@ _PRIORITY = [
     # demoted past the window to make room for similarity/dedup reps)
     "q_subquery",
     # windows + event analytics (q_window_range demoted likewise)
-    "q_window_rank", "q_window_running", "q_sessionize",
+    "q_window_rank", "q_sessionize",
     "q_funnel", "q_gap_fill",
     # reshape / scalar / nested (q_json_extract demoted likewise)
-    "q_pivot", "q_scalar_str_date", "q_explode",
+    "q_scalar_str_date", "q_explode",
     # columnfile format layer + stock sources + partition pruning
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
     "q_partition_pruned", "q_zorder_filter",
@@ -73,6 +73,14 @@ _PRIORITY = [
     "q_media_decode",
     # tokenizer construction (REAL distributed BPE trainer, round 4)
     "q_bpe_train",
+    # round-5 operators, rotated into the driver window (full-oracle):
+    # count-min-sketch frequency, small-file compaction, streaming
+    # near-dup suppression's batch face
+    "q_sketch_freq", "q_compaction", "q_stream_dedup_fuzzy",
+    # demoted just past the window to make room for the round-5 ops
+    # (their families keep an in-window rep: q_group_agg,
+    # q_window_rank, q_explode); still in every full audit
+    "q_distinct", "q_window_running", "q_pivot",
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)

@@ -141,6 +141,48 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
+def fuzzy_dedup_within_watermark(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: key each document by its
+    row-local MinHash signature (md5 family, one band spanning the
+    signature — operators.dedup.md5_minhash_sig_key) and keep the first
+    arrival per key within the watermark window. Near-identical
+    re-crawls and mirrored documents share a signature and collapse in
+    flight; state is bounded by the watermark exactly like exact
+    streaming dedup.
+
+    Scale: the signature is a per-row projection (no shuffle before the
+    dedup state store); state size is O(distinct signatures inside the
+    watermark), the same bound dropDuplicatesWithinWatermark already
+    manages. On a batch frame this degrades to exact groupBy semantics
+    (first id per signature) — the oracle-checked face is
+    streaming/queries.q_stream_dedup_fuzzy.
+    """
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.dedup import md5_minhash_sig_key
+
+    keyed = df.withColumn(
+        "sig_key",
+        md5_minhash_sig_key(
+            F.col(text_col), F.col(id_col), n_hashes, shingle_n, seed
+        ),
+    )
+    if keyed.isStreaming:
+        return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["sig_key"]
+        )
+    return keyed.dropDuplicates(["sig_key"])
+
+
 def click_purchase_join(df: DataFrame, within: str = "30 minutes", delay: str = "10 minutes") -> DataFrame:
     """Stream-stream inner join with a time bound: each click pairs with
     the same user's purchases within ``within`` after the click.

@@ -174,3 +174,49 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.static_enrich_counts(
         T(spark, sf_dir, "events"), T(spark, sf_dir, "customer")
     )
+
+
+def _fuzzy_dedup_oracle() -> str:
+    from libcolumnfile_spark.operators.dedup import md5_sig_key_sql
+
+    key = md5_sig_key_sql("toks", "doc_id")
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"k AS (SELECT doc_id, {key} AS sig_key FROM t) "
+        "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+        "FROM k GROUP BY sig_key"
+    )
+
+
+@query(
+    "q_stream_dedup_fuzzy",
+    oracle=_fuzzy_dedup_oracle(),
+    doc=(
+        "Batch face of streaming NEAR-dup suppression "
+        "(pipelines.fuzzy_dedup_within_watermark): every document keyed "
+        "by its row-local MinHash signature (md5 family, "
+        "dedup.md5_minhash_sig_key — deterministic across engines), "
+        "earliest doc_id per signature survives with its duplicate "
+        "count. The genuinely streaming side "
+        "(dropDuplicatesWithinWatermark on the signature, bounded "
+        "state, arrival order) runs in "
+        "tests/test_streaming.py::test_fuzzy_dedup_within_watermark. "
+        "Scale: signature is a per-row projection; the groupBy carries "
+        "(sig_key, id) only, never document bodies."
+    ),
+    tags=("streaming", "dedup", "llm-pipeline"),
+)
+def q_stream_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.dedup import md5_minhash_sig_key
+
+    d = T(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        md5_minhash_sig_key(F.col("text"), F.col("doc_id")).alias("sig_key"),
+    )
+    return keyed.groupBy("sig_key").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    ).select("doc_id", "dup_count")

@@ -815,3 +815,50 @@ class TestCorpusCleaning:
         assert out[2]["ok_count"] is False and out[2]["keep"] is False
         assert out[3]["ok_unique"] is False and out[3]["keep"] is False
         assert out[4]["ok_len"] is False and out[4]["keep"] is False
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_and_exact_on_unique_cells(self, spark):
+        """CMS guarantee: est >= true for every queried item; with a
+        width comfortably above the distinct-item count the estimates
+        are exact (no collisions to inflate them)."""
+        from libcolumnfile_spark.operators.aggregates import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        rows = [(w,) for w, n in [("a", 50), ("b", 30), ("c", 7), ("d", 1)] for _ in range(n)]
+        items = spark.createDataFrame(rows, "item string")
+        sketch = count_min_sketch(items, "item", depth=3, width=512)
+        q = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "item string")
+        est = {r["item"]: r["cms_est"] for r in cms_estimate(sketch, q, "item", 3, 512).collect()}
+        true = {"a": 50, "b": 30, "c": 7, "d": 1, "zz": 0}
+        for k, t in true.items():
+            assert est[k] >= t, (k, est[k], t)
+        # 4 distinct items in 512 buckets: collisions vanish, est exact
+        assert est == true
+
+    def test_collisions_inflate_never_deflate(self, spark):
+        """Squeeze 64 distinct items into width=4: heavy collisions —
+        every estimate must still dominate its true count."""
+        from libcolumnfile_spark.operators.aggregates import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        rows = [(f"w{i}",) for i in range(64) for _ in range(i % 5 + 1)]
+        items = spark.createDataFrame(rows, "item string")
+        sketch = count_min_sketch(items, "item", depth=3, width=4)
+        q = spark.createDataFrame([(f"w{i}",) for i in range(64)], "item string")
+        est = {r["item"]: r["cms_est"] for r in cms_estimate(sketch, q, "item", 3, 4).collect()}
+        for i in range(64):
+            assert est[f"w{i}"] >= i % 5 + 1
+
+    def test_sketch_size_bounded(self, spark):
+        """The sketch never exceeds depth*width rows no matter the
+        input cardinality — the bounded-shuffle contract."""
+        from libcolumnfile_spark.operators.aggregates import count_min_sketch
+
+        rows = [(f"tok{i}",) for i in range(2000)]
+        items = spark.createDataFrame(rows, "item string")
+        assert count_min_sketch(items, "item", depth=3, width=16).count() <= 3 * 16

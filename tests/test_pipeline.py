@@ -199,3 +199,59 @@ class TestMixingAndVersioningProperties:
         rows = REGISTRY["q_shuffle_order"].spark_fn(spark, self.SF).collect()
         assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
         assert len(set(r["doc_id"] for r in rows)) == len(rows)
+
+
+class TestCompaction:
+    def test_file_count_and_losslessness(self, spark, tmp_path):
+        """64 small shards compact to ceil(bytes/target) files with every
+        row intact — the two contracts a compaction pass must keep."""
+        import os
+
+        from libcolumnfile_spark.operators.pipeline import compact_parquet
+
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "compact")
+        df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+        df.repartition(64).write.parquet(src)
+        n_in = sum(
+            1 for root, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+        )
+        assert n_in == 64
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        target = max(1, total // 3)  # expect ~3-4 output files
+        n_out = compact_parquet(spark, src, dst, target_bytes=target)
+        assert n_out < n_in and n_out <= -(-total // target)
+        back = spark.read.parquet(dst)
+        assert back.count() == 10_000
+        assert back.agg({"v": "sum"}).first()[0] == df.agg({"v": "sum"}).first()[0]
+
+    def test_shuffle_mode_evens_output(self, spark, tmp_path):
+        """shuffle=True round-robins rows: output files are near-equal
+        in row count (coalesce gives no such guarantee)."""
+        import os
+
+        from libcolumnfile_spark.operators.pipeline import compact_parquet
+
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "compact2")
+        spark.range(8_000).repartition(32).write.parquet(src)
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_out = compact_parquet(spark, src, dst, target_bytes=total // 4 + 1, shuffle=True)
+        assert n_out >= 2
+        counts = [
+            spark.read.parquet(os.path.join(root, f)).count()
+            for root, _d, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert max(counts) - min(counts) <= max(counts) * 0.25

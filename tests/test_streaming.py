@@ -484,3 +484,50 @@ def test_streaming_upsert_recovers_from_crash_window(spark, tmp_path):
     state = {r["doc_id"]: r["n_chars"] for r in spark.read.parquet(target).collect()}
     assert state == {1: 10, 2: 99, 3: 30}
     assert not os.path.isdir(f"{target}.__bak")
+
+
+def test_fuzzy_dedup_within_watermark(spark, tmp_path):
+    """Near-identical documents arriving within the watermark collapse
+    to the first arrival; distinct and too-short-to-shingle documents
+    pass through. Survivor set must equal the batch face's winners."""
+    src = str(tmp_path / "docs_src")
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "2024-01-01 00:00:01", base),
+        (2, "2024-01-01 00:00:02", base),          # exact dup of 1
+        (3, "2024-01-01 00:00:03", base.upper()),  # case-normalized dup of 1
+        (4, "2024-01-01 00:00:04", "completely different content about spark engines here"),
+        (5, "2024-01-01 00:00:05", "too short"),   # < shingle_n tokens: passes
+        (6, "2024-01-01 00:00:06", "too short"),   # same text but per-doc short key: passes
+    ]
+    # one file per row + maxFilesPerTrigger=1: each row is its own
+    # micro-batch, so "first arrival" is real (within a single
+    # micro-batch dropDuplicates keeps an arbitrary row by design)
+    os.makedirs(src, exist_ok=True)
+    for row in rows:
+        spark.createDataFrame([row], "doc_id bigint, ts string, text string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sq = (
+        P.fuzzy_dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("fuzzy_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM fuzzy_dedup_t").collect())
+    assert got == [1, 4, 5, 6]
+
+    # batch face agrees on the signature PARTITIONING (dropDuplicates
+    # picks an arbitrary row per key on batch frames; the deterministic
+    # min-id winner is the oracle-checked q_stream_dedup_fuzzy)
+    batch = P.fuzzy_dedup_within_watermark(spark.read.parquet(src))
+    assert batch.count() == 4
