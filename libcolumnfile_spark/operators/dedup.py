@@ -1243,26 +1243,37 @@ def md5_minhash_sig_key(
     Documents too short to shingle (< shingle_n tokens) get a per-doc
     ``short:<id>`` key: always unique, they pass through dedup.
 
-    Perf note: HOF lambdas evaluate interpreted per element, and the
-    md5 base hash is re-evaluated once per affine row (n_hashes x grams
-    evals) — the right trade for a per-row streaming stage. The batch
-    path (minhash_exact_dedup) keeps the explode/groupBy whole-stage-
-    codegen shape instead.
+    Perf note: the md5 base hash dominates, so the n_hashes running
+    minimums fold into ONE ``F.aggregate`` pass over the hashed gram
+    array (struct accumulator) — the base hash evaluates exactly once
+    per gram. The naive form (one ``array_min(transform(...))`` per
+    affine row) re-evaluates md5 n_hashes times because Catalyst does
+    not share subexpressions across interpreted HOF lambdas; measured
+    ~4x slower at sf0.1. The batch path (minhash_exact_dedup) keeps
+    the explode/groupBy whole-stage-codegen shape instead.
     """
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     grams = shingles_from_tokens(toks, shingle_n)
     hs = F.transform(grams, md5_gram_hash)
+    params = _hash_params(n_hashes, seed)
 
-    def rehash(a: int, b: int):
-        def fn(h):
-            return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
+    init = F.struct(
+        *[F.lit(_MERSENNE_31).cast("long").alias(f"m{i}") for i in range(n_hashes)]
+    )
 
-        return fn
+    def step(acc: Column, h: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31)),
+                ).alias(f"m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
 
-    parts = [
-        F.array_min(F.transform(hs, rehash(a, b))).cast("string")
-        for a, b in _hash_params(n_hashes, seed)
-    ]
+    mins = F.aggregate(hs, init, step)
+    parts = [mins[f"m{i}"].cast("string") for i in range(n_hashes)]
     return F.when(
         F.size(toks) >= shingle_n, F.concat_ws(",", *parts)
     ).otherwise(F.concat(F.lit("short:"), id_col.cast("string")))

@@ -211,8 +211,11 @@ def q_stream_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from libcolumnfile_spark.operators.dedup import md5_minhash_sig_key
+    from libcolumnfile_spark.tables import spread
 
-    d = T(spark, sf_dir, "documents")
+    # signature kernel is compute-heavy per row (md5 per gram): spread
+    # the map stage to core width even when the scan plans few splits
+    d = spread(T(spark, sf_dir, "documents"))
     keyed = d.select(
         "doc_id",
         md5_minhash_sig_key(F.col("text"), F.col("doc_id")).alias("sig_key"),
