@@ -322,6 +322,91 @@ def q_sample_stratified(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Per-domain frequency capping
+# ---------------------------------------------------------------------------
+
+
+def hash_order(key: Column) -> Column:
+    """Full 32-bit md5-prefix order key (hash_bucket without the modulus):
+    a deterministic, engine-portable pseudo-random total order when
+    paired with an id tiebreak."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _hash_order_sql(key_sql: str) -> str:
+    """DuckDB equivalent of hash_order (same md5 prefix, no modulus)."""
+    return f"('0x' || substring(md5(CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int = 10,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Frequency-cap a corpus per domain/source: keep at most ``cap``
+    rows per domain, chosen by deterministic md5 hash order (id
+    tiebreak) — the web-corpus rebalancing move when a few hosts
+    dominate a crawl, with a sample that is reproducible row-by-row
+    across engines and runs (unlike any rand()-based pick).
+
+    Output keeps the within-domain rank ``rn`` (1..cap).
+
+    Scale design: TWO-PHASE selection to dodge the hot-domain window
+    funnel — a single row_number window over domain_col would funnel a
+    billion-doc host through one reducer. Phase 1 ranks within
+    (domain, salt) — salt is a deterministic id hash, so each hot
+    domain fans out over salt_buckets reducers and at most
+    salt_buckets x cap rows survive per domain; phase 2 re-ranks the
+    survivors per domain. Any row in a domain's global top-cap is
+    top-cap within its salt bucket, and every row ranked above it also
+    survives phase 1, so phase 2 reproduces exact global ranks. The
+    phase-2 window sees <= salt_buckets x cap rows per domain — driver-
+    bounded work no matter how skewed the crawl."""
+    from pyspark.sql import Window
+
+    h = df.withColumn("__h", hash_order(F.col(id_col))).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(domain_col, "__salt").orderBy("__h", id_col)
+    survivors = (
+        h.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= cap)
+        .drop("__rn1", "__salt")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy("__h", id_col)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= cap)
+        .drop("__h")
+    )
+
+
+@query(
+    "q_domain_cap",
+    oracle=(
+        "SELECT doc_id, source, CAST(rn AS INT) AS rn FROM ("
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+        f"ORDER BY {_hash_order_sql('doc_id')}, doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10"
+    ),
+    doc=(
+        "Per-domain frequency cap: at most 10 docs per source, picked by "
+        "deterministic md5 hash order — two-phase salted selection so a "
+        "hot domain never funnels through one reducer; ranks are exact "
+        "and the oracle replicates them with a single SQL window."
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_domain_cap(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return domain_cap(d.select("doc_id", "source"), "source", "doc_id", cap=10)
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

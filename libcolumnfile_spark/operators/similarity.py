@@ -967,6 +967,54 @@ def _ivf_seeded_centroids(dim: int) -> list[list[float]]:
     ]
 
 
+def seeded_assign_udf(cents: list[list[float]]):
+    """Arrow-batched argmax-by-dot list assignment over FIXED centroids
+    (the seeded coarse quantizer shared by ivf_seeded_topk and
+    semdedup). One numpy kernel, not n_lists Catalyst HOF dot columns:
+    the lambda HOFs are interpreted per element (n_lists x dim x N rows
+    of ~1 us lambda calls made the HOF form the slowest bench query at
+    3.2 s warm for 2 k vectors). The kernel accumulates dim-sequentially
+    (acc += M[:,i]*c_i), the exact fold order of F.aggregate's
+    ((0+t1)+t2)+..., with float64 products — bit-identical dots, so the
+    argmax (strict >, first-max-wins like the oracle's CASE) picks
+    identical lists to the SQL oracle's greatest()/CASE chain."""
+    import numpy as np
+
+    cents_arr = [np.asarray(c, dtype=np.float64) for c in cents]
+
+    def _assign_block(M: "np.ndarray") -> "np.ndarray":
+        n = M.shape[0]
+        best_d = np.full(n, -np.inf)
+        best_c = np.zeros(n, dtype=np.int32)
+        for c, cent in enumerate(cents_arr):
+            acc = np.zeros(n)
+            for i in range(M.shape[1]):
+                acc += M[:, i] * cent[i]
+            better = acc > best_d
+            best_d = np.where(better, acc, best_d)
+            best_c = np.where(better, np.int32(c), best_c)
+        return best_c
+
+    @F.pandas_udf("int")
+    def _assign_list(emb: pd.Series) -> pd.Series:
+        # empty Arrow batches (AQE-coalesced empty partitions) and null
+        # embeddings make np.array ragged/1-D and crash M.shape[1]
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        null_mask = emb.isna()
+        if null_mask.any():
+            out = np.full(len(emb), -1, dtype=np.int32)
+            valid = emb[~null_mask]
+            if len(valid):
+                out[(~null_mask).to_numpy()] = _assign_block(
+                    np.array(list(valid), dtype=np.float64)
+                )
+            return pd.Series(out)
+        return pd.Series(_assign_block(np.array(list(emb), dtype=np.float64)))
+
+    return _assign_list
+
+
 def ivf_seeded_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -1004,40 +1052,7 @@ def ivf_seeded_topk(
     # first-max-wins like the oracle's CASE) picks identical lists.
     # Cosine scoring of the ~probe/lists survivors stays in Catalyst so
     # round() semantics keep matching the oracle.
-    import numpy as np
-    import pandas as pd
-
-    cents_arr = [np.asarray(c, dtype=np.float64) for c in cents]
-
-    def _assign_block(M: "np.ndarray") -> "np.ndarray":
-        n = M.shape[0]
-        best_d = np.full(n, -np.inf)
-        best_c = np.zeros(n, dtype=np.int32)
-        for c, cent in enumerate(cents_arr):
-            acc = np.zeros(n)
-            for i in range(M.shape[1]):
-                acc += M[:, i] * cent[i]
-            better = acc > best_d
-            best_d = np.where(better, acc, best_d)
-            best_c = np.where(better, np.int32(c), best_c)
-        return best_c
-
-    @F.pandas_udf("int")
-    def _assign_list(emb: pd.Series) -> pd.Series:
-        # empty Arrow batches (AQE-coalesced empty partitions) and null
-        # embeddings make np.array ragged/1-D and crash M.shape[1]
-        if len(emb) == 0:
-            return pd.Series([], dtype="int32")
-        null_mask = emb.isna()
-        if null_mask.any():
-            out = np.full(len(emb), -1, dtype=np.int32)
-            valid = emb[~null_mask]
-            if len(valid):
-                out[(~null_mask).to_numpy()] = _assign_block(
-                    np.array(list(valid), dtype=np.float64)
-                )
-            return pd.Series(out)
-        return pd.Series(_assign_block(np.array(list(emb), dtype=np.float64)))
+    _assign_list = seeded_assign_udf(cents)
 
     q = _lit_vec(query_vec)
     return (
@@ -1094,3 +1109,120 @@ def _ivf_seeded_oracle() -> str:
 def q_sim_ivf_seeded(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     return ivf_seeded_topk(_spread(emb), _QUERY_VEC, k=10)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication: coarse clustering bounds the
+# quadratic pair search, then within each cluster every vector with an
+# EARLIER near-duplicate (unit-dot cosine >= threshold) is dropped.
+# The cluster step uses the same fixed seeded quantizer as
+# q_sim_ivf_seeded, so the whole operator is plain double arithmetic a
+# SQL oracle replicates end to end.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic dedup over an embedding column (the SemDeDup recipe:
+    cluster, then prune near-duplicates WITHIN clusters only). A vector
+    is removed iff some SMALLER-id vector in its cluster has
+    round(cos, 6) >= threshold; survivors return with their cluster id.
+
+    Scale design: the cluster key bounds the self-join — candidate
+    pairs are sum(cluster_size^2), never corpus^2, and the cluster
+    count is the knob (at 100 TB you size n_lists ~ sqrt(N) so expected
+    per-cluster work stays flat; here the fixture keeps the oracle-
+    pinned 16). Unit-normalization is map-side (once per vector, so the
+    per-pair work is ONE dot), the anti-join shuffles only
+    (id, unit-vec, cluster) rows on the cluster key, and the dominance
+    rule (earliest id wins) needs no iteration — unlike connected-
+    components dedup (q_dedup_embedding), membership is decided by one
+    join. FP path matches the oracle bit-for-bit: normalize-then-dot
+    with sequential fold order (the q_sim_pairs precedent), round(6)
+    absorbing the last ulp.
+    """
+    from libcolumnfile_spark.tables import input_keyed_memo
+
+    dim_probe = input_keyed_memo(
+        df, "srp-dim", lambda: df.select(F.size(vec_col).alias("d")).first()
+    )
+    cents = _ivf_seeded_centroids(int(dim_probe["d"]))
+    assign = seeded_assign_udf(cents)
+
+    # explicit double casts: float-precision squaring would diverge from
+    # the (double-throughout) oracle arithmetic in the last ulps
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = F.when(
+        norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") * 0.0))
+
+    a = df.select(
+        F.col(id_col).alias("id"),
+        unit.alias("v"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    # normalization + assignment feed both sides of the self-join;
+    # persist so each vector is processed once, not twice
+    a = pin(a)
+    a.count()
+    survivors = a.alias("x").join(
+        a.alias("y"),
+        (F.col("y.list_id") == F.col("x.list_id"))
+        & (F.col("y.id") < F.col("x.id"))
+        & (F.round(dot(F.col("x.v"), F.col("y.v")), 6) >= F.lit(float(threshold))),
+        "left_anti",
+    )
+    return survivors.select(
+        F.col("id").alias(id_col), F.col("list_id").cast("int").alias("list_id")
+    )
+
+
+def _semdedup_oracle(threshold: float = 0.2) -> str:
+    cents = _ivf_seeded_centroids(_QUERY_DIM)
+    dots = ", ".join(
+        f"list_inner_product(v, {_duckdb_vec(c)}) AS d{i}" for i, c in enumerate(cents)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(_IVF_V_LISTS)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(_IVF_V_LISTS - 1))
+        + f" ELSE {_IVF_V_LISTS - 1} END"
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, v, {dots} FROM "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)), "
+        f"a AS (SELECT vec_id, CAST({case} AS INT) AS list_id, "
+        "CASE WHEN sqrt(list_inner_product(v, v)) > 0 "
+        "  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v))) "
+        "  ELSE list_transform(v, x -> x * 0.0) END AS uv FROM d) "
+        "SELECT x.vec_id, x.list_id FROM a x WHERE NOT EXISTS ("
+        "SELECT 1 FROM a y WHERE y.list_id = x.list_id AND y.vec_id < x.vec_id "
+        f"AND round(list_inner_product(x.uv, y.uv), 6) >= {threshold})"
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup-style semantic dedup: seeded coarse clustering bounds "
+        "the pair search, earliest-id near-duplicate (unit-dot cosine "
+        ">= 0.2 at round 6) wins within each cluster. Every stage — "
+        "assignment, normalization, pair dot, dominance anti-join — is "
+        "replicated in the SQL oracle."
+    ),
+    tags=("similarity", "dedup", "llm-pipeline"),
+)
+def q_semdedup(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return semdedup(_spread(emb), threshold=0.2)

@@ -41,9 +41,9 @@ _PRIORITY = [
     "q_scan", "q_project", "q_filter", "q_cast",
     # set ops / sort / topk
     "q_union_all", "q_intersect", "q_sort", "q_topk",
-    # aggregation surface
-    "q_group_agg", "q_rollup", "q_percentile",
-    "q_stats_agg", "q_minmax_by", "q_histogram",
+    # aggregation surface (q_minmax_by/q_histogram demoted just past the
+    # window to make room for the round-5 semantic-dedup + domain-cap ops)
+    "q_group_agg", "q_rollup", "q_percentile", "q_stats_agg",
     # join surface
     "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
     "q_join_agg", "q_join_q5",
@@ -77,10 +77,14 @@ _PRIORITY = [
     # count-min-sketch frequency, small-file compaction, streaming
     # near-dup suppression's batch face
     "q_sketch_freq", "q_compaction", "q_stream_dedup_fuzzy",
+    # round-5 additions: SemDeDup-style semantic dedup (full-oracle,
+    # seeded-quantizer clustering + within-cluster dominance) and the
+    # per-domain frequency cap (full-oracle, two-phase salted selection)
+    "q_semdedup", "q_domain_cap",
     # demoted just past the window to make room for the round-5 ops
-    # (their families keep an in-window rep: q_group_agg,
+    # (their families keep in-window reps: q_group_agg, q_stats_agg,
     # q_window_rank, q_explode); still in every full audit
-    "q_distinct", "q_window_running", "q_pivot",
+    "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)

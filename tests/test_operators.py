@@ -862,3 +862,61 @@ class TestCountMinSketch:
         rows = [(f"tok{i}",) for i in range(2000)]
         items = spark.createDataFrame(rows, "item string")
         assert count_min_sketch(items, "item", depth=3, width=16).count() <= 3 * 16
+
+
+class TestSemDedup:
+    """semdedup must agree with a brute-force evaluation of its own rule:
+    remove v iff some smaller-id vector in v's cluster has
+    round(cos, 6) >= threshold."""
+
+    def test_matches_brute_force_rule(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = emb.select("vec_id", "embedding").collect()
+        import numpy as np
+
+        cents = similarity._ivf_seeded_centroids(len(rows[0]["embedding"]))
+        C = np.asarray(cents, dtype=np.float64)
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+        assign = {i: int(np.argmax(C @ v)) for i, v in vecs.items()}
+        unit = {
+            i: (v / np.linalg.norm(v) if np.linalg.norm(v) > 0 else v * 0.0)
+            for i, v in vecs.items()
+        }
+        tau = 0.2
+        expected = set()
+        for i in vecs:
+            dominated = any(
+                j < i
+                and assign[j] == assign[i]
+                and round(float(unit[i] @ unit[j]), 6) >= tau
+                for j in vecs
+            )
+            if not dominated:
+                expected.add(i)
+        got = {
+            r["vec_id"]: r["list_id"]
+            for r in similarity.semdedup(emb, threshold=tau).collect()
+        }
+        assert set(got) == expected
+        assert all(got[i] == assign[i] for i in got)
+
+    def test_threshold_one_keeps_everything_distinct(self, spark):
+        # cos >= 1.0 only for (near-)identical unit vectors; the fixture
+        # has none, so nothing is removed
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        assert similarity.semdedup(emb, threshold=1.0).count() == n
+
+    def test_removes_planted_duplicate(self, spark):
+        base = [1.0, 0.0, 0.0, 0.5]
+        near = [0.99, 0.01, 0.0, 0.5]
+        far = [-1.0, 0.5, 0.2, -0.3]
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        kept = {r["vec_id"] for r in similarity.semdedup(df, threshold=0.95).collect()}
+        assert 1 in kept and 3 in kept
+        # 2 is near-identical to 1; removed iff they share a cluster
+        # (they do for these vectors: same argmax centroid)
+        assert 2 not in kept

@@ -255,3 +255,52 @@ class TestCompaction:
             if f.endswith(".parquet")
         ]
         assert max(counts) - min(counts) <= max(counts) * 0.25
+
+
+class TestDomainCap:
+    def test_matches_single_phase_window(self, spark):
+        from pyspark.sql import Window
+
+        from libcolumnfile_spark.operators.pipeline import domain_cap, hash_order
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "source"
+        )
+        w = Window.partitionBy("source").orderBy(
+            hash_order(F.col("doc_id")), "doc_id"
+        )
+        expected = {
+            (r["doc_id"], r["source"], r["rn"])
+            for r in d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .collect()
+        }
+        got = {
+            (r["doc_id"], r["source"], r["rn"])
+            for r in domain_cap(d, "source", "doc_id", cap=3).collect()
+        }
+        assert got == expected
+
+    def test_cap_respected_and_deterministic_across_layout(self, spark):
+        from libcolumnfile_spark.operators.pipeline import domain_cap
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "source"
+        )
+        a = domain_cap(d, "source", "doc_id", cap=5).collect()
+        per = {}
+        for r in a:
+            per[r["source"]] = per.get(r["source"], 0) + 1
+        assert all(v <= 5 for v in per.values())
+        b = domain_cap(d.repartition(13), "source", "doc_id", cap=5).collect()
+        assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+    def test_salt_buckets_one_degenerates_to_exact(self, spark):
+        from libcolumnfile_spark.operators.pipeline import domain_cap
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "source"
+        )
+        a = {tuple(r) for r in domain_cap(d, "source", "doc_id", cap=4, salt_buckets=1).collect()}
+        b = {tuple(r) for r in domain_cap(d, "source", "doc_id", cap=4, salt_buckets=32).collect()}
+        assert a == b

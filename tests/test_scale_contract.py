@@ -84,6 +84,13 @@ CONTRACTS = {
     "q_sim_pq": (1.9, 3.5),          # Lloyd rounds bounded by m*ksub
     "q_media_decode": (1.0, 2.5),    # per-row codec work rides idle cores
     "q_media_resize_real": (1.3, 2.5),
+    # round-5 operators (measured 2026-08-15)
+    "q_sketch_freq": (0.9, 2.5),     # sketch size fixed; map-side partial agg
+    "q_compaction": (1.1, 3.0),      # t1=0.09s floor; planner is metadata-sized
+    "q_stream_dedup_fuzzy": (6.8, 10.0),  # linear md5 kernel; t1=1s is mostly floor
+    "q_semdedup": (1.2, 3.0),        # anti-join short-circuits on first dominator;
+                                     # cluster count is the quadratic knob at scale
+    "q_domain_cap": (1.9, 3.5),      # two WindowGroupLimit-pruned exchanges
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
