@@ -913,3 +913,88 @@ def q_boilerplate(spark, sf_dir):
 )
 def q_gopher_rules(spark, sf_dir):
     return gopher_rules(_spread(T(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: linear classifier inference over hashed
+# bag-of-words features — the fastText-style "quality classifier" gate
+# (DCLM / FineWeb-Edu pattern) between heuristic rules and training.
+# ---------------------------------------------------------------------------
+
+_CLF_DIM = 64
+_CLF_SEED = 23
+
+
+def _clf_weights() -> list[float]:
+    from libcolumnfile_spark.operators.similarity import (
+        deterministic_query_vector,
+    )
+
+    return deterministic_query_vector(_CLF_DIM, seed=_CLF_SEED)
+
+
+def classifier_score(
+    text: Column,
+    weights: list[float] | None = None,
+    n_buckets: int = _CLF_DIM,
+) -> Column:
+    """Linear text-classifier inference over hashed bag-of-words
+    features: each whitespace token md5-hashes to one of ``n_buckets``
+    feature buckets and the document score is the MEAN bucket weight
+    (length-normalized dot of the count vector with the weight vector).
+    The fixed seeded weights stand in for trained parameters — the
+    operator shape (hash features, dot weights, threshold) is exactly
+    classifier-filtering a crawl.
+
+    Scale: a pure Catalyst map expression — classifier inference at
+    full scan speed with no UDF, no shuffle, no model server; the
+    weight vector rides the plan as a literal array. Engine-portable by
+    the same md5-bucket argument as pipeline.hash_bucket; the aggregate
+    folds in list order, matching DuckDB's list_sum (probed
+    bit-identical over the fixture before round(6))."""
+    from libcolumnfile_spark.operators.pipeline import hash_bucket
+
+    w = weights if weights is not None else _clf_weights()
+    W = F.array(*[F.lit(float(x)) for x in w])
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    wsum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(W, (hash_bucket(t, n_buckets) + 1).cast("int")),
+    )
+    return F.round(wsum / F.size(toks), 6)
+
+
+def _clf_oracle() -> str:
+    from libcolumnfile_spark.operators.pipeline import _bucket_sql
+
+    wlit = "[" + ", ".join(repr(float(x)) for x in _clf_weights()) + "]"
+    bucket = _bucket_sql("tk", _CLF_DIM)
+    return (
+        "WITH t AS (SELECT doc_id, lang, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "s AS (SELECT doc_id, lang, "
+        f"round(list_sum(list_transform(toks, tk -> ({wlit})[({bucket}) + 1])) "
+        "/ len(toks), 6) AS score FROM t) "
+        "SELECT doc_id, lang, score FROM s WHERE score >= 0.0"
+    )
+
+
+@query(
+    "q_classifier_filter",
+    oracle=_clf_oracle(),
+    doc=(
+        "Model-based quality gate: hashed bag-of-words linear classifier "
+        "scores every document map-side (mean md5-bucket weight, seeded "
+        "weight vector) and the filter keeps score >= 0; the oracle "
+        "replicates the hash, the weights, and the fold arithmetic."
+    ),
+    tags=("text", "quality", "pipeline", "llm-pipeline"),
+)
+def q_classifier_filter(spark, sf_dir):
+    d = _spread(T(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "lang", classifier_score(F.col("text")).alias("score")
+    )
+    return scored.filter(F.col("score") >= 0.0)

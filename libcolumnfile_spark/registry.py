@@ -61,9 +61,10 @@ _PRIORITY = [
     # columnfile format layer + stock sources + partition pruning
     "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
     "q_partition_pruned", "q_zorder_filter",
-    # text analysis + IR
-    "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_quality", "q_gopher_rules",
-    "q_token_count", "q_tfidf",
+    # text analysis + IR (q_quality demoted past the window: the quality
+    # family keeps q_gopher_rules and the round-5 classifier gate)
+    "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_gopher_rules",
+    "q_token_count", "q_tfidf", "q_classifier_filter",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # and the self-tuned SRP pair generator (round 4), plus the
     # full-oracle minhash dedup twin — one rep each for the ANN,
@@ -85,6 +86,7 @@ _PRIORITY = [
     # (their families keep in-window reps: q_group_agg, q_stats_agg,
     # q_window_rank, q_explode); still in every full audit
     "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
+    "q_quality",
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)

@@ -920,3 +920,42 @@ class TestSemDedup:
         # 2 is near-identical to 1; removed iff they share a cluster
         # (they do for these vectors: same argmax centroid)
         assert 2 not in kept
+
+
+class TestClassifierFilter:
+    def test_score_is_mean_bucket_weight(self, spark):
+        import hashlib
+
+        w = text._clf_weights()
+
+        def bucket(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % text._CLF_DIM
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "Alpha  ALPHA alpha")],
+            "doc_id BIGINT, text STRING",
+        )
+        got = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", text.classifier_score(F.col("text")).alias("s")
+            ).collect()
+        }
+        for doc_id, raw in [(1, "alpha beta gamma"), (2, "alpha alpha alpha")]:
+            toks = raw.lower().split()
+            expected = round(sum(w[bucket(t)] for t in toks) / len(toks), 6)
+            assert got[doc_id] == pytest.approx(expected, abs=1e-9)
+
+    def test_custom_weights_select_known_docs(self, spark):
+        # an all-positive weight vector keeps everything; all-negative none
+        df = spark.createDataFrame(
+            [(1, "some words here"), (2, "other words")],
+            "doc_id BIGINT, text STRING",
+        )
+        pos = df.filter(
+            text.classifier_score(F.col("text"), weights=[1.0] * text._CLF_DIM) >= 0
+        )
+        neg = df.filter(
+            text.classifier_score(F.col("text"), weights=[-1.0] * text._CLF_DIM) >= 0
+        )
+        assert pos.count() == 2 and neg.count() == 0
