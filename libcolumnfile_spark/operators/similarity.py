@@ -1226,3 +1226,67 @@ def _semdedup_oracle(threshold: float = 0.2) -> str:
 def q_semdedup(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     return semdedup(_spread(emb), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization of embeddings — the storage/serving
+# compression step next to PQ (operators/pq.py): 4x smaller vectors,
+# reconstruction error reported per vector.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale = amax/127,
+    code_i = floor(x_i/scale + 0.5) (floor(+0.5) instead of round() —
+    Spark's HALF_UP BigDecimal rounding and DuckDB's scaled-double
+    round() disagree at exact .5; floor is bit-identical everywhere),
+    reconstruction x'_i = code_i * scale. Emits (vec_id, scale,
+    max_abs_err, rmse) — the audit table a 100 TB embedding store keeps
+    next to its quantized shards.
+
+    Scale: pure map over the vector column, all Catalyst HOFs, no
+    shuffle; the fold order of the error sum matches DuckDB's list_sum
+    (same argument as classifier_score)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    err = F.transform(
+        v, lambda x: x - F.floor(x / scale + F.lit(0.5)) * scale
+    )
+    sq = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(F.array_max(F.transform(err, F.abs)), 6).alias("max_abs_err"),
+        F.round(F.sqrt(sq / F.size(v)), 6).alias("rmse"),
+    )
+
+
+_QUANT_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, "
+    "CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 "
+    "  THEN list_max(list_transform(v, x -> abs(x))) / 127.0 ELSE 1.0 END AS scale FROM v), "
+    "e AS (SELECT vec_id, scale, "
+    "list_transform(v, x -> x - floor(x / scale + 0.5) * scale) AS err, len(v) AS d FROM s) "
+    "SELECT vec_id, round(scale, 6) AS scale, "
+    "round(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err, "
+    "round(sqrt(list_sum(list_transform(err, x -> x * x)) / d), 6) AS rmse FROM e"
+)
+
+
+@query(
+    "q_quantize_int8",
+    oracle=_QUANT_ORACLE,
+    doc=(
+        "Symmetric int8 scalar quantization audit over the embedding "
+        "column: per-vector scale, max reconstruction error, RMSE — all "
+        "Catalyst HOFs (map-only, no shuffle), floor(+0.5) rounding so "
+        "the SQL oracle reproduces every code bit-for-bit."
+    ),
+    tags=("similarity", "multimodal"),
+)
+def q_quantize_int8(spark, sf_dir):
+    return quantize_int8_stats(_spread(T(spark, sf_dir, "embeddings")))

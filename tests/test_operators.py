@@ -959,3 +959,30 @@ class TestClassifierFilter:
             text.classifier_score(F.col("text"), weights=[-1.0] * text._CLF_DIM) >= 0
         )
         assert pos.count() == 2 and neg.count() == 0
+
+
+class TestQuantizeInt8:
+    def test_error_bounded_by_half_scale(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = similarity.quantize_int8_stats(emb).collect()
+        assert len(rows) == emb.count()
+        for r in rows:
+            # nearest-code reconstruction error is at most scale/2
+            # (both values carry round(6), so allow one 1e-6 quantum)
+            assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+            assert 0 <= r["rmse"] <= r["max_abs_err"] + 1e-6
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {r["vec_id"]: r for r in similarity.quantize_int8_stats(emb).collect()}
+        for r in emb.limit(20).collect():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            amax = np.abs(v).max()
+            scale = amax / 127.0 if amax > 0 else 1.0
+            err = v - np.floor(v / scale + 0.5) * scale
+            g = got[r["vec_id"]]
+            assert g["scale"] == pytest.approx(round(scale, 6), abs=1e-9)
+            assert g["max_abs_err"] == pytest.approx(round(float(np.abs(err).max()), 6), abs=1e-9)
+            assert g["rmse"] == pytest.approx(round(float(np.sqrt((err**2).sum() / len(v))), 6), abs=1e-9)

@@ -92,6 +92,7 @@ CONTRACTS = {
                                      # cluster count is the quadratic knob at scale
     "q_domain_cap": (1.9, 3.5),      # two WindowGroupLimit-pruned exchanges
     "q_classifier_filter": (2.4, 4.5),  # t1=0.16s floor; map-only Catalyst pass
+    "q_quantize_int8": (3.9, 6.0),   # map-only HOF passes; linear in vectors
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
