@@ -986,3 +986,34 @@ class TestQuantizeInt8:
             assert g["scale"] == pytest.approx(round(scale, 6), abs=1e-9)
             assert g["max_abs_err"] == pytest.approx(round(float(np.abs(err).max()), 6), abs=1e-9)
             assert g["rmse"] == pytest.approx(round(float(np.sqrt((err**2).sum() / len(v))), 6), abs=1e-9)
+
+    def test_auto_cluster_count_scales_with_corpus(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        auto = similarity.semdedup(emb, threshold=0.2, n_lists=None).collect()
+        # ~sqrt(N) clusters: every assigned list id stays within range,
+        # and survivors obey the same brute-force rule under that count
+        n_lists = max(1, int(np.sqrt(n)))
+        assert all(0 <= r["list_id"] < n_lists for r in auto)
+        cents = similarity._ivf_seeded_centroids(
+            len(emb.first()["embedding"]), n_lists
+        )
+        C = np.asarray(cents, dtype=np.float64)
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        assign = {i: int(np.argmax(C @ v)) for i, v in vecs.items()}
+        unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+        expected = {
+            i
+            for i in vecs
+            if not any(
+                j < i and assign[j] == assign[i]
+                and round(float(unit[i] @ unit[j]), 6) >= 0.2
+                for j in vecs
+            )
+        }
+        assert {r["vec_id"] for r in auto} == expected
