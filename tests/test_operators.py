@@ -922,6 +922,73 @@ class TestSemDedup:
         assert 2 not in kept
 
 
+    def test_auto_cluster_count_scales_with_corpus(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        auto = similarity.semdedup(emb, threshold=0.2, n_lists=None).collect()
+        # ~sqrt(N) clusters: every assigned list id stays within range,
+        # and survivors obey the same brute-force rule under that count
+        n_lists = max(1, int(np.sqrt(n)))
+        assert all(0 <= r["list_id"] < n_lists for r in auto)
+        cents = similarity._ivf_seeded_centroids(
+            len(emb.first()["embedding"]), n_lists
+        )
+        C = np.asarray(cents, dtype=np.float64)
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        assign = {i: int(np.argmax(C @ v)) for i, v in vecs.items()}
+        unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+        expected = {
+            i
+            for i in vecs
+            if not any(
+                j < i and assign[j] == assign[i]
+                and round(float(unit[i] @ unit[j]), 6) >= 0.2
+                for j in vecs
+            )
+        }
+        assert {r["vec_id"] for r in auto} == expected
+
+    def test_chain_semantics_not_transitive_closure(self, spark):
+        """SemDeDup's rule is 'exists an EARLIER near-dup', not connected
+        components: in a chain A~B, B~C, C!~A (same cluster), B is
+        removed by A and C is removed by B even though B itself was
+        removed — only A survives. Pinning this distinguishes the
+        operator from q_dedup_embedding's transitive clustering.
+
+        Construction: centroid 0 of the dim-8 seeded quantizer with a
+        fixed orthogonal axis whose 0/35/70-degree arc stays inside one
+        argmax cell (searched offline, asserted below); cos(35) ~ 0.819
+        >= 0.8 links the chain, cos(70) ~ 0.342 < 0.8 breaks A~C."""
+        import numpy as np
+
+        dim = 8
+        cents = similarity._ivf_seeded_centroids(dim, 16)
+        C = np.asarray(cents)
+        c0 = C[0] / np.linalg.norm(C[0])
+        rng = np.random.RandomState(9)
+        o = rng.randn(dim)
+        o -= (o @ c0) * c0
+        o /= np.linalg.norm(o)
+
+        def rot(deg):
+            t = np.deg2rad(deg)
+            return (np.cos(t) * c0 + np.sin(t) * o).tolist()
+
+        vecs = {1: rot(0), 2: rot(35), 3: rot(70)}
+        # premise: one arc, one cell
+        assert len({int(np.argmax(C @ np.asarray(v))) for v in vecs.values()}) == 1
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        kept = {r["vec_id"] for r in similarity.semdedup(df, threshold=0.8).collect()}
+        assert kept == {1}
+
 class TestClassifierFilter:
     def test_score_is_mean_bucket_weight(self, spark):
         import hashlib
@@ -986,34 +1053,3 @@ class TestQuantizeInt8:
             assert g["scale"] == pytest.approx(round(scale, 6), abs=1e-9)
             assert g["max_abs_err"] == pytest.approx(round(float(np.abs(err).max()), 6), abs=1e-9)
             assert g["rmse"] == pytest.approx(round(float(np.sqrt((err**2).sum() / len(v))), 6), abs=1e-9)
-
-    def test_auto_cluster_count_scales_with_corpus(self, spark):
-        import numpy as np
-
-        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-        n = emb.count()
-        auto = similarity.semdedup(emb, threshold=0.2, n_lists=None).collect()
-        # ~sqrt(N) clusters: every assigned list id stays within range,
-        # and survivors obey the same brute-force rule under that count
-        n_lists = max(1, int(np.sqrt(n)))
-        assert all(0 <= r["list_id"] < n_lists for r in auto)
-        cents = similarity._ivf_seeded_centroids(
-            len(emb.first()["embedding"]), n_lists
-        )
-        C = np.asarray(cents, dtype=np.float64)
-        vecs = {
-            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-            for r in emb.collect()
-        }
-        assign = {i: int(np.argmax(C @ v)) for i, v in vecs.items()}
-        unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
-        expected = {
-            i
-            for i in vecs
-            if not any(
-                j < i and assign[j] == assign[i]
-                and round(float(unit[i] @ unit[j]), 6) >= 0.2
-                for j in vecs
-            )
-        }
-        assert {r["vec_id"] for r in auto} == expected

@@ -304,3 +304,28 @@ class TestDomainCap:
         a = {tuple(r) for r in domain_cap(d, "source", "doc_id", cap=4, salt_buckets=1).collect()}
         b = {tuple(r) for r in domain_cap(d, "source", "doc_id", cap=4, salt_buckets=32).collect()}
         assert a == b
+
+    def test_exact_under_hot_domain_skew(self, spark):
+        """One domain holds 97% of rows: the two-phase result must still
+        equal the single-phase window (exactness does not depend on the
+        salt spreading evenly)."""
+        from pyspark.sql import Window
+
+        from libcolumnfile_spark.operators.pipeline import domain_cap, hash_order
+
+        rows = [(i, "hot") for i in range(3000)] + [
+            (10_000 + i, f"cold{i % 5}") for i in range(100)
+        ]
+        d = spark.createDataFrame(rows, "doc_id BIGINT, source STRING").repartition(16)
+        w = Window.partitionBy("source").orderBy(hash_order(F.col("doc_id")), "doc_id")
+        expected = {
+            (r["doc_id"], r["source"], r["rn"])
+            for r in d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 7)
+            .collect()
+        }
+        got = {
+            (r["doc_id"], r["source"], r["rn"])
+            for r in domain_cap(d, "source", "doc_id", cap=7).collect()
+        }
+        assert got == expected
