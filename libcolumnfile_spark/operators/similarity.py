@@ -1269,9 +1269,25 @@ def quantize_int8_stats(
 
     @F.pandas_udf("struct<scale:double, mae:double, rmse:double>")
     def _quant_stats(emb: pd.Series) -> pd.DataFrame:
+        # empty Arrow batches and null embeddings make np.array ragged
+        # (same guard as seeded_assign_udf); null rows emit null stats
         if len(emb) == 0:
             return pd.DataFrame({"scale": [], "mae": [], "rmse": []})
-        M = np.array(list(emb), dtype=np.float64)
+        null_mask = emb.isna()
+        if null_mask.any():
+            out = pd.DataFrame(
+                {"scale": [None] * len(emb), "mae": [None] * len(emb), "rmse": [None] * len(emb)},
+                index=emb.index, dtype="float64",
+            )
+            valid = emb[~null_mask]
+            if len(valid):
+                out.loc[~null_mask] = _quant_block(
+                    np.array(list(valid), dtype=np.float64)
+                ).set_index(valid.index)
+            return out
+        return _quant_block(np.array(list(emb), dtype=np.float64))
+
+    def _quant_block(M: "np.ndarray") -> pd.DataFrame:
         amax = np.abs(M).max(axis=1)
         scale = np.where(amax > 0, amax / 127.0, 1.0)
         err = M - np.floor(M / scale[:, None] + 0.5) * scale[:, None]
