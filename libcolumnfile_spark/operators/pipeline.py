@@ -371,13 +371,16 @@ def domain_cap(
     h = df.withColumn("__h", hash_order(F.col(id_col))).withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
-    w1 = Window.partitionBy(domain_col, "__salt").orderBy("__h", id_col)
+    # nulls-last ordering: Spark windows default NULLS FIRST for ASC,
+    # DuckDB NULLS LAST — align so a null id can never shift the ranks
+    order = [F.col("__h").asc_nulls_last(), F.col(id_col).asc_nulls_last()]
+    w1 = Window.partitionBy(domain_col, "__salt").orderBy(*order)
     survivors = (
         h.withColumn("__rn1", F.row_number().over(w1))
         .filter(F.col("__rn1") <= cap)
         .drop("__rn1", "__salt")
     )
-    w2 = Window.partitionBy(domain_col).orderBy("__h", id_col)
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
     return (
         survivors.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= cap)

@@ -1176,7 +1176,10 @@ def semdedup(
         norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") * 0.0))
 
-    a = df.select(
+    # null embeddings can't be deduplicated (and the assign kernel's -1
+    # sentinel would diverge from the oracle's CASE fallback): drop them
+    # explicitly so the operator's contract is null-free
+    a = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         unit.alias("v"),
         assign(F.col(vec_col)).alias("list_id"),
