@@ -329,3 +329,43 @@ class TestDomainCap:
             for r in domain_cap(d, "source", "doc_id", cap=7).collect()
         }
         assert got == expected
+
+    def test_hypothesis_matches_python_brute_force(self, spark):
+        """Randomized domains/ids/caps vs a pure-python evaluation of the
+        md5-order cap rule (few examples — each runs a Spark job)."""
+        import hashlib
+
+        from hypothesis import given, settings, strategies as st
+
+        from libcolumnfile_spark.operators.pipeline import domain_cap
+
+        def h(i: int) -> int:
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 10_000), st.sampled_from("abcd")),
+                min_size=1,
+                max_size=60,
+                unique_by=lambda t: t[0],
+            ),
+            st.integers(1, 5),
+        )
+        def check(rows, cap):
+            expected = set()
+            for dom in {d for _, d in rows}:
+                members = sorted(
+                    (i for i, d in rows if d == dom), key=lambda i: (h(i), i)
+                )
+                expected |= {
+                    (i, dom, rank + 1) for rank, i in enumerate(members[:cap])
+                }
+            df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+            got = {
+                (r["doc_id"], r["source"], r["rn"])
+                for r in domain_cap(df, "source", "doc_id", cap=cap).collect()
+            }
+            assert got == expected
+
+        check()
