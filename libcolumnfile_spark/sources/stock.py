@@ -197,3 +197,31 @@ def q_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "q_xml_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc=(
+        "XML ingest cycle (Spark 4 built-in XML source): parquet -> "
+        "row-tagged XML -> DataFrame with an explicit schema (no "
+        "inference pass), oracle-checked against the original parquet. "
+        "The reader is splittable on row tags, so at scale this is a "
+        "parallel scan like csv/json — XML feeds (sitemaps, news "
+        "syndication, Wikipedia dumps) are a standard crawl-corpus "
+        "ingest shape."
+    ),
+    tags=("source", "xml"),
+)
+def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _converted(
+        spark, sf_dir, "nation", "xml", rootTag="nations", rowTag="nation"
+    )
+    schema = load_table(spark, sf_dir, "nation").schema
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
