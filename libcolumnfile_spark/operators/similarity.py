@@ -1212,8 +1212,12 @@ def _semdedup_oracle(threshold: float = 0.2) -> str:
         + f" ELSE {_IVF_V_LISTS - 1} END"
     )
     return (
+        # embedding IS NOT NULL mirrors semdedup's explicit null drop
+        # (the kernel's -1 sentinel vs this CASE's ELSE arm would
+        # otherwise diverge on null rows)
         f"WITH d AS (SELECT vec_id, v, {dots} FROM "
-        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)), "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE embedding IS NOT NULL)), "
         f"a AS (SELECT vec_id, CAST({case} AS INT) AS list_id, "
         "CASE WHEN sqrt(list_inner_product(v, v)) > 0 "
         "  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v))) "
@@ -1315,9 +1319,12 @@ def quantize_int8_stats(
 
 
 _QUANT_ORACLE = (
+    # the v IS NULL arm mirrors the kernel's null-stats rows (without it
+    # the CASE's ELSE would emit scale=1.0 where Spark emits NULL)
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
     "s AS (SELECT vec_id, v, "
-    "CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 "
+    "CASE WHEN v IS NULL THEN NULL "
+    "  WHEN list_max(list_transform(v, x -> abs(x))) > 0 "
     "  THEN list_max(list_transform(v, x -> abs(x))) / 127.0 ELSE 1.0 END AS scale FROM v), "
     "e AS (SELECT vec_id, scale, "
     "list_transform(v, x -> x - floor(x / scale + 0.5) * scale) AS err, len(v) AS d FROM s) "

@@ -168,13 +168,23 @@ def fuzzy_dedup_within_watermark(
     """
     from pyspark.sql import functions as F
 
-    from libcolumnfile_spark.operators.dedup import md5_minhash_sig_key
+    from libcolumnfile_spark.operators.dedup import (
+        md5_minhash_sig_key_from_tokens,
+        minhash_tokens,
+    )
 
-    keyed = df.withColumn(
-        "sig_key",
-        md5_minhash_sig_key(
-            F.col(text_col), F.col(id_col), n_hashes, shingle_n, seed
-        ),
+    # tokens materialize in their own (stateless) projection so the
+    # signature's shingle lambdas see an attribute, not an inline
+    # split() that Catalyst would re-evaluate per shingle
+    keyed = (
+        df.withColumn("__toks", minhash_tokens(F.col(text_col)))
+        .withColumn(
+            "sig_key",
+            md5_minhash_sig_key_from_tokens(
+                F.col("__toks"), F.col(id_col), n_hashes, shingle_n, seed
+            ),
+        )
+        .drop("__toks")
     )
     if keyed.isStreaming:
         return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(

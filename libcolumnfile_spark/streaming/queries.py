@@ -210,15 +210,23 @@ def _fuzzy_dedup_oracle() -> str:
 def q_stream_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from libcolumnfile_spark.operators.dedup import md5_minhash_sig_key
+    from libcolumnfile_spark.operators.dedup import (
+        md5_minhash_sig_key_from_tokens,
+        minhash_tokens,
+    )
     from libcolumnfile_spark.tables import spread
 
     # signature kernel is compute-heavy per row (md5 per gram): spread
-    # the map stage to core width even when the scan plans few splits
+    # the map stage to core width even when the scan plans few splits.
+    # Tokens materialize in their own projection first — the inline
+    # split() form re-tokenizes per shingle under lambda inlining.
     d = spread(T(spark, sf_dir, "documents"))
-    keyed = d.select(
+    toks = d.select("doc_id", minhash_tokens(F.col("text")).alias("__toks"))
+    keyed = toks.select(
         "doc_id",
-        md5_minhash_sig_key(F.col("text"), F.col("doc_id")).alias("sig_key"),
+        md5_minhash_sig_key_from_tokens(
+            F.col("__toks"), F.col("doc_id")
+        ).alias("sig_key"),
     )
     return keyed.groupBy("sig_key").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")

@@ -74,6 +74,9 @@ _LAYOUT_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".table_cache"
 )
 _LAYOUT_MIN_ROWS = 2000  # below this a single scan task is already fine
+# layout dirs served in THIS process: exempt from the stale-sibling GC
+# sweep (live DataFrames may still hold their file listings)
+_SERVED_LAYOUT_DIRS: set[str] = set()
 
 # Slice count is sized by BYTES, not row count, and there are TWO
 # layouts because one floor cannot serve both consumers (measured,
@@ -127,22 +130,30 @@ def _split_layout(
         dest = os.path.join(_LAYOUT_CACHE_DIR, f"{family}-{digest}")
         marker = os.path.join(dest, "_SUCCESS")
         if os.path.exists(marker):
+            _SERVED_LAYOUT_DIRS.add(dest)
             return dest
         # GC stale siblings for this layout family (old mtime/size/
         # parallelism digests, abandoned __tmp dirs): each is a full
         # table copy, and without this every rewritten fixture or
         # tmp-dir test table leaves a permanent copy — unbounded disk
         # growth across test runs. The untagged (coarse) sweep must not
-        # match tagged families, hence the tag prefix.
+        # match tagged families, hence the tag prefix. Dirs SERVED in
+        # this process are exempt: a live DataFrame may still hold their
+        # file listing (same source rewritten mid-session), and deleting
+        # under it turns a disk leak into FileNotFoundException — the
+        # next process sweeps them instead.
         try:
             import shutil
 
             prefix = f"{family}-"
             for entry in os.listdir(_LAYOUT_CACHE_DIR):
-                if entry.startswith(prefix) and entry != os.path.basename(dest):
-                    shutil.rmtree(
-                        os.path.join(_LAYOUT_CACHE_DIR, entry), ignore_errors=True
-                    )
+                full = os.path.join(_LAYOUT_CACHE_DIR, entry)
+                if (
+                    entry.startswith(prefix)
+                    and entry != os.path.basename(dest)
+                    and full not in _SERVED_LAYOUT_DIRS
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
         except OSError:
             pass
         pf = pq.ParquetFile(path)
@@ -178,6 +189,7 @@ def _split_layout(
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
                 raise
+        _SERVED_LAYOUT_DIRS.add(dest)
         return dest
     except Exception:
         return None
@@ -333,9 +345,23 @@ _META_MEMO: dict[tuple, object] = {}
 
 def input_keyed_memo(df: DataFrame, tag: str, compute):
     try:
-        key = (tag, df.semanticHash()) + tuple(sorted(df.inputFiles()))
-        if len(key) == 2:  # no input files: in-memory source, don't memo
+        files = sorted(df.inputFiles())
+        if not files:  # no input files: in-memory source, don't memo
             return compute()
+        # RAW-path inputs carry no freshness in their names (split-cache
+        # paths embed the source mtime/size digest, raw fixture paths do
+        # not) — stamp each local file's (mtime, size) into the key so
+        # an in-place rewrite invalidates the memo instead of serving a
+        # stale dim/count forever
+        stamped = []
+        for f in files:
+            local = f[5:] if f.startswith("file:") else f
+            try:
+                fst = os.stat(local)
+                stamped.append((f, fst.st_mtime_ns, fst.st_size))
+            except OSError:
+                stamped.append((f,))
+        key = (tag, df.semanticHash()) + tuple(stamped)
     except Exception:
         return compute()
     if key not in _META_MEMO:

@@ -369,3 +369,67 @@ class TestDomainCap:
             assert got == expected
 
         check()
+
+
+class TestTableServingRobustness:
+    def test_memo_invalidated_by_inplace_rewrite(self, spark, tmp_path):
+        from libcolumnfile_spark.tables import input_keyed_memo
+
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame([(1,)], "x BIGINT").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        df1 = spark.read.parquet(p)
+        n1 = input_keyed_memo(df1, "probe-count", df1.count)
+        assert n1 == 1
+        import time as _t
+
+        _t.sleep(0.01)  # ensure a distinct mtime_ns
+        spark.createDataFrame([(1,), (2,), (3,)], "x BIGINT").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        df2 = spark.read.parquet(p)
+        n2 = input_keyed_memo(df2, "probe-count", df2.count)
+        assert n2 == 3  # stale memo would return 1
+
+    def test_gc_spares_layout_dirs_served_this_process(self, spark, tmp_path):
+        import os
+        import time as _t
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from libcolumnfile_spark import tables as TB
+
+        p = str(tmp_path / "documents.parquet")
+
+        def write(nrows, salt):
+            import hashlib
+
+            # per-row distinct hash text: incompressible, so the file
+            # clears the byte gate of the slice planner
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(nrows), pa.int64()),
+                    "text": pa.array(
+                        [
+                            hashlib.sha256(f"{salt}{i}".encode()).hexdigest() * 56
+                            for i in range(nrows)
+                        ]
+                    ),
+                }
+            )
+            pq.write_table(t, p)  # one file, one row group -> splittable
+
+        write(5000, "x")
+        d1_dir = TB._split_layout(p, os.stat(p), "documents")
+        assert d1_dir is not None and os.path.exists(
+            os.path.join(d1_dir, "_SUCCESS")
+        )
+        _t.sleep(0.01)
+        write(5000, "y")  # in-place rewrite: new mtime/size digest
+        d2_dir = TB._split_layout(p, os.stat(p), "documents")
+        assert d2_dir is not None and d2_dir != d1_dir
+        # the first layout dir was SERVED this process: the sibling GC
+        # must spare it (a live DataFrame may still hold its listing)
+        assert os.path.exists(os.path.join(d1_dir, "_SUCCESS"))
