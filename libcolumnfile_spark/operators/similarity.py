@@ -236,8 +236,14 @@ def cosine_near_pairs(
         # The kernel accumulates norm and every plane dot DIM-
         # SEQUENTIALLY (acc += M[:,d]*p[d]) — the exact HOF fold order —
         # so units and sign bits are bit-identical to the lsh_bucket
-        # path (same argument as the IVF assign kernel). Oracle-pinned
-        # fixed-plane queries (4/6/8 planes) keep the HOF path.
+        # path (same argument as the IVF assign kernel; oracle parity
+        # re-verified with the kernel forced on the fixed-plane
+        # queries). Oracle-pinned fixed-plane queries (4/6/8 planes)
+        # keep the HOF path — A/B at sf0.1 measured the kernel SLOWER
+        # there (q_sim_pairs 0.59 s -> 0.72 s): 2k vectors don't
+        # amortize the Python worker round trip. The threshold tracks
+        # the adaptive region, where plane counts only exceed 10 when
+        # the corpus is large enough to pay it.
         P = np.array(planes, dtype=np.float64)
 
         @F.pandas_udf("struct<bucket:bigint, v:array<double>>")
