@@ -1158,13 +1158,20 @@ def semdedup(
     """
     from libcolumnfile_spark.tables import input_keyed_memo
 
+    # probe dim on the NULL-FILTERED frame: size(NULL) is -1, so a null
+    # first row would build zero centroids and crash the assign kernel
+    base = df.filter(F.col(vec_col).isNotNull())
     dim_probe = input_keyed_memo(
-        df, "srp-dim", lambda: df.select(F.size(vec_col).alias("d")).first()
+        base, "srp-dim", lambda: base.select(F.size(vec_col).alias("d")).first()
     )
+    if dim_probe is None:  # empty (or all-null) corpus: nothing to dedup
+        return df.select(
+            F.col(id_col), F.lit(None).cast("int").alias("list_id")
+        ).limit(0)
     if n_lists is None:
         import math
 
-        n = input_keyed_memo(df, "srp-count", df.count)
+        n = input_keyed_memo(base, "srp-count", base.count)
         n_lists = max(1, int(math.isqrt(int(n))))
     cents = _ivf_seeded_centroids(int(dim_probe["d"]), n_lists)
     assign = seeded_assign_udf(cents)
@@ -1185,7 +1192,7 @@ def semdedup(
     # null embeddings can't be deduplicated (and the assign kernel's -1
     # sentinel would diverge from the oracle's CASE fallback): drop them
     # explicitly so the operator's contract is null-free
-    a = df.filter(F.col(vec_col).isNotNull()).select(
+    a = base.select(
         F.col(id_col).alias("id"),
         unit.alias("v"),
         assign(F.col(vec_col)).alias("list_id"),

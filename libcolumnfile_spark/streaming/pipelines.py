@@ -190,7 +190,17 @@ def fuzzy_dedup_within_watermark(
         return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
             ["sig_key"]
         )
-    return keyed.dropDuplicates(["sig_key"])
+    # batch face: dropDuplicates keeps an ARBITRARY row per key (plan-
+    # order dependent) — pick the earliest id deterministically so the
+    # batch face reproduces q_stream_dedup_fuzzy's min(doc_id) contract
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig_key").orderBy(F.col(id_col).asc_nulls_last())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def click_purchase_join(df: DataFrame, within: str = "30 minutes", delay: str = "10 minutes") -> DataFrame:

@@ -355,7 +355,15 @@ def input_keyed_memo(df: DataFrame, tag: str, compute):
         # stale dim/count forever
         stamped = []
         for f in files:
-            local = f[5:] if f.startswith("file:") else f
+            if f.startswith("file:"):
+                # inputFiles() returns percent-encoded URIs: decode or a
+                # path with a space/non-ASCII char stats the wrong name
+                # and silently loses its freshness stamp
+                from urllib.parse import unquote, urlparse
+
+                local = unquote(urlparse(f).path)
+            else:
+                local = f
             try:
                 fst = os.stat(local)
                 stamped.append((f, fst.st_mtime_ns, fst.st_size))

@@ -989,6 +989,19 @@ class TestSemDedup:
         kept = {r["vec_id"] for r in similarity.semdedup(df, threshold=0.8).collect()}
         assert kept == {1}
 
+    def test_null_and_empty_corpora(self, spark):
+        # null-first row must not poison the dim probe; all-null and
+        # empty corpora return an empty result instead of crashing
+        rows = [(1, None), (2, [1.0, 0.0, 0.0, 0.5]), (3, [-1.0, 0.5, 0.2, -0.3])]
+        df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        kept = {r["vec_id"] for r in similarity.semdedup(df, threshold=0.99).collect()}
+        assert kept == {2, 3}  # null dropped, dissimilar pair survives
+        empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        assert similarity.semdedup(empty).count() == 0
+        allnull = spark.createDataFrame([(1, None)], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        assert similarity.semdedup(allnull).count() == 0
+
+
 class TestClassifierFilter:
     def test_score_is_mean_bucket_weight(self, spark):
         import hashlib

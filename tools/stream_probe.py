@@ -41,7 +41,7 @@ def _sliced_source(df, path: str, n: int) -> int:
     return df.count()
 
 
-def _drain(stream_df, out_dir: str, ckpt: str) -> None:
+def _drain(stream_df, ckpt: str) -> None:
     sq = (
         stream_df.writeStream.outputMode("append")
         .format("noop")
@@ -105,21 +105,24 @@ def main() -> int:
         ("tumbling_counts", n_events, lambda: _drain_complete(
             P.tumbling_counts(ev_stream()), f"{work}/ck_tumbling")),
         ("dedup_within_watermark", n_events, lambda: _drain(
-            P.dedup_within_watermark(ev_stream()), f"{work}/out_d", f"{work}/ck_d")),
+            P.dedup_within_watermark(ev_stream()), f"{work}/ck_d")),
         ("fuzzy_dedup_within_watermark", n_docs, lambda: _drain(
-            P.fuzzy_dedup_within_watermark(doc_stream()), f"{work}/out_f", f"{work}/ck_f")),
+            P.fuzzy_dedup_within_watermark(doc_stream()), f"{work}/ck_f")),
         ("stateful_running_totals", n_events, lambda: _drain_complete(
             P.running_totals_stateful(ev_stream()), f"{work}/ck_s")),
     ]
-    for name, rows, run in probes:
-        t0 = time.perf_counter()
-        run()
-        wall = time.perf_counter() - t0
-        print(json.dumps({
-            "pipeline": name, "rows": rows, "batches": n_batches,
-            "wall_s": round(wall, 2), "rows_per_s": int(rows / wall),
-        }))
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        for name, rows, run in probes:
+            t0 = time.perf_counter()
+            run()
+            wall = time.perf_counter() - t0
+            print(json.dumps({
+                "pipeline": name, "rows": rows, "batches": n_batches,
+                "wall_s": round(wall, 2), "rows_per_s": int(rows / wall),
+            }))
+    finally:
+        # two full table copies + checkpoints: never leak them on error
+        shutil.rmtree(work, ignore_errors=True)
     return 0
 
 
