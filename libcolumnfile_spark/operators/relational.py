@@ -961,3 +961,46 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (stage, n_users)"
         )
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle=(
+        "WITH f AS (SELECT user_id, "
+        "CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week "
+        "FROM events GROUP BY user_id), "
+        "j AS (SELECT e.user_id, f.cohort_week, "
+        "CAST(date_diff('day', f.cohort_week, "
+        "CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset "
+        "FROM events e JOIN f ON e.user_id = f.user_id) "
+        "SELECT cohort_week, week_offset, "
+        "count(DISTINCT user_id) AS n_users "
+        "FROM j GROUP BY 1, 2"
+    ),
+    doc=(
+        "Weekly cohort retention: users grouped by first-activity week, "
+        "distinct-user counts per (cohort, weeks-since-first) cell — the "
+        "classic retention-triangle query. Two key-bounded shuffles "
+        "(per-user first-activity, then the cohort-cell aggregate); the "
+        "events-to-cohort join co-partitions on user_id with the "
+        "first-activity aggregate, so no extra exchange at scale. Week "
+        "truncation is ISO-Monday on both engines; offsets divide "
+        "exactly by 7 because both endpoints are week starts."
+    ),
+    tags=("window", "events", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    joined = e.join(first, "user_id")
+    off = (
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+        / 7
+    ).cast("int")
+    return (
+        joined.select("user_id", "cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
