@@ -998,3 +998,80 @@ def q_classifier_filter(spark, sf_dir):
         "doc_id", "lang", classifier_score(F.col("text")).alias("score")
     )
     return scored.filter(F.col("score") >= 0.0)
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model scoring (the CCNet-style perplexity filter):
+# train a unigram LM on the corpus (MLE + add-one smoothing), score
+# every document by its per-token negative log-likelihood. Low-NLL docs
+# look like the corpus; high-NLL docs are noise/outliers — the classic
+# LM-based quality gate between heuristic rules and training.
+# ---------------------------------------------------------------------------
+
+
+def lm_nll_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed unigram LM trained on the same corpus: p(tok) =
+    (cnt+1)/(N+V), score = -mean(ln p(tok_i)).
+
+    Scale: one explode + one token-count aggregate (shuffle O(vocab)),
+    then a token-keyed join of the instance stream against the count
+    table (broadcast while the vocab fits, shuffle join beyond) and a
+    per-doc partial+final average. Cross-engine: ln() agrees with
+    DuckDB within an ulp (the q_tfidf precedent) and the log-sum's
+    summation-order spread (~n*eps) sits far inside the round(6)
+    tolerance, so the oracle value-hash-checks exactly."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))  # one row: N and V ride every task
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.col("cnt") + F.lit(1.0))
+                    / (F.col("n_tokens") + F.col("vocab"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 6).alias("avg_nll")
+    )
+
+
+_LM_ORACLE = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+    "'\\s+')) AS tok FROM documents), "
+    "t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+    "c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok), "
+    "g AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_tokens, "
+    "CAST(count(*) AS DOUBLE) AS vocab FROM c) "
+    "SELECT doc_id, round(avg(-ln((c.cnt + 1.0) / (g.n_tokens + g.vocab))), 6) "
+    "AS avg_nll FROM t JOIN c USING (tok) CROSS JOIN g GROUP BY doc_id"
+)
+
+
+@query(
+    "q_lm_perplexity",
+    oracle=_LM_ORACLE,
+    doc=(
+        "Unigram-LM perplexity scoring (CCNet-style quality gate): "
+        "add-one-smoothed corpus LM, per-document average negative "
+        "log-likelihood. One vocab-bounded aggregate + a token-keyed "
+        "join; the oracle replicates counts, smoothing, and the ln() "
+        "arithmetic."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_lm_perplexity(spark, sf_dir):
+    return lm_nll_scores(_spread(T(spark, sf_dir, "documents")))

@@ -1066,3 +1066,32 @@ class TestQuantizeInt8:
             assert g["scale"] == pytest.approx(round(scale, 6), abs=1e-9)
             assert g["max_abs_err"] == pytest.approx(round(float(np.abs(err).max()), 6), abs=1e-9)
             assert g["rmse"] == pytest.approx(round(float(np.sqrt((err**2).sum() / len(v))), 6), abs=1e-9)
+
+
+class TestLmPerplexity:
+    def test_rare_tokens_score_higher(self, spark):
+        rows = [(i, "common common common") for i in range(1, 9)] + [
+            (9, "zzyzx qwfpgj vbnmk")  # three singleton tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {r["doc_id"]: r["avg_nll"] for r in text.lm_nll_scores(df).collect()}
+        assert got[9] > got[1]  # out-of-distribution doc scores worse
+        assert all(got[i] == got[1] for i in range(2, 9))  # identical docs tie
+
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        rows = [(1, "a b b"), (2, "b c"), (3, "a a a a")]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        toks = {i: t.split() for i, t in rows}
+        cnt = Counter(tok for ts in toks.values() for tok in ts)
+        N, V = sum(cnt.values()), len(cnt)
+        expected = {
+            i: round(
+                sum(-math.log((cnt[t] + 1.0) / (N + V)) for t in ts) / len(ts), 6
+            )
+            for i, ts in toks.items()
+        }
+        got = {r["doc_id"]: r["avg_nll"] for r in text.lm_nll_scores(df).collect()}
+        assert got == {i: pytest.approx(v, abs=1e-9) for i, v in expected.items()}

@@ -97,6 +97,10 @@ CONTRACTS = {
                                      # under suite load (flaked at 4.5 in-suite,
                                      # 2.4 isolated); true quadratic lands ~24
     "q_quantize_int8": (1.1, 3.0),   # one Arrow kernel pass; rows ride idle cores
+    "q_lm_perplexity": (1.9, 4.0),   # vocab-bounded agg + token-keyed join
+    "q_cohort_retention": (5.8, 9.0),  # t1=0.20s floor; x10 users = 10x
+                                     # distinct (user,week) cells, x10
+                                     # absolute ~1.1 s
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
