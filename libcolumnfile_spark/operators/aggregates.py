@@ -469,9 +469,14 @@ def _sketch_freq_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH, k: int
     cell = (
         "CAST(('0x' || substr(md5({v} || '#{i}'), 1, 15)) AS BIGINT) % " + str(width)
     )
+    # cells must sketch the IDENTICAL token stream the Spark side feeds
+    # count_min_sketch (q_sketch_freq filters tok != ''): trim() strips
+    # only spaces in both engines, so text starting with a tab/newline
+    # yields an empty token — unfiltered here it would inflate oracle
+    # cells but not Spark's, diverging cms_est on any colliding bucket
     cells_union = " UNION ALL ".join(
         f"SELECT {i} AS row, " + cell.format(v="tok", i=i) + " AS bucket, "
-        "count(*) AS cnt FROM toks GROUP BY 2"
+        "count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 2"
         for i in range(depth)
     )
     est_branches = " UNION ALL ".join(

@@ -830,32 +830,80 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     length_bucket: int | None = 64,
+    anchor_block: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within a blocking key.
 
-    Block = (block_col, length bucket): near-duplicates have near-equal
-    length, so bucketing by n_chars/length_bucket bounds the O(n^2)
-    per-block product (docs straddling a bucket boundary are the known
-    miss; MinHash-LSH is the recall-safe path). A size-ratio prefilter
-    (|A∩B|/|A∪B| >= t requires |A|/|B| >= t) skips the expensive
-    array_intersect for obviously-dissimilar pairs.
+    Block = (block_col, length bucket[, min-gram anchor]):
+    near-duplicates have near-equal length, so bucketing by
+    n_chars/length_bucket bounds the O(n^2) per-block product (docs
+    straddling a bucket boundary are the known miss; MinHash-LSH is the
+    recall-safe path). A size-ratio prefilter (|A∩B|/|A∪B| >= t
+    requires |A|/|B| >= t) skips the expensive array_intersect for
+    obviously-dissimilar pairs.
+
+    ``anchor_block=True`` adds a third blocking dimension: the doc's
+    MINIMUM md5 gram hash — a 1-hash MinHash over its distinct gram
+    set, i.e. a uniformly-random shared-gram anchor. Two docs block
+    together only if they agree on that anchor, which by the MinHash
+    property happens with probability equal to their Jaccard — so
+    exact/near-exact duplicates (J -> 1) still pair with probability
+    -> 1, while the per-block candidate product collapses from
+    |length bucket|^2 (grows quadratically with corpus density) to
+    |docs sharing one specific gram as their hash-min|^2. md5 family
+    (md5_gram_hash) so a DuckDB oracle reproduces the anchor exactly.
+    With the anchor on, ``nsh`` is the TRUE distinct-gram count (the
+    grams are built anyway), making the size-ratio prefilter exactly
+    recall-safe within the declared blocking.
     """
     df = _spread(df)
     blk_parts = [F.col(block_col) if block_col else F.lit("all")]
     if length_bucket:
         blk_parts.append((F.length(F.col(text_col)) / F.lit(length_bucket)).cast("int").cast("string"))
-    # Candidate stage carries only (id, blk, n_tokens) — the shingle
-    # arrays are NOT built here. Token count is the cheap proxy for
-    # shingle-set size in the size-ratio prefilter (|sh| = n_tokens-n+1).
-    # trim before tokenizing: Java's split drops TRAILING empty tokens
-    # but keeps a leading one, while DuckDB's string_split_regex keeps
-    # both — trimming makes the token (hence gram) sets identical across
-    # engines for text with edge whitespace
-    keys = df.select(
-        F.col(id_col).alias("id"),
-        F.concat_ws("|", *blk_parts).alias("blk"),
-        (F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) - (shingle_n - 1)).alias("nsh"),
-    ).filter(F.col("nsh") > 0)
+    # Candidate stage carries only (id, blk, nsh) — gram ARRAYS never
+    # enter the self-join. trim before tokenizing: Java's split drops
+    # TRAILING empty tokens but keeps a leading one, while DuckDB's
+    # string_split_regex keeps both — trimming makes the token (hence
+    # gram) sets identical across engines for text with edge whitespace
+    if anchor_block:
+        t = df.select(
+            F.col(id_col).alias("id"),
+            F.concat_ws("|", *blk_parts).alias("__blk0"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+        )
+        # grams materialize as an attribute before the anchor transform
+        # (the shingles_from_tokens inlining contract)
+        g = t.select(
+            "id",
+            "__blk0",
+            shingles_from_tokens(F.col("__toks"), shingle_n).alias("__grams"),
+        )
+        keys = g.select(
+            "id",
+            F.concat_ws(
+                "|",
+                F.col("__blk0"),
+                F.array_min(F.transform(F.col("__grams"), md5_gram_hash)).cast(
+                    "string"
+                ),
+            ).alias("blk"),
+            F.size("__grams").alias("nsh"),
+        ).filter(F.col("nsh") > 0)
+        # the anchor costs real map work (md5 per gram) and the self-join
+        # reads keys from BOTH sides — persist so it runs once (the
+        # token-count-only keys below are too cheap to be worth caching).
+        # HOF transform beats explode+groupBy(min) here: the per-gram md5
+        # is interpreted either way once inside a lambda, but the groupBy
+        # adds a token-level exchange (measured 0.42 s vs 0.82 s, sf0.1)
+        keys = pin(keys)
+    else:
+        # token count is the cheap proxy for shingle-set size in the
+        # size-ratio prefilter (|sh| <= n_tokens - n + 1)
+        keys = df.select(
+            F.col(id_col).alias("id"),
+            F.concat_ws("|", *blk_parts).alias("blk"),
+            (F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) - (shingle_n - 1)).alias("nsh"),
+        ).filter(F.col("nsh") > 0)
     a = keys.alias("a")
     b = keys.alias("b")
     na, nb = F.col("a.nsh"), F.col("b.nsh")
@@ -969,24 +1017,31 @@ _NGRAM_LENGTH_BUCKET = 16
 
 def _ngram_oracle() -> str:
     """DuckDB replica of ngram_jaccard_pairs(block_col='lang', n=3,
-    t=0.15, length_bucket=_NGRAM_LENGTH_BUCKET): same blocking key, same
-    word 3-gram sets, same inter/(|A|+|B|-inter) jaccard rounded to 4.
-    The Spark path intersects HASHED grams (xxhash64 mod 2^31-1) instead
-    of strings; a collision would perturb the 4th decimal, but at the
-    oracle SF (500 docs, ~200 grams/doc, p=2^31-1) the expected
-    collision count is ~1e-3 — verified value-hash-equal at sf0.01 and
-    sf0.1.
+    t=0.15, length_bucket=_NGRAM_LENGTH_BUCKET, anchor_block=True):
+    same blocking key — lang | 16-char length bucket | min md5-gram-hash
+    anchor — same word 3-gram sets, same inter/(|A|+|B|-inter) jaccard
+    rounded to 4. The Spark path intersects HASHED grams (xxhash64 mod
+    2^31-1) instead of strings; a collision would perturb the 4th
+    decimal, but at the oracle SF (500 docs, ~200 grams/doc, p=2^31-1)
+    the expected collision count is ~1e-3 — verified value-hash-equal at
+    sf0.01 and sf0.1. The anchor itself is the md5 family
+    (md5_gram_hash), identical in both engines.
     """
     b = _NGRAM_LENGTH_BUCKET
+    p = _MERSENNE_31
     return (
-        "WITH t AS (SELECT doc_id, "
-        f"  lang || '|' || CAST(CAST(floor(length(text) / {b}.0) AS INT) AS VARCHAR) AS blk, "
+        "WITH t AS (SELECT doc_id, lang, text, "
         "  string_split_regex(lower(trim(text)), '\\s+') AS toks "
         "  FROM documents), "
-        "g AS (SELECT doc_id, blk, "
+        "g0 AS (SELECT doc_id, lang, text, "
         "  list_distinct(list_transform(generate_series(1, len(toks) - 2), "
         "    i -> array_to_string(toks[i:i+2], ' '))) AS grams "
         "  FROM t WHERE len(toks) >= 3), "
+        "g AS (SELECT doc_id, "
+        f"  lang || '|' || CAST(CAST(floor(length(text) / {b}.0) AS INT) AS VARCHAR) "
+        "    || '|' || CAST(list_min(list_transform(grams, s -> "
+        f"      CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})) AS VARCHAR) AS blk, "
+        "  grams FROM g0), "
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "  len(list_intersect(a.grams, b.grams)) AS inter, "
         "  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un "
@@ -999,13 +1054,25 @@ def _ngram_oracle() -> str:
 @query(
     "q_dedup_ngram",
     oracle=_ngram_oracle(),
-    doc="Blocked exact n-gram Jaccard pairs (block = lang + length bucket).",
+    doc=(
+        "Blocked exact n-gram Jaccard pairs (block = lang + 16-char "
+        "length bucket + min md5-gram-hash anchor). The anchor is a "
+        "1-hash MinHash: candidates must share their uniformly-random "
+        "minimum gram, so near-exact dups (J -> 1) still pair while the "
+        "within-block quadratic no longer tracks corpus density — the "
+        "round-5 x10 candidate-growth fix, declared in the oracle like "
+        "the length bucket."
+    ),
     tags=("dedup",),
 )
 def q_dedup_ngram(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        d, block_col="lang", threshold=0.15, length_bucket=_NGRAM_LENGTH_BUCKET
+        d,
+        block_col="lang",
+        threshold=0.15,
+        length_bucket=_NGRAM_LENGTH_BUCKET,
+        anchor_block=True,
     )
 
 
@@ -1239,7 +1306,14 @@ def md5_minhash_sig_key_from_tokens(
     re-tokenization per row).
 
     Documents too short to shingle (< shingle_n tokens) get a per-doc
-    ``short:<id>`` key: always unique, they pass through dedup.
+    ``short:<id>`` key: unique per id, they pass through dedup. A NULL
+    id would make that key NULL (concat propagates NULL), silently
+    merging every short null-id row into ONE survivor — instead the key
+    falls back to ``short:~<md5(tokens)>``, so null-id short rows merge
+    only when their text is identical (which IS a duplicate) and
+    distinct texts always pass through. Deterministic, so the DuckDB
+    oracle (md5_sig_key_sql) reproduces it; streaming-safe (pure
+    expression, no nondeterministic id generator).
 
     Perf note: the md5 base hash dominates, so the n_hashes running
     minimums fold into ONE ``F.aggregate`` pass over the hashed gram
@@ -1271,9 +1345,14 @@ def md5_minhash_sig_key_from_tokens(
 
     mins = F.aggregate(hs, init, step)
     parts = [mins[f"m{i}"].cast("string") for i in range(n_hashes)]
+    null_id_fallback = F.concat(F.lit("~"), F.md5(F.concat_ws(" ", toks)))
     return F.when(
         F.size(toks) >= shingle_n, F.concat_ws(",", *parts)
-    ).otherwise(F.concat(F.lit("short:"), id_col.cast("string")))
+    ).otherwise(
+        F.concat(
+            F.lit("short:"), F.coalesce(id_col.cast("string"), null_id_fallback)
+        )
+    )
 
 
 def minhash_tokens(text_col: Column) -> Column:
@@ -1336,5 +1415,6 @@ def md5_sig_key_sql(
     )
     return (
         f"CASE WHEN len({toks_expr}) >= {shingle_n} THEN {sig} "
-        f"ELSE 'short:' || CAST({id_expr} AS VARCHAR) END"
+        f"ELSE 'short:' || COALESCE(CAST({id_expr} AS VARCHAR), "
+        f"'~' || md5(COALESCE(array_to_string({toks_expr}, ' '), ''))) END"
     )

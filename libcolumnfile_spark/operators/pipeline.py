@@ -1171,6 +1171,29 @@ def q_dq_constraints(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def plan_compaction(src_path: str, target_bytes: int) -> int:
+    """Output file count for compacting ``src_path``:
+    ceil(parquet_bytes / target_bytes), sized through the
+    scheme-dispatched fs layer so object-store sources (s3://, hdfs://,
+    gs://, mock://) see their real bytes. Raises on a source with zero
+    readable parquet bytes — the failure mode this guards is a listing
+    that silently returns nothing (e.g. os.walk over a URI string),
+    which would otherwise plan coalesce(1) over an arbitrarily large
+    table."""
+    import math
+
+    from libcolumnfile_spark.sources.columnfile.fs import fs_du_suffix
+
+    total, n_in = fs_du_suffix(src_path, ".parquet")
+    if total <= 0 or n_in == 0:
+        raise ValueError(
+            f"compact_parquet: no parquet bytes found under {src_path!r} "
+            "(empty source, or a backend the fs layer cannot list) — "
+            "refusing to plan a degenerate 1-file rewrite"
+        )
+    return max(1, math.ceil(total / target_bytes))
+
+
 def compact_parquet(
     spark,
     src_path: str,
@@ -1182,33 +1205,29 @@ def compact_parquet(
     at ``dest_path``; returns the output file count.
 
     File count = ceil(input_bytes / target_bytes) from the source's
-    actual file sizes. ``shuffle=False`` (default) uses coalesce: a
-    LOCAL merge of input splits with no exchange — the cheap path when
-    reducing file count, which is what compaction does. ``shuffle=True``
-    round-robins rows for evenly-sized output (one exchange of the
-    data), matching Delta OPTIMIZE's rewrite. At 100 TB either runs
-    embarrassingly parallel per output file; the decision is per
-    partition-directory in practice (compact only dirs whose mean file
-    size is under threshold).
-    """
-    import math
-    import os
+    actual file sizes, listed through the scheme-dispatched fs layer
+    (sources/columnfile/fs.py) so ``s3://``/``hdfs://``/``gs://``/
+    ``mock://`` sources size correctly — a bare os.walk over an
+    object-store URI yields nothing, total=0, and every compaction
+    would silently collapse to coalesce(1) through one task. A source
+    with zero readable parquet bytes raises instead of degenerating.
 
-    total = 0
-    for root, _dirs, files in os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
-    n_out = max(1, math.ceil(total / target_bytes))
+    ``shuffle=False`` (default) uses coalesce: a LOCAL merge of input
+    splits with no exchange — the cheap path when reducing file count,
+    which is what compaction does. ``shuffle=True`` round-robins rows
+    for evenly-sized output (one exchange of the data), matching Delta
+    OPTIMIZE's rewrite. At 100 TB either runs embarrassingly parallel
+    per output file; the decision is per partition-directory in
+    practice (compact only dirs whose mean file size is under
+    threshold).
+    """
+    from libcolumnfile_spark.sources.columnfile.fs import fs_du_suffix
+
+    n_out = plan_compaction(src_path, target_bytes)
     df = spark.read.parquet(src_path)
     df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
     df.write.mode("overwrite").parquet(dest_path)
-    return sum(
-        1
-        for root, _dirs, files in os.walk(dest_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return fs_du_suffix(dest_path, ".parquet")[1]
 
 
 def _fragmented_documents_fixture(spark, sf_dir: str) -> tuple[str, str]:

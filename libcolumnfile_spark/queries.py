@@ -135,24 +135,53 @@ def _sf_dir_version(sf_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 _DOP_TARGET_BYTES = 2 * 1024 * 1024
-# the session's configured (shuffle width, AQE setting), recorded before
-# first tuning: the width is a ceiling so a cluster-side setting is
-# never exceeded, and AQE is restored to its configured value the moment
-# an input is large enough to clamp
-_DOP_BASE: "_weakref.WeakKeyDictionary[SparkSession, tuple]" = _weakref.WeakKeyDictionary()
+# per-session DOP-tuning state: {"base": (width:int, aqe:str) — the
+# USER-configured values the clamp ceilings at; "last_set": (width:str,
+# aqe:str) — what _tune_dop itself last wrote}. Comparing the live conf
+# against last_set on every call distinguishes our own tuning from a
+# user/test conf change made between queries: a changed conf is adopted
+# as the NEW base instead of being clobbered by a stale ceiling.
+_DOP_BASE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = _weakref.WeakKeyDictionary()
+
+
+def restore_session_conf(spark: SparkSession) -> None:
+    """Reset shuffle width / AQE to their pre-tuning base values.
+
+    _tune_dop deliberately leaves its per-query tuning in the session
+    conf — Spark reads SQLConf at ACTION time, so restoring inside the
+    query wrapper (try/finally) would undo the tuning before the
+    returned lazy DataFrame ever executes. Non-query consumers sharing
+    the session (direct operator calls, user code) can call this to shed
+    inherited micro-input tuning; it is a no-op if no tuning happened.
+    """
+    st = _DOP_BASE.pop(spark, None)
+    if st is None:
+        return
+    base, base_aqe = st["base"]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base))
+        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
+    except Exception:
+        pass
 
 
 def _tune_dop(spark: SparkSession, sf_dir: str, keep_adaptive: bool = False) -> None:
-    rec = _DOP_BASE.get(spark)
-    if rec is None:
+    try:
+        cur = spark.conf.get("spark.sql.shuffle.partitions")
+        cur_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        return
+    st = _DOP_BASE.get(spark)
+    if st is None or (cur, cur_aqe) != st["last_set"]:
+        # first tuning, or the conf changed under us since the last
+        # tuning (a user/test spark.conf.set) — the LIVE values are the
+        # intended base, not whatever was captured at first call
         try:
-            base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        except Exception:
+            st = {"base": (int(cur), cur_aqe), "last_set": (cur, cur_aqe)}
+        except ValueError:
             return
-        rec = (base, base_aqe)
-        _DOP_BASE[spark] = rec
-    base, base_aqe = rec
+        _DOP_BASE[spark] = st
+    base, base_aqe = st["base"]
     try:
         total = 0
         for e in _os.scandir(sf_dir):
@@ -173,7 +202,8 @@ def _tune_dop(spark: SparkSession, sf_dir: str, keep_adaptive: bool = False) -> 
     if total <= 0:
         return
     dop = max(1, min(base, (total + _DOP_TARGET_BYTES - 1) // _DOP_TARGET_BYTES))
-    spark.conf.set("spark.sql.shuffle.partitions", str(dop))
+    set_width = str(dop)
+    spark.conf.set("spark.sql.shuffle.partitions", set_width)
     # AQE's runtime re-planning (partition coalescing, skew splits, join
     # re-strategy) buys nothing once the static width already matches the
     # data, and each adaptive stage boundary costs a materialization +
@@ -189,10 +219,9 @@ def _tune_dop(spark: SparkSession, sf_dir: str, keep_adaptive: bool = False) -> 
     # sizes and per-round edge sets are unknowable statically) retain
     # runtime adaptivity even on micro inputs (measured: q_dedup_embedding
     # +0.32 s with AQE forced off, while every static-shape query gains).
-    spark.conf.set(
-        "spark.sql.adaptive.enabled",
-        base_aqe if (keep_adaptive or dop >= base) else "false",
-    )
+    set_aqe = base_aqe if (keep_adaptive or dop >= base) else "false"
+    spark.conf.set("spark.sql.adaptive.enabled", set_aqe)
+    st["last_set"] = (set_width, set_aqe)
 
 
 def query(

@@ -182,6 +182,33 @@ def fs_listdir(path: str) -> list[str]:
     return [posixpath.basename(i.path) for i in infos]
 
 
+def fs_du_suffix(path: str, suffix: str) -> tuple[int, int]:
+    """(total_bytes, file_count) of files under directory ``path``
+    (recursive) whose names end with ``suffix`` — backend-routed
+    directory sizing. Compaction planning and any other size-derived
+    decision MUST go through this instead of a bare ``os.walk``: walking
+    an ``s3://``/``hdfs://``/``mock://`` URI string on the local OS
+    silently yields nothing, and a 0-byte answer turns into degenerate
+    plans (e.g. coalesce(1) over a 100 TB table)."""
+    s = _scheme(path)
+    if s in ("", "file", "mock"):
+        total = count = 0
+        for root, _dirs, files in os.walk(_as_local(path)):
+            for f in files:
+                if f.endswith(suffix):
+                    total += os.path.getsize(os.path.join(root, f))
+                    count += 1
+        return total, count
+    from pyarrow import fs as pafs
+
+    fs, inner = _arrow_fs(path)
+    infos = fs.get_file_info(pafs.FileSelector(inner, recursive=True))
+    files = [
+        i for i in infos if i.type == pafs.FileType.File and i.path.endswith(suffix)
+    ]
+    return sum(i.size for i in files), len(files)
+
+
 def fs_makedirs(path: str) -> None:
     s = _scheme(path)
     if s in ("", "file", "mock"):

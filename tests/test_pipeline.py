@@ -256,6 +256,55 @@ class TestCompaction:
         ]
         assert max(counts) - min(counts) <= max(counts) * 0.25
 
+    def test_mock_scheme_sizing_plans_real_bytes(self, spark):
+        """Compaction planning over a NON-local URI must see the real
+        parquet bytes through the fs layer. The regression this pins:
+        os.walk over a 'mock://...' (or s3://...) string yields nothing,
+        total=0, and the whole table silently coalesced to ONE file."""
+        import math
+        import os
+        import shutil
+        import uuid
+
+        from libcolumnfile_spark.operators.pipeline import plan_compaction
+        from libcolumnfile_spark.sources.columnfile.fs import (
+            _mock_local,
+            fs_du_suffix,
+        )
+
+        mock_dir = f"mock://bucket/compact-{uuid.uuid4().hex[:8]}"
+        local = _mock_local(mock_dir)
+        try:
+            spark.range(5_000).selectExpr("id", "id * 3 AS v").repartition(
+                8
+            ).write.parquet(local)
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fnames in os.walk(local)
+                for f in fnames
+                if f.endswith(".parquet")
+            )
+            got_total, got_n = fs_du_suffix(mock_dir, ".parquet")
+            assert got_total == total and got_n == 8
+            target = max(1, total // 3)
+            assert plan_compaction(mock_dir, target) == math.ceil(total / target)
+        finally:
+            shutil.rmtree(local, ignore_errors=True)
+
+    def test_zero_byte_source_raises_not_coalesce1(self, spark, tmp_path):
+        """An unlistable/empty source must raise, never plan a silent
+        1-file rewrite."""
+        import pytest as _pytest
+
+        from libcolumnfile_spark.operators.pipeline import compact_parquet
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with _pytest.raises(ValueError, match="no parquet bytes"):
+            compact_parquet(
+                spark, str(empty), str(tmp_path / "out"), target_bytes=1024
+            )
+
 
 class TestDomainCap:
     def test_matches_single_phase_window(self, spark):

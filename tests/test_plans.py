@@ -242,3 +242,28 @@ def test_maybe_broadcast_is_size_gated(spark):
     assert hinted(maybe_broadcast(load_table(spark, sf, "customer")))
     assert hinted(maybe_broadcast(load_table(spark, sf, "orders")))
     assert not hinted(maybe_broadcast(load_table(spark, sf, "lineitem")))
+
+
+def test_tune_dop_adopts_user_conf_change_and_restore_helper(spark):
+    """A spark.conf.set made BETWEEN queries must become the new tuning
+    base (not be clobbered by a ceiling captured at first call), and
+    restore_session_conf must hand non-query consumers the base back."""
+    from libcolumnfile_spark import queries as Q
+
+    orig_w = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_a = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        Q._tune_dop(spark, SF)  # leaves micro-input tuning in the conf
+        # user changes the conf between queries
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        Q._tune_dop(spark, SF)
+        assert Q._DOP_BASE[spark]["base"] == (7, "true")
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 7
+        Q.restore_session_conf(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        Q._DOP_BASE.pop(spark, None)
+        spark.conf.set("spark.sql.shuffle.partitions", orig_w)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_a)

@@ -40,7 +40,12 @@ CONTRACTS = {
     "q_fingerprint_winnow": (1.5, 3.0),
     "q_token_count": (6.2, 9.5),  # t1=0.10s floor; x10 absolute 0.6 s
     # pair-generating: blocking/banding bounds the quadratic term
-    "q_dedup_ngram": (5.8, 9.0),
+    # (ngram re-measured 2026-08-15 after the min-gram-anchor blocking
+    # landed: candidates fell 100k -> 167 at sf0.1 and 317k -> 242k at
+    # x10 — the x10 fixture replicates each doc 10x, so ~all remaining
+    # x10 candidates are REQUIRED C(10,2) true-dup pairs; wall is now
+    # map-dominated: 1.6 s -> 4.5 s)
+    "q_dedup_ngram": (2.8, 5.0),
     "q_dedup_cc": (2.9, 5.0),
     "q_sim_pairs": (2.8, 5.0),
     # shuffle-bound round-3 operators: one or two hash/sort exchanges,

@@ -531,3 +531,24 @@ def test_fuzzy_dedup_within_watermark(spark, tmp_path):
     # min-id winner is the oracle-checked q_stream_dedup_fuzzy)
     batch = P.fuzzy_dedup_within_watermark(spark.read.parquet(src))
     assert batch.count() == 4
+
+
+def test_fuzzy_dedup_null_id_short_docs_never_merge_distinct_text(spark):
+    """Short docs with NULL ids must not all collapse into one NULL
+    sig_key survivor: distinct texts pass through; identical texts (a
+    genuine duplicate) still merge — keyed by a content hash, not NULL."""
+    rows = [
+        (None, "2024-01-01 00:00:01", "alpha beta"),
+        (None, "2024-01-01 00:00:02", "gamma delta"),
+        (None, "2024-01-01 00:00:03", "alpha beta"),  # identical -> merges
+        (None, "2024-01-01 00:00:04", None),          # null text too
+        (None, "2024-01-01 00:00:05", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = P.fuzzy_dedup_within_watermark(df)
+    # alpha-beta (x2 -> 1) + gamma-delta (1) + null-text (x2 -> 1) = 3
+    assert out.count() == 3
+    texts = sorted(r["text"] or "" for r in out.collect())
+    assert texts == ["", "alpha beta", "gamma delta"]
