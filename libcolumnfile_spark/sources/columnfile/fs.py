@@ -45,6 +45,56 @@ def _scheme(path: str) -> str:
     return urlparse(path).scheme
 
 
+# ---------------------------------------------------------------------------
+# CAS table URNs. The reference's CLI tools accept inputs of the form
+# ``urn:ca-cas-table:<key>`` and route them to a content-addressed
+# storage client (tools/columnfile-cat.cc:47,197-209,
+# tools/columnfile-sort.cc:247,309-318; compile-gated behind
+# HAVE_CA_CAS). The Spark-native parity: the URN resolves to
+# ``$SPARK_GRAFT_CAS_ROOT/<key>`` on ANY backend this module speaks
+# (local, mock://, or an arrow filesystem), and every fs helper resolves
+# it at entry — so the DataSource, the format reader/writer, and both
+# CLI tools accept the URN form with no changes of their own.
+# ---------------------------------------------------------------------------
+
+CAS_URN_PREFIX = "urn:ca-cas-table:"
+
+
+def _cas_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_CAS_ROOT",
+        os.path.join(tempfile.gettempdir(), "columnfile_cas"),
+    )
+
+
+def resolve_cas_urn(path: str) -> str:
+    """``urn:ca-cas-table:<key>`` -> ``<cas_root>/<key>``; any other path
+    unchanged. The key is pathlike-hostile by construction (hex digest),
+    but reject traversal outright rather than trust it."""
+    if not path.startswith(CAS_URN_PREFIX):
+        return path
+    key = path[len(CAS_URN_PREFIX):]
+    if not key or "/" in key or ".." in key:
+        raise ValueError(f"malformed CAS table URN: {path!r}")
+    return fs_join(_cas_root(), key)
+
+
+def cas_put(data: bytes) -> str:
+    """Store ``data`` in the CAS root under its sha1 hex digest
+    (content-addressed: identical bytes share one object) and return the
+    ``urn:ca-cas-table:<key>`` handle the reference tools accept."""
+    import hashlib
+
+    key = hashlib.sha1(data).hexdigest()
+    dest = fs_join(_cas_root(), key)
+    parent = fs_dirname(dest)
+    if parent:
+        fs_makedirs(parent)
+    with fs_open_output(dest) as f:
+        f.write(data)
+    return CAS_URN_PREFIX + key
+
+
 def _mock_root() -> str:
     return os.environ.get(
         "SPARK_GRAFT_MOCKFS_ROOT",
@@ -64,6 +114,7 @@ def _arrow_fs(path: str):
 
 
 def is_remote(path: str) -> bool:
+    path = resolve_cas_urn(path)
     return _scheme(path) not in ("", "file")
 
 
@@ -93,6 +144,7 @@ def fs_dirname(path: str) -> str:
 
 def fs_open_input(path: str):
     """Readable, seekable binary stream for ``path``."""
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s == "":
         return open(path, "rb")
@@ -106,6 +158,7 @@ def fs_open_input(path: str):
 
 def fs_open_output(path: str):
     """Writable binary stream for ``path`` (created/truncated)."""
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s == "":
         return open(path, "wb")
@@ -120,6 +173,7 @@ def fs_open_output(path: str):
 
 
 def fs_size(path: str) -> int:
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         return os.path.getsize(_as_local(path))
@@ -144,6 +198,7 @@ def _arrow_info(path: str):
 
 
 def fs_exists(path: str) -> bool:
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         return os.path.exists(_as_local(path))
@@ -153,6 +208,7 @@ def fs_exists(path: str) -> bool:
 
 
 def fs_isfile(path: str) -> bool:
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         return os.path.isfile(_as_local(path))
@@ -162,6 +218,7 @@ def fs_isfile(path: str) -> bool:
 
 
 def fs_isdir(path: str) -> bool:
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         return os.path.isdir(_as_local(path))
@@ -172,6 +229,7 @@ def fs_isdir(path: str) -> bool:
 
 def fs_listdir(path: str) -> list[str]:
     """Base names of direct children of a directory path."""
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         return os.listdir(_as_local(path))
@@ -190,6 +248,7 @@ def fs_du_suffix(path: str, suffix: str) -> tuple[int, int]:
     an ``s3://``/``hdfs://``/``mock://`` URI string on the local OS
     silently yields nothing, and a 0-byte answer turns into degenerate
     plans (e.g. coalesce(1) over a 100 TB table)."""
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         total = count = 0
@@ -210,6 +269,7 @@ def fs_du_suffix(path: str, suffix: str) -> tuple[int, int]:
 
 
 def fs_makedirs(path: str) -> None:
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         os.makedirs(_as_local(path), exist_ok=True)
@@ -219,6 +279,7 @@ def fs_makedirs(path: str) -> None:
 
 
 def fs_remove(path: str) -> None:
+    path = resolve_cas_urn(path)
     s = _scheme(path)
     if s in ("", "file", "mock"):
         os.remove(_as_local(path))

@@ -183,3 +183,67 @@ def test_sort_then_cat_pipeline(tmp_path):
     # order — same as the reference (sorting is on raw cell bytes)
     got = [int(line) for line in out.strip().split("\n")]
     assert sorted(got) == [1, 2, 3]
+
+
+class TestCasUrn:
+    """urn:ca-cas-table:<key> parity (reference tools/columnfile-cat.cc:
+    47,197-209 and columnfile-sort.cc:247,309-318): both CLI tools and
+    the format reader accept the URN form, resolved through the fs
+    layer's content-addressed root."""
+
+    def test_cat_reads_cas_urn_byte_identical(self, simple, tmp_path, monkeypatch):
+        import hashlib
+
+        from libcolumnfile_spark.sources.columnfile import fs as cfs
+
+        monkeypatch.setenv("SPARK_GRAFT_CAS_ROOT", str(tmp_path / "cas"))
+        data = open(simple, "rb").read()
+        urn = cas_urn = cfs.cas_put(data)
+        assert cas_urn == "urn:ca-cas-table:" + hashlib.sha1(data).hexdigest()
+        # the stored object is the EXACT bytes (content addressing pins it)
+        with cfs.fs_open_input(urn) as f:
+            assert f.read() == data
+        # cat over the URN == cat over the local file
+        assert cat([urn]) == cat([simple])
+
+    def test_reader_and_sort_accept_urn(self, tmp_path, monkeypatch):
+        from libcolumnfile_spark.sources.columnfile import fs as cfs
+
+        monkeypatch.setenv("SPARK_GRAFT_CAS_ROOT", str(tmp_path / "cas"))
+        p = tmp_path / "t.col"
+        write_table(p, [{0: b"b"}, {0: b"a"}, {0: b"c"}])
+        urn = cfs.cas_put(open(p, "rb").read())
+        with ColumnFileReader(urn) as r:
+            assert [row[0] for row in r.rows()] == [b"b", b"a", b"c"]
+        out_direct = sort_tool([str(p)])
+        out_urn = sort_tool([urn])
+        assert out_urn == out_direct
+        assert [r[0][1] for r in _read_rows(out_urn)] == [b"a", b"b", b"c"]
+
+    def test_cas_root_on_mock_backend(self, monkeypatch):
+        """The CAS root itself may be a mock:// (non-local) URI — the
+        object must write and read purely through the fs routing."""
+        import shutil
+        import uuid
+
+        from libcolumnfile_spark.sources.columnfile import fs as cfs
+
+        root = f"mock://bucket/cas-{uuid.uuid4().hex[:8]}"
+        monkeypatch.setenv("SPARK_GRAFT_CAS_ROOT", root)
+        try:
+            urn = cfs.cas_put(b"\x00\x01payload")
+            with cfs.fs_open_input(urn) as f:
+                assert f.read() == b"\x00\x01payload"
+            assert cfs.fs_size(urn) == 9
+        finally:
+            shutil.rmtree(cfs._mock_local(root), ignore_errors=True)
+
+    def test_malformed_urn_rejected(self):
+        import pytest as _pytest
+
+        from libcolumnfile_spark.sources.columnfile import fs as cfs
+
+        for bad in ("urn:ca-cas-table:", "urn:ca-cas-table:../etc",
+                    "urn:ca-cas-table:a/b"):
+            with _pytest.raises(ValueError):
+                cfs.resolve_cas_urn(bad)

@@ -14,9 +14,11 @@ Python port of the reference CLI (reference tools/columnfile-cat.cc):
       --output-format=TYPE   text (TSV, default) or columnfile (recompress)
 
 With no FILE, or when FILE is -, read standard input. Multiple FILEs
-concatenate (reference O10). Unlike the Spark DataSource, this tool is
-single-process by design — it mirrors the reference's operational
-surface for quick inspection and recompression.
+concatenate (reference O10). FILE may also be a content-addressed
+``urn:ca-cas-table:<key>`` handle (reference columnfile-cat.cc:47,
+197-209), resolved through the fs layer's CAS root. Unlike the Spark
+DataSource, this tool is single-process by design — it mirrors the
+reference's operational surface for quick inspection and recompression.
 """
 
 from __future__ import annotations

@@ -10,6 +10,10 @@ Python port of the reference CLI (reference tools/columnfile-sort.cc):
       --merge            inputs are already sorted; heap-merge only
                          (columnfile-sort.cc:232-245)
 
+FILE may be a content-addressed ``urn:ca-cas-table:<key>`` handle
+(reference columnfile-sort.cc:247,309-318), resolved through the fs
+layer's CAS root.
+
 Rows sort lexicographically by the full row — (column id, then value
 bytes), NULL before any value — matching std::sort over
 vector<pair<uint32, optional<string_view>>> (columnfile-sort.cc:112).
