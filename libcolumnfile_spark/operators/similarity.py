@@ -368,8 +368,8 @@ def cosine_near_pairs(
             # SCALE path (x100 probe evidence): the explode-join
             # materializes every candidate pair as a ROW carrying two
             # double vectors before the per-pair dot (measured 21.5 s at
-            # 200k vectors / 11.5M output pairs). Instead: ONE
-            # groupBy(probe key) + a per-group kernel that (1) finds
+            # 200k vectors / 11.5M output pairs). Instead: one shuffle by
+            # probe key + a streaming kernel that per key-group (1) finds
             # candidates with a float32 GEMM (margin slack covers the
             # cast error), (2) exact-rescores ONLY the candidates with
             # the dim-sequential float64 accumulation — the HOF fold
@@ -379,6 +379,18 @@ def cosine_near_pairs(
             # (bucket xor <= 1 bit) appears in every common probe-key
             # group; emitting only at key == min(bucket_a, bucket_b)
             # dedups exactly.
+            #
+            # Kernel dispatch is mapInPandas over key-sorted partitions,
+            # NOT groupBy().applyInPandas: the adaptive regime makes
+            # probe groups TINY (200k vectors / 17 planes -> 2^17 keys,
+            # ~27 rows per group), so per-group Python dispatch dominated
+            # the r4->r5 x100 drift (one UDF call + pandas frame per
+            # group, ~131k calls). One call per ~10k-row Arrow batch with
+            # in-kernel group splitting (np.diff boundaries; the last,
+            # possibly batch-straddling group carries over to the next
+            # batch) measured 9-17 s -> 4.4-5.6 s at x100, identical
+            # output. Same exchange count: groupBy's hash partition +
+            # in-partition sort is exactly repartition + sortWithin.
             emit = bucketed.select(
                 "id", "v", "bucket", F.explode(probe_keys).alias("key")
             )
@@ -386,47 +398,78 @@ def cosine_near_pairs(
             # and round(6) sits well inside it
             margin32 = float(threshold) - 1e-3
 
-            def cand_group(pdf: pd.DataFrame) -> pd.DataFrame:
-                empty = pd.DataFrame(
-                    {
-                        "id_a": np.empty(0, np.int64),
-                        "id_b": np.empty(0, np.int64),
-                        "raw_dot": np.empty(0, np.float64),
-                    }
-                )
-                k = len(pdf)
-                if k < 2:
-                    return empty
-                V = np.array(list(pdf["v"]), dtype=np.float64)
-                V32 = V.astype(np.float32)
+            def _score_groups(pdf: pd.DataFrame):
+                keys = pdf["key"].to_numpy()
                 ids = pdf["id"].to_numpy()
                 buckets = pdf["bucket"].to_numpy()
-                key = int(pdf["key"].iloc[0])
-                S = V32 @ V32.T
-                iu, ju = np.triu_indices(k, 1)
-                keep = S[iu, ju] >= margin32
-                iu, ju = iu[keep], ju[keep]
-                xor = buckets[iu] ^ buckets[ju]
-                one_bit = (xor & (xor - 1)) == 0  # 0 or a power of two
-                at_min = np.minimum(buckets[iu], buckets[ju]) == key
-                iu, ju = iu[one_bit & at_min], ju[one_bit & at_min]
-                if not len(iu):
-                    return empty
-                A, B = V[iu], V[ju]
-                acc = np.zeros(len(iu))
-                for d in range(V.shape[1]):
-                    acc += A[:, d] * B[:, d]
+                V = np.array(list(pdf["v"]), dtype=np.float64)
+                V32 = V.astype(np.float32)
+                bounds = np.flatnonzero(np.diff(keys)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(keys)]))
+                out_a, out_b, out_d = [], [], []
+                for g in range(len(starts)):
+                    s, e = int(starts[g]), int(ends[g])
+                    k = e - s
+                    if k < 2:
+                        continue
+                    S = V32[s:e] @ V32[s:e].T
+                    iu, ju = np.triu_indices(k, 1)
+                    keep = S[iu, ju] >= margin32
+                    iu, ju = iu[keep], ju[keep]
+                    if not len(iu):
+                        continue
+                    b = buckets[s:e]
+                    xor = b[iu] ^ b[ju]
+                    one_bit = (xor & (xor - 1)) == 0  # 0 or a power of 2
+                    at_min = np.minimum(b[iu], b[ju]) == keys[s]
+                    iu, ju = iu[one_bit & at_min], ju[one_bit & at_min]
+                    if not len(iu):
+                        continue
+                    A, B = V[s:e][iu], V[s:e][ju]
+                    acc = np.zeros(len(iu))
+                    for d in range(V.shape[1]):
+                        acc += A[:, d] * B[:, d]
+                    gi = ids[s:e]
+                    out_a.append(np.minimum(gi[iu], gi[ju]))
+                    out_b.append(np.maximum(gi[iu], gi[ju]))
+                    out_d.append(acc)
+                if not out_a:
+                    return None
                 return pd.DataFrame(
                     {
-                        "id_a": np.minimum(ids[iu], ids[ju]),
-                        "id_b": np.maximum(ids[iu], ids[ju]),
-                        "raw_dot": acc,
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "raw_dot": np.concatenate(out_d),
                     }
                 )
 
+            def score_stream(batches):
+                carry = None
+                for pdf in batches:
+                    if carry is not None and len(carry):
+                        pdf = pd.concat([carry, pdf], ignore_index=True)
+                    if not len(pdf):
+                        continue
+                    keys = pdf["key"].to_numpy()
+                    # hold back the final key's rows — the group may
+                    # continue in the next Arrow batch of this partition
+                    cut = int(np.searchsorted(keys, keys[-1], side="left"))
+                    carry = pdf.iloc[cut:]
+                    body = pdf.iloc[:cut]
+                    if len(body):
+                        r = _score_groups(body)
+                        if r is not None:
+                            yield r
+                if carry is not None and len(carry):
+                    r = _score_groups(carry)
+                    if r is not None:
+                        yield r
+
             return (
-                emit.groupBy("key")
-                .applyInPandas(cand_group, "id_a long, id_b long, raw_dot double")
+                emit.repartition(F.col("key"))
+                .sortWithinPartitions("key")
+                .mapInPandas(score_stream, "id_a long, id_b long, raw_dot double")
                 .select(
                     "id_a", "id_b", F.round(F.col("raw_dot"), 6).alias("cos_sim")
                 )
@@ -628,14 +671,49 @@ def q_sim_pairs_probe(spark, sf_dir):
     return cosine_near_pairs(emb, threshold=0.2, n_planes=8, probes=1)
 
 
+def _sim_pairs_auto_oracle(
+    target_pairs: int = 500_000, lo: int = 4, hi: int = 24
+) -> str:
+    """FULL oracle for the self-tuned SRP configuration — closes the
+    round-5 rows-only gap. The trick that makes static SQL replicate a
+    count-dependent bucketing: plane i is generated independently of the
+    total plane count (_hyperplanes seeds per index), so the adaptive
+    n-plane bucket EQUALS the full hi-plane bucket masked to its low n
+    bits. The oracle builds the 24-plane bucket once, derives n_planes
+    from count(*) with the same ceil(log2(n^2/target)) clamp as
+    adaptive_n_planes, and applies the 1-bit multi-probe rule
+    (bit_count(xor) <= 1) on the MASKED buckets."""
+    planes = _hyperplanes(_QUERY_DIM, hi, 13)
+    bucket = _duckdb_bucket_expr(planes, "v")
+    return (
+        "WITH np AS (SELECT least(" + str(hi) + ", greatest(" + str(lo) + ", "
+        f"CAST(ceil(log2(greatest(1.0, (c * c) / {target_pairs}.0))) AS INT))) AS p "
+        "FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM embeddings)), "
+        "m AS (SELECT ((CAST(1 AS BIGINT) << p) - 1) AS mask FROM np), "
+        "u AS (SELECT vec_id, "
+        "CASE WHEN sqrt(list_inner_product(v, v)) > 0 "
+        "  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v))) "
+        "  ELSE list_transform(v, x -> x * 0.0) END AS uv, "
+        f"{bucket} AS fb "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_inner_product(a.uv, b.uv), 6) AS cos_sim "
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id "
+        "  AND bit_count(xor(a.fb & (SELECT mask FROM m), "
+        "                    b.fb & (SELECT mask FROM m))) <= 1 "
+        "WHERE round(list_inner_product(a.uv, b.uv), 6) >= 0.2"
+    )
+
+
 @query(
     "q_sim_pairs_auto",
-    # rows-only: the plane count is chosen from the measured corpus size
-    # at plan time (adaptive_n_planes), so no static SQL can replicate
-    # the bucketing across scale factors. The recall contract vs the
-    # fixed-plane configs is pinned by
+    # FULL oracle (round-5 item 8): the auto-sizing is a deterministic
+    # function of count(*), replicated in SQL via the masked-full-bucket
+    # identity (see _sim_pairs_auto_oracle). The recall contract vs the
+    # fixed-plane configs stays pinned by
     # tests/test_operators.py::test_adaptive_near_pairs_recall_vs_fixed,
     # and the scale behavior by the x100 probe (BASELINE.md).
+    oracle=_sim_pairs_auto_oracle(),
     doc=(
         "Embedding near-dup pairs with SELF-TUNED SRP: n_planes = "
         "ceil(log2(n^2/target)) from the measured vector count + 1-bit "
