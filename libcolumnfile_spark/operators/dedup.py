@@ -1362,6 +1362,84 @@ def minhash_tokens(text_col: Column) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+def md5_sig_key_kernel(n_hashes: int = 4, shingle_n: int = 3, seed: int = 42):
+    """Arrow-batched kernel form of md5_minhash_sig_key_from_tokens:
+    (token-array, id) -> signature-key string, VALUE-IDENTICAL to the
+    Catalyst expression (tests/test_streaming.py pins equality row by
+    row; q_stream_dedup_fuzzy's DuckDB oracle value-checks it end to
+    end).
+
+    Why it exists: the Catalyst form evaluates md5 + the n_hashes affine
+    fold inside an interpreted F.aggregate lambda (~2 ms/doc — the
+    streaming fuzzy-dedup throughput floor, stream_probe 0.4k rows/s).
+    Here the per-gram base hash is one hashlib.md5 call (C speed) and
+    the affine minima are ONE numpy (n_hashes x grams) matrix +
+    minimum.reduceat over the whole batch — the same pattern as
+    minhash_band_keys_kernel, but on the md5 family so oracles still
+    reproduce every value. Tokenization stays in Catalyst (codegen'd
+    split; also avoids Java-vs-Python regex whitespace-class drift).
+
+    Map-side only; streaming-safe (stateless projection ahead of
+    dropDuplicatesWithinWatermark).
+    """
+    import hashlib
+
+    params = _hash_params(n_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    n1 = shingle_n - 1
+
+    @F.pandas_udf("string")
+    def kernel(toks: pd.Series, ids: pd.Series) -> pd.Series:
+        n = len(toks)
+        out: list = [None] * n
+        hash_rows: list = []
+        for r in range(n):
+            t = toks.iloc[r]
+            if t is None or len(t) < shingle_n:
+                idv = ids.iloc[r]
+                if idv is None or pd.isna(idv):
+                    joined = " ".join(t) if t is not None else ""
+                    out[r] = (
+                        "short:~" + hashlib.md5(joined.encode("utf-8")).hexdigest()
+                    )
+                else:
+                    sid = (
+                        str(int(idv))
+                        if isinstance(idv, (int, np.integer))
+                        else str(idv)
+                    )
+                    out[r] = "short:" + sid
+                continue
+            m = len(t) - n1
+            hs = np.empty(m, dtype=np.int64)
+            for i in range(m):
+                g = " ".join(t[i : i + shingle_n])
+                hs[i] = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % _MERSENNE_31
+                )
+            hash_rows.append(hs)
+        if hash_rows:
+            glens = np.fromiter((h.size for h in hash_rows), dtype=np.int64)
+            starts = np.zeros(glens.size, dtype=np.int64)
+            np.cumsum(glens[:-1], out=starts[1:])
+            flat = np.concatenate(hash_rows)
+            # elements < 2^31, a < 2^31 -> products < 2^62: int64-safe
+            M = (flat[None, :] * A + B) % _MERSENNE_31
+            mins = np.minimum.reduceat(M, starts, axis=1)
+            j = 0
+            for r in range(n):
+                if out[r] is None:
+                    out[r] = ",".join(
+                        str(int(mins[k, j])) for k in range(n_hashes)
+                    )
+                    j += 1
+        return pd.Series(out, dtype="object")
+
+    return kernel
+
+
 def md5_minhash_sig_key(
     text_col: Column,
     id_col: Column,

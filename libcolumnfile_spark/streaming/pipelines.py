@@ -169,19 +169,21 @@ def fuzzy_dedup_within_watermark(
     from pyspark.sql import functions as F
 
     from libcolumnfile_spark.operators.dedup import (
-        md5_minhash_sig_key_from_tokens,
+        md5_sig_key_kernel,
         minhash_tokens,
     )
 
-    # tokens materialize in their own (stateless) projection so the
-    # signature's shingle lambdas see an attribute, not an inline
-    # split() that Catalyst would re-evaluate per shingle
+    # tokens materialize in Catalyst (codegen split), then the Arrow
+    # kernel computes md5 grams + affine minima batch-at-a-time — the
+    # interpreted-HOF Catalyst form was the throughput floor (~2 ms/doc,
+    # stream_probe 0.4k rows/s; kernel ~5x). Value-identical by pinned
+    # test; q_stream_dedup_fuzzy's oracle checks it end to end.
     keyed = (
         df.withColumn("__toks", minhash_tokens(F.col(text_col)))
         .withColumn(
             "sig_key",
-            md5_minhash_sig_key_from_tokens(
-                F.col("__toks"), F.col(id_col), n_hashes, shingle_n, seed
+            md5_sig_key_kernel(n_hashes, shingle_n, seed)(
+                F.col("__toks"), F.col(id_col)
             ),
         )
         .drop("__toks")

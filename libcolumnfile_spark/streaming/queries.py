@@ -211,22 +211,21 @@ def q_stream_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from libcolumnfile_spark.operators.dedup import (
-        md5_minhash_sig_key_from_tokens,
+        md5_sig_key_kernel,
         minhash_tokens,
     )
     from libcolumnfile_spark.tables import spread
 
     # signature kernel is compute-heavy per row (md5 per gram): spread
     # the map stage to core width even when the scan plans few splits.
-    # Tokens materialize in their own projection first — the inline
-    # split() form re-tokenizes per shingle under lambda inlining.
+    # Tokens materialize in Catalyst; the Arrow kernel does md5 grams +
+    # affine minima batch-at-a-time (value-identical to the Catalyst
+    # expression — pinned by test; this oracle value-checks it too).
     d = spread(T(spark, sf_dir, "documents"))
     toks = d.select("doc_id", minhash_tokens(F.col("text")).alias("__toks"))
     keyed = toks.select(
         "doc_id",
-        md5_minhash_sig_key_from_tokens(
-            F.col("__toks"), F.col("doc_id")
-        ).alias("sig_key"),
+        md5_sig_key_kernel()(F.col("__toks"), F.col("doc_id")).alias("sig_key"),
     )
     return keyed.groupBy("sig_key").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")

@@ -533,6 +533,60 @@ def test_fuzzy_dedup_within_watermark(spark, tmp_path):
     assert batch.count() == 4
 
 
+def test_sig_key_kernel_equals_catalyst_expression(spark):
+    """The Arrow md5-signature kernel must produce the EXACT string the
+    Catalyst expression produces, row by row — including short docs,
+    null ids, null text, empty text, and unicode — so swapping it into
+    the streaming pipeline cannot move the oracle."""
+    from libcolumnfile_spark.operators.dedup import (
+        md5_minhash_sig_key_from_tokens,
+        md5_sig_key_kernel,
+        minhash_tokens,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "THE QUICK brown fox jumps over a sleepy dog"),
+        (4, "short doc"),
+        (None, "short doc"),
+        (None, "other short"),
+        (5, None),
+        (None, None),
+        (6, ""),
+        (7, "  padded   whitespace   tokens here now  "),
+        (8, "unicodé tokëns ünd ëdge cäses éèê mixed in"),
+        (9, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "__toks", minhash_tokens(F.col("text"))
+    )
+    both = df.select(
+        "doc_id",
+        md5_minhash_sig_key_from_tokens(F.col("__toks"), F.col("doc_id")).alias(
+            "cat"
+        ),
+        md5_sig_key_kernel()(F.col("__toks"), F.col("doc_id")).alias("ker"),
+    ).collect()
+    for r in both:
+        assert r["ker"] == r["cat"], (r["doc_id"], r["ker"], r["cat"])
+    # and over the real fixture, every row agrees
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").withColumn(
+        "__toks", minhash_tokens(F.col("text"))
+    )
+    diff = (
+        d.select(
+            md5_minhash_sig_key_from_tokens(
+                F.col("__toks"), F.col("doc_id")
+            ).alias("cat"),
+            md5_sig_key_kernel()(F.col("__toks"), F.col("doc_id")).alias("ker"),
+        )
+        .filter(~F.col("cat").eqNullSafe(F.col("ker")))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_fuzzy_dedup_null_id_short_docs_never_merge_distinct_text(spark):
     """Short docs with NULL ids must not all collapse into one NULL
     sig_key survivor: distinct texts pass through; identical texts (a

@@ -101,6 +101,33 @@ def main() -> int:
             "ts", F.timestamp_seconds(F.col("doc_id") % 3600 + 1_700_000_000)
         )
 
+    # fuzzy dedup gets a second, x10-corpus run: at sf0.1's 312-doc
+    # micro-batches, the per-batch scheduling floor (~0.6 s — measured
+    # on exact dedup, whose map work is trivial) bounds ANY signature
+    # kernel to ~550 rows/s. 3,125-doc batches amortize the floor and
+    # expose the actual per-row cost the kernel sets (each micro-batch
+    # is ONE file = one map task, so the signature runs single-core —
+    # the worst case; production batches span many files/partitions).
+    from tools.scale_probe import ensure_scaled
+
+    docs10 = load_table(spark, ensure_scaled(spark, 10), "documents")
+    doc10_src = f"{work}/docs10_src"
+    n_docs10 = _sliced_source(
+        docs10.select("doc_id", "text", "lang", "source", "n_chars"),
+        doc10_src,
+        n_batches,
+    )
+
+    def doc10_stream():
+        s = (
+            spark.readStream.schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(doc10_src)
+        )
+        return s.withColumn(
+            "ts", F.timestamp_seconds(F.col("doc_id") % 3600 + 1_700_000_000)
+        )
+
     probes = [
         ("tumbling_counts", n_events, lambda: _drain_complete(
             P.tumbling_counts(ev_stream()), f"{work}/ck_tumbling")),
@@ -108,6 +135,8 @@ def main() -> int:
             P.dedup_within_watermark(ev_stream()), f"{work}/ck_d")),
         ("fuzzy_dedup_within_watermark", n_docs, lambda: _drain(
             P.fuzzy_dedup_within_watermark(doc_stream()), f"{work}/ck_f")),
+        ("fuzzy_dedup_within_watermark_x10", n_docs10, lambda: _drain(
+            P.fuzzy_dedup_within_watermark(doc10_stream()), f"{work}/ck_f10")),
         ("stateful_running_totals", n_events, lambda: _drain_complete(
             P.running_totals_stateful(ev_stream()), f"{work}/ck_s")),
     ]
