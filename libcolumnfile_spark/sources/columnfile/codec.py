@@ -28,6 +28,8 @@ from __future__ import annotations
 import lzma
 import zlib
 
+import numpy as np
+
 try:
     import pyarrow as _pa
 
@@ -387,6 +389,165 @@ def decode_runs(buf: bytes) -> list[tuple[bytes | None, int]]:
 
 def run_count(runs: list[tuple[bytes | None, int]]) -> int:
     return sum(r for _, r in runs)
+
+
+def decode_var_fast(buf: bytes):
+    """Vectorized decode of a variable-width column buffer whose every
+    run is ``varint(repeat<0x80) varint(0) varint(len<0x80) value[len]``
+    — the layout our writer emits for non-null string/binary columns
+    with short cells (no prefix coding, single-byte varints). Returns
+    ``(data_bytes, offsets_int64, reps_int64)`` or None when the buffer
+    doesn't match — caller falls back to decode_var_runs_arrays.
+
+    Strategy: hop the run chain with a 2-ops-per-run Python loop
+    (``p += 3 + buf[p+2]``), then validate EVERY recovered boundary in
+    numpy. The validation makes the speculation exact, not heuristic:
+    if at every boundary B the three header bytes satisfy a[B] < 0x80
+    (single-byte repeat), a[B+1] == 0 (reserved), a[B+2] < 0x80
+    (single-byte literal length — also excludes the 0xC0 control range
+    and 0xFF NULL), and the chain terminates at exactly len(buf), then
+    by induction the sequential parser would take precisely these
+    boundaries and produce the same runs — so there is no input this
+    path accepts with a different result than decode_runs. Any NULL,
+    prefix-coded run, or multi-byte varint fails a check and falls back.
+    """
+    n = len(buf)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    from array import array
+
+    starts = array("q")
+    sa = starts.append
+    p = 0
+    try:
+        while p < n:
+            sa(p)
+            p += 3 + buf[p + 2]
+    except IndexError:
+        return None
+    if p != n:
+        return None
+    B = np.frombuffer(starts, dtype=np.int64)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    h0, h2 = a[B], a[B + 2]
+    if not (
+        bool((h0 < 0x80).all())
+        and bool((a[B + 1] == 0).all())
+        and bool((h2 < 0x80).all())
+    ):
+        return None
+    reps = h0.astype(np.int64)
+    if int(reps.sum()) > MAX_ROWS_PER_COLUMN_SEGMENT:
+        raise ColumnFileFormatError("corrupt input: implausible repeat count")
+    lens = h2.astype(np.int64)
+    offsets = np.zeros(len(B) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    # ragged gather: every value byte's source position, one fancy index
+    idx = np.repeat(B + 3, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    )
+    data = a[idx].tobytes()
+    return data, offsets, reps
+
+
+def decode_var_runs_arrays(buf: bytes):
+    """One-pass parse of a variable-width (string/binary) column buffer
+    into COLUMNAR run arrays, ready to wrap as Arrow buffers:
+
+        (data, ends, reps, nulls)
+
+    - ``data``: bytearray of every non-null run value, concatenated
+    - ``ends``: array('q'), cumulative end offset of run i's value in
+      ``data`` (a null run repeats the previous end -> zero length)
+    - ``reps``: array('q'), run repeat counts
+    - ``nulls``: array('b'), 1 where run i is a NULL run
+
+    Same grammar as decode_runs (reference FieldReader::Fill,
+    src/columnfile-reader.cc:573-614) including prefix-coded runs and
+    multi-byte varints — but it never materializes a per-run Python
+    tuple or bytes object for the common literal case (values are
+    copied buffer-to-buffer), which is where decode_runs +
+    decode_runs_to_arrow spent ~80%% of the 11-column lineitem decode
+    (profiled: 4 full generator passes over 600k run tuples). Prefix
+    reconstruction reads the previous value back out of ``data``.
+    """
+    from array import array
+
+    data = bytearray()
+    ends = array("q")
+    reps = array("q")
+    nulls = array("b")
+    pos = 0
+    n = len(buf)
+    total_rows = 0
+    prev_off = 0  # previous non-null value's [prev_off, end) within data
+    end = 0
+    mv = memoryview(buf)
+    try:
+        while pos < n:
+            b = buf[pos]
+            if b < 0x80:
+                repeat = b
+                pos += 1
+            else:
+                repeat, pos = get_uint(buf, pos)
+            b = buf[pos]
+            if b == 0:
+                pos += 1
+            else:
+                reserved, pos = get_uint(buf, pos)
+                if reserved != 0:
+                    raise ColumnFileFormatError(
+                        "incompatible format: reserved value not zero"
+                    )
+            total_rows += repeat
+            if total_rows > MAX_ROWS_PER_COLUMN_SEGMENT:
+                raise ColumnFileFormatError(
+                    "corrupt input: implausible repeat count"
+                )
+            if pos >= n:
+                raise ColumnFileFormatError("corrupt input: truncated run")
+            b0 = buf[pos]
+            if (b0 & 0xC0) == 0xC0:
+                pos += 1
+                if b0 == CODE_NULL:
+                    reps.append(repeat)
+                    nulls.append(1)
+                    ends.append(end)
+                    continue
+                shared_prefix = (b0 & 0x3F) + 2
+                suffix_length, pos = get_uint(buf, pos)
+                if shared_prefix > end - prev_off:
+                    raise ColumnFileFormatError(
+                        "corrupt input: shared prefix longer than previous value"
+                    )
+                if pos + suffix_length > n:
+                    raise ColumnFileFormatError("corrupt input: truncated value")
+                new_off = end
+                data += data[prev_off : prev_off + shared_prefix]
+                data += mv[pos : pos + suffix_length]
+                pos += suffix_length
+                prev_off = new_off
+                end = len(data)
+            else:
+                if b0 < 0x80:
+                    size = b0
+                    pos += 1
+                else:
+                    size, pos = get_uint(buf, pos)
+                if pos + size > n:
+                    raise ColumnFileFormatError("corrupt input: truncated value")
+                prev_off = end
+                data += mv[pos : pos + size]
+                end = len(data)
+                pos += size
+            reps.append(repeat)
+            nulls.append(0)
+            ends.append(end)
+    except IndexError:
+        raise ColumnFileFormatError("corrupt input: truncated varint") from None
+    return data, ends, reps, nulls
 
 
 def decode_fixed_fast(buf: bytes, width: int):
