@@ -646,6 +646,138 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(d)
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 25,
+) -> DataFrame:
+    """Okapi BM25 retrieval for a bag-of-words query (Robertson et al.;
+    idf in Lucene's non-negative form ln(1 + (N - df + 0.5)/(df + 0.5))).
+    Returns the top-``topk`` documents by score (ties by doc_id).
+
+    Plan shape — deliberately NOT the textbook explode/inverted-index
+    pipeline: the query is a handful of terms, so per-(doc, term) tf is
+    a row-local HOF count (size(filter(toks, = t)) per term) and the
+    whole scoring pass is map-side. The only aggregates are ONE 1-row
+    corpus-stats agg (N, avgdl, df per term — integer sums, so partial
+    aggregation is EXACT and engine-order-independent) broadcast back
+    via cross join, and the final TakeOrdered top-k. Zero doc- or
+    token-keyed shuffles; at 100 TB this is one scan + a k-row sort.
+    The ln() ulp + 5-term sum spread sit far inside round(6) (the
+    q_lm_perplexity precedent), and the top-k orders by the ROUNDED
+    score, so both engines cut the same set. A persisted-index variant
+    would serve repeated queries from q_inverted_index's postings
+    instead; this is the one-shot scan form.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+
+    def _eq(term: str):
+        # single-arg closure: pyspark dispatches on lambda ARITY, and a
+        # two-param `lambda x, t=t` reads as the (element, index) form —
+        # the index then silently overrides the default (the dedup.py
+        # _hash_params precedent)
+        return lambda x: x == F.lit(term)
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    raw = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        term = (idf * tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        raw = term if raw is None else raw + term
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", raw.alias("raw"))
+        .filter(F.col("raw") > 0)
+        .select("doc_id", F.round(F.col("raw"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(topk)
+
+
+_BM25_TERMS = ("hash", "join", "vector", "column", "filter")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 25
+
+
+def _bm25_oracle(
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    topk: int = _BM25_TOPK,
+) -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    # identical left-to-right term order as the Spark expression: the
+    # fold order matches, so the float sum is bit-comparable pre-round
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)) "
+        f"/ (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"p AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t), "
+        "g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, "
+        f"{df_cols} FROM p), "
+        f"s AS (SELECT doc_id, ({score}) AS raw FROM p CROSS JOIN g) "
+        "SELECT doc_id, round(raw, 6) AS bm25 FROM s WHERE raw > 0 "
+        f"ORDER BY round(raw, 6) DESC, doc_id LIMIT {topk}"
+    )
+
+
+@query(
+    "q_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc=(
+        "Okapi BM25 top-25 retrieval for a 5-term query over documents "
+        "(Lucene idf form). Map-side scoring: per-term tf is a row-local "
+        "HOF count, corpus stats (N, avgdl, per-term df) are one exact "
+        "1-row integer agg broadcast back, top-k is TakeOrdered — zero "
+        "doc/token-keyed shuffles."
+    ),
+    tags=("text", "similarity", "llm-pipeline"),
+)
+def q_bm25_topk(spark, sf_dir):
+    d = _spread(T(spark, sf_dir, "documents"))
+    return bm25_topk(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK)
+
+
 @query(
     "q_quality_filter",
     # percent_rank is (rank-1)/(n-1) on both engines; the (quality,
