@@ -723,6 +723,83 @@ def bm25_topk(
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(topk)
 
 
+def chunk_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the context-window
+    preparation step of a training/RAG pipeline: each document emits
+    chunks of ``window`` tokens starting every ``stride`` tokens
+    (overlap = window - stride keeps boundary-straddling content intact;
+    the final chunk is the <= window-token tail). Complements
+    pack_sequences (packs whole docs into budgets) and passage_dedup
+    (disjoint chunks for dedup).
+
+    Pure per-row fan-out: sequence(0, n-1, stride) -> posexplode ->
+    slice/join — no shuffle anywhere; output size is rows x ~n/stride.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= 1)
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("__n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size("toks") - 1, F.lit(stride)
+                ),
+                lambda s: F.array_join(F.slice(F.col("toks"), s + 1, window), " "),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(
+            F.lit(window).cast("bigint"),
+            (F.col("__n") - F.col("chunk_id") * stride).cast("bigint"),
+        ).alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+_CHUNK_WINDOW, _CHUNK_STRIDE = 32, 24
+
+
+def _chunk_overlap_oracle(window: int = _CHUNK_WINDOW, stride: int = _CHUNK_STRIDE) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "s AS (SELECT doc_id, toks, len(toks) AS n, "
+        f"unnest(generate_series(0, len(toks) - 1, {stride})) AS start "
+        "FROM t WHERE len(toks) >= 1) "
+        f"SELECT doc_id, CAST(start / {stride} AS BIGINT) AS chunk_id, "
+        f"CAST(least({window}, n - start) AS BIGINT) AS n_chunk_tokens, "
+        f"array_to_string(toks[start + 1 : start + {window}], ' ') AS chunk_text "
+        "FROM s"
+    )
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=_chunk_overlap_oracle(),
+    doc=(
+        "Sliding-window token chunking with overlap (32-token windows, "
+        "stride 24): the context-window prep step for training/RAG "
+        "pipelines. Pure per-row fan-out — sequence/posexplode/slice, "
+        "zero shuffles."
+    ),
+    tags=("text", "pipeline", "llm-pipeline"),
+)
+def q_chunk_overlap(spark, sf_dir):
+    d = _spread(T(spark, sf_dir, "documents"))
+    return chunk_overlap(d, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+
+
 _BM25_TERMS = ("hash", "join", "vector", "column", "filter")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 25
 

@@ -267,3 +267,32 @@ def test_tune_dop_adopts_user_conf_change_and_restore_helper(spark):
         Q._DOP_BASE.pop(spark, None)
         spark.conf.set("spark.sql.shuffle.partitions", orig_w)
         spark.conf.set("spark.sql.adaptive.enabled", orig_a)
+
+
+def test_bm25_plan_is_map_side_takeordered(spark):
+    """q_bm25_topk's contract plan: TakeOrderedAndProject top-k, ONE
+    shuffle (the 1-row corpus-stats partial/final agg), stats broadcast
+    back — no doc- or token-keyed exchange anywhere."""
+    plan = plan_of(spark, "q_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # the 1-row stats cross join
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") <= 1, plan[:2000]
+
+
+def test_dedup_ngram_keys_persisted_once(spark):
+    """The anchored keys stage (md5 per gram) is persisted so the
+    self-join reads it from cache on both sides instead of paying the
+    map work twice."""
+    plan = plan_of(spark, "q_dedup_ngram")
+    assert "InMemoryTableScan" in plan
+
+
+def test_sim_pairs_auto_uses_batched_kernel_at_bench_sf(spark):
+    """At sf0.1 the adaptive SRP path must dispatch the scoring kernel
+    via mapInPandas over key-sorted partitions (one Python call per
+    Arrow batch), NOT per-group applyInPandas (FlatMapGroupsInPandas) —
+    the round-5 x100 drift root cause."""
+    df = REGISTRY["q_sim_pairs_auto"].spark_fn(spark, "/root/testdata/sf0.1")
+    plan = plans.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -113,6 +113,8 @@ CONTRACTS = {
     # round-6 operators (measured 2026-08-15)
     "q_bm25_topk": (1.2, 3.0),       # map-side scoring + 1-row exact stats
                                      # agg + TakeOrdered; x100 probe 2.8 s
+    "q_chunk_overlap": (1.2, 3.0),   # pure per-row fan-out, zero shuffles;
+                                     # t1=0.19s, output ~n/stride chunks/doc
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
