@@ -547,12 +547,19 @@ class ColumnFileArrowWriter(DataSourceArrowWriter):
                         if vfast is not None:
                             encoded, _n = vfast
                             writer.put_raw_runs(i, encoded)
+                            # null COUNT must reach the stats sidecar —
+                            # IsNull/IsNotNull segment pruning reads it
+                            cs.nulls += leaf_arrays[i].null_count
                             if pa.types.is_string(leaf_arrays[i].type):
                                 import pyarrow.compute as pc
 
                                 mm = pc.min_max(leaf_arrays[i])
-                                cs.update(mm["min"].as_py())
-                                cs.update(mm["max"].as_py())
+                                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                                # all-null slice: min/max are None, and
+                                # update(None) would double-count nulls
+                                if mn is not None:
+                                    cs.update(mn)
+                                    cs.update(mx)
                             continue
                         for v in leaf_arrays[i].to_pylist():
                             if v is None:

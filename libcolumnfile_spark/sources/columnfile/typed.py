@@ -608,19 +608,21 @@ def encode_fixed_fast(arr: pa.Array, dt: DataType):
 
 
 def encode_var_fast(arr: pa.Array, dt: DataType):
-    """Vectorized run-encode of a non-null string/binary Arrow array:
-    each cell emits ``varint(1) varint(0) varint(len) bytes`` with repeat
-    fixed at 1 — no RLE/prefix attempted (block compression recovers
-    cross-cell redundancy; the encoding is still fully legal format).
-    Length varints up to 3 bytes (values < 1 MiB) are emitted with
-    masked scatter writes; everything is numpy scatter/gather over the
-    Arrow offsets — no per-cell Python.
+    """Vectorized run-encode of a string/binary Arrow array: each cell
+    emits ``varint(1) varint(0) varint(len) bytes`` with repeat fixed at
+    1 — no RLE/prefix attempted (block compression recovers cross-cell
+    redundancy; the encoding is still fully legal format). NULL cells
+    emit the 3-byte NULL run ``varint(1) varint(0) 0xFF``. Length
+    varints up to 3 bytes (values < 1 MiB) are emitted with masked
+    scatter writes; everything is numpy scatter/gather over the Arrow
+    offsets — no per-cell Python.
 
-    Returns (encoded_bytes, n_values) or None on nulls / >=1 MiB values /
-    non-var types (caller falls back to the per-cell RunEncoder).
+    Returns (encoded_bytes, n_values) or None on >=1 MiB values /
+    non-var types / null slots with nonzero offset extents (caller
+    falls back to the per-cell RunEncoder).
     """
     kind = _kind_of(dt)
-    if kind not in ("string", "binary") or arr.null_count or len(arr) == 0:
+    if kind not in ("string", "binary") or len(arr) == 0:
         return None
     a = arr.cast(pa.binary()) if kind == "string" else arr
     combined = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
@@ -628,15 +630,27 @@ def encode_var_fast(arr: pa.Array, dt: DataType):
     # binary layout: [validity, int32 offsets, data]
     offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(combined) + 1,
                             offset=combined.offset * 4)
-    valbuf = np.frombuffer(bufs[2], dtype=np.uint8)
+    valbuf = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, dtype=np.uint8)
     lens = np.diff(offsets).astype(np.int64)
     if lens.size == 0 or lens.max(initial=0) >= (1 << 20):
         return None
     n = len(lens)
+    nulls = None
+    if combined.null_count:
+        import pyarrow.compute as pc
+
+        nulls = np.asarray(pc.is_null(combined))
+        # Arrow permits null slots with nonzero offset extents; the
+        # in-order data copy below assumes every emitted byte is a kept
+        # byte, so bail to the per-cell encoder for that (rare) shape
+        if lens[nulls].any():
+            return None
     # 6+7-bit varint length: 1 byte < 2^7, 2 bytes < 2^13, 3 bytes < 2^20
     vlen = np.ones(n, dtype=np.int64)
     vlen[lens >= (1 << 7)] = 2
     vlen[lens >= (1 << 13)] = 3
+    if nulls is not None:
+        vlen[nulls] = 1  # the 0xFF NULL control byte, no length/value
     strides = 2 + vlen + lens
     dst_starts = np.concatenate(([0], np.cumsum(strides)[:-1]))
     total = int(strides.sum())
@@ -665,5 +679,7 @@ def encode_var_fast(arr: pa.Array, dt: DataType):
         out[dst_starts[m3] + 4] = lens[m3] >> 13
         hdr[dst_starts[m3] + 3] = True
         hdr[dst_starts[m3] + 4] = True
+    if nulls is not None:
+        out[dst_starts[nulls] + 2] = 0xFF  # CODE_NULL control byte
     out[~hdr] = valbuf[offsets[0] : offsets[-1]]
     return out.tobytes(), n

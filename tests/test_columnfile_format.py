@@ -416,14 +416,65 @@ class TestEncodeVarFastProperty:
         assert n == len(vals)
         assert decode_buf_to_arrow(enc, BinaryType()).to_pylist() == vals
 
-    def test_null_and_oversize_fall_back(self):
+    def test_oversize_falls_back(self):
         import pyarrow as pa
 
         from libcolumnfile_spark.sources.columnfile.typed import encode_var_fast
         from pyspark.sql.types import StringType
 
-        assert encode_var_fast(pa.array(["a", None]), StringType()) is None
         assert encode_var_fast(pa.array(["b" * (1 << 20)]), StringType()) is None
+
+    def test_nullable_strings_roundtrip_fast(self):
+        """Nullable string/binary arrays take the vectorized path too
+        (round-6): nulls emit the 3-byte NULL run, and the sequential
+        decoder and the writer's per-cell encoder agree byte-for-byte on
+        semantics (values AND null positions)."""
+        import pyarrow as pa
+
+        from libcolumnfile_spark.sources.columnfile.typed import (
+            decode_buf_to_arrow,
+            encode_var_fast,
+        )
+        from pyspark.sql.types import BinaryType, StringType
+
+        vals = [None, "a", "", None, None, "x" * 129, "tail", None]
+        enc, n = encode_var_fast(pa.array(vals, type=pa.string()), StringType())
+        assert n == len(vals)
+        assert decode_buf_to_arrow(enc, StringType()).to_pylist() == vals
+        bvals = [b"bin", None, b"", b"y" * 8192, None]
+        enc, n = encode_var_fast(pa.array(bvals, type=pa.binary()), BinaryType())
+        assert decode_buf_to_arrow(enc, BinaryType()).to_pylist() == bvals
+        # all-null arrays too
+        allnull = [None, None, None]
+        enc, n = encode_var_fast(pa.array(allnull, type=pa.string()), StringType())
+        assert decode_buf_to_arrow(enc, StringType()).to_pylist() == allnull
+
+    def test_hypothesis_nullable_string_roundtrip(self):
+        import pyarrow as pa
+        from hypothesis import given, settings, strategies as st
+
+        from libcolumnfile_spark.sources.columnfile.typed import (
+            decode_buf_to_arrow,
+            encode_var_fast,
+        )
+        from pyspark.sql.types import StringType
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.none() | st.text(max_size=200) | st.text(min_size=120, max_size=140),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def check(vals):
+            arr = pa.array(vals, type=pa.string())
+            got = encode_var_fast(arr, StringType())
+            assert got is not None
+            back = decode_buf_to_arrow(got[0], StringType())
+            assert back.to_pylist() == vals
+
+        check()
 
 
 class TestGoldenBytes:
