@@ -1381,6 +1381,15 @@ def md5_sig_key_kernel(n_hashes: int = 4, shingle_n: int = 3, seed: int = 42):
 
     Map-side only; streaming-safe (stateless projection ahead of
     dropDuplicatesWithinWatermark).
+
+    The id argument must be passed PRE-CAST to string in Catalyst
+    (callers pass ``id_col.cast("string")``): Arrow int64-with-null
+    batches convert to pandas float64, so a numeric id whose batch
+    happens to contain a NULL id would otherwise format as "4.0" vs the
+    Catalyst expression's "4" — a partitioning-dependent key divergence
+    (and a precision loss past 2^53). Delegating the cast to Spark
+    makes the kernel's string identical to the expression's by
+    construction.
     """
     import hashlib
 
@@ -1390,25 +1399,20 @@ def md5_sig_key_kernel(n_hashes: int = 4, shingle_n: int = 3, seed: int = 42):
     n1 = shingle_n - 1
 
     @F.pandas_udf("string")
-    def kernel(toks: pd.Series, ids: pd.Series) -> pd.Series:
+    def kernel(toks: pd.Series, id_strs: pd.Series) -> pd.Series:
         n = len(toks)
         out: list = [None] * n
         hash_rows: list = []
         for r in range(n):
             t = toks.iloc[r]
             if t is None or len(t) < shingle_n:
-                idv = ids.iloc[r]
-                if idv is None or pd.isna(idv):
+                sid = id_strs.iloc[r]
+                if sid is None or pd.isna(sid):
                     joined = " ".join(t) if t is not None else ""
                     out[r] = (
                         "short:~" + hashlib.md5(joined.encode("utf-8")).hexdigest()
                     )
                 else:
-                    sid = (
-                        str(int(idv))
-                        if isinstance(idv, (int, np.integer))
-                        else str(idv)
-                    )
                     out[r] = "short:" + sid
                 continue
             m = len(t) - n1

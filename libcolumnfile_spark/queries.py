@@ -172,15 +172,30 @@ def _tune_dop(spark: SparkSession, sf_dir: str, keep_adaptive: bool = False) -> 
     except Exception:
         return
     st = _DOP_BASE.get(spark)
-    if st is None or (cur, cur_aqe) != st["last_set"]:
-        # first tuning, or the conf changed under us since the last
-        # tuning (a user/test spark.conf.set) — the LIVE values are the
-        # intended base, not whatever was captured at first call
+    if st is None:
         try:
             st = {"base": (int(cur), cur_aqe), "last_set": (cur, cur_aqe)}
         except ValueError:
             return
         _DOP_BASE[spark] = st
+    else:
+        # a conf changed under us since the last tuning (a user/test
+        # spark.conf.set): the LIVE value is the intended base for THAT
+        # field. Adoption is PER FIELD — when only AQE changed, the
+        # width still reading our own micro-input tuning must NOT be
+        # adopted as the user base (that would clamp every later query,
+        # including x10/x100 inputs, to the stale tuned width; and
+        # symmetrically a user width change must not pin our aqe=false)
+        base_w, base_a = st["base"]
+        last_w, last_a = st["last_set"]
+        if cur != last_w:
+            try:
+                base_w = int(cur)
+            except ValueError:
+                return
+        if cur_aqe != last_a:
+            base_a = cur_aqe
+        st["base"] = (base_w, base_a)
     base, base_aqe = st["base"]
     try:
         total = 0

@@ -82,16 +82,27 @@ def resolve_cas_urn(path: str) -> str:
 def cas_put(data: bytes) -> str:
     """Store ``data`` in the CAS root under its sha1 hex digest
     (content-addressed: identical bytes share one object) and return the
-    ``urn:ca-cas-table:<key>`` handle the reference tools accept."""
+    ``urn:ca-cas-table:<key>`` handle the reference tools accept.
+
+    Writes are immutable-complete: an existing object is never touched
+    (same key = same bytes by construction — re-truncating it would
+    corrupt concurrent readers, and same-key races are the NORM in a
+    CAS), and a new object lands via write-to-temp + rename so a crash
+    mid-write can never leave partial bytes under a valid key."""
     import hashlib
+    import uuid as _uuid
 
     key = hashlib.sha1(data).hexdigest()
     dest = fs_join(_cas_root(), key)
+    if fs_exists(dest):
+        return CAS_URN_PREFIX + key
     parent = fs_dirname(dest)
     if parent:
         fs_makedirs(parent)
-    with fs_open_output(dest) as f:
+    tmp = dest + ".tmp-" + _uuid.uuid4().hex[:12]
+    with fs_open_output(tmp) as f:
         f.write(data)
+    fs_rename(tmp, dest)
     return CAS_URN_PREFIX + key
 
 
@@ -286,6 +297,22 @@ def fs_remove(path: str) -> None:
         return
     fs, inner = _arrow_fs(path)
     fs.delete_file(inner)
+
+
+def fs_rename(src: str, dest: str) -> None:
+    """Rename/move a file, replacing ``dest`` if present (atomic on
+    POSIX local paths; arrow filesystems use move, whose atomicity is
+    backend-defined — object stores copy+delete, which is still safe
+    for the CAS usage because same-key bytes are identical)."""
+    src = resolve_cas_urn(src)
+    dest = resolve_cas_urn(dest)
+    s = _scheme(src)
+    if s in ("", "file", "mock") and _scheme(dest) in ("", "file", "mock"):
+        os.replace(_as_local(src), _as_local(dest))
+        return
+    fs, inner_src = _arrow_fs(src)
+    _fs2, inner_dest = _arrow_fs(dest)
+    fs.move(inner_src, inner_dest)
 
 
 def fs_read_text(path: str) -> str:

@@ -183,7 +183,7 @@ def fuzzy_dedup_within_watermark(
         .withColumn(
             "sig_key",
             md5_sig_key_kernel(n_hashes, shingle_n, seed)(
-                F.col("__toks"), F.col(id_col)
+                F.col("__toks"), F.col(id_col).cast("string")
             ),
         )
         .drop("__toks")

@@ -225,7 +225,9 @@ def q_stream_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", minhash_tokens(F.col("text")).alias("__toks"))
     keyed = toks.select(
         "doc_id",
-        md5_sig_key_kernel()(F.col("__toks"), F.col("doc_id")).alias("sig_key"),
+        md5_sig_key_kernel()(
+            F.col("__toks"), F.col("doc_id").cast("string")
+        ).alias("sig_key"),
     )
     return keyed.groupBy("sig_key").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")

@@ -260,8 +260,18 @@ def test_tune_dop_adopts_user_conf_change_and_restore_helper(spark):
         Q._tune_dop(spark, SF)
         assert Q._DOP_BASE[spark]["base"] == (7, "true")
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 7
+        # PARTIAL user change: changing only the width must adopt the new
+        # width base while the AQE base stays the user's "true" — NOT the
+        # tuner's own micro-input aqe=false (which would pin AQE off for
+        # every later query; symmetric for a stale tuned width). Note a
+        # user write that coincides with the tuner's last-set value is
+        # indistinguishable from the tuner's own write and harmlessly
+        # not adopted.
+        spark.conf.set("spark.sql.shuffle.partitions", "9")
+        Q._tune_dop(spark, SF)
+        assert Q._DOP_BASE[spark]["base"] == (9, "true")
         Q.restore_session_conf(spark)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
         Q._DOP_BASE.pop(spark, None)

@@ -558,15 +558,22 @@ def test_sig_key_kernel_equals_catalyst_expression(spark):
         (8, "unicodé tokëns ünd ëdge cäses éèê mixed in"),
         (9, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
     ]
-    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
-        "__toks", minhash_tokens(F.col("text"))
+    # coalesce(1): null and non-null short-doc ids MUST share one Arrow
+    # batch — int64-with-null batches convert to pandas float64, the
+    # exact divergence class the string-cast contract guards against
+    df = (
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        .coalesce(1)
+        .withColumn("__toks", minhash_tokens(F.col("text")))
     )
     both = df.select(
         "doc_id",
         md5_minhash_sig_key_from_tokens(F.col("__toks"), F.col("doc_id")).alias(
             "cat"
         ),
-        md5_sig_key_kernel()(F.col("__toks"), F.col("doc_id")).alias("ker"),
+        md5_sig_key_kernel()(
+            F.col("__toks"), F.col("doc_id").cast("string")
+        ).alias("ker"),
     ).collect()
     for r in both:
         assert r["ker"] == r["cat"], (r["doc_id"], r["ker"], r["cat"])
@@ -579,7 +586,9 @@ def test_sig_key_kernel_equals_catalyst_expression(spark):
             md5_minhash_sig_key_from_tokens(
                 F.col("__toks"), F.col("doc_id")
             ).alias("cat"),
-            md5_sig_key_kernel()(F.col("__toks"), F.col("doc_id")).alias("ker"),
+            md5_sig_key_kernel()(
+                F.col("__toks"), F.col("doc_id").cast("string")
+            ).alias("ker"),
         )
         .filter(~F.col("cat").eqNullSafe(F.col("ker")))
         .count()
