@@ -692,3 +692,102 @@ class TestGoldenFuzz:
                 mutated = bytearray(blob)
                 mutated[pos] ^= bit
                 self._parse(bytes(mutated))  # must not crash/hang
+
+
+class TestVarFastDifferential:
+    """The speculative string-run parser (codec.decode_var_fast) claims
+    EXACT equivalence with the sequential parser on every buffer it
+    accepts (the induction argument in its docstring). These property
+    tests check the claim from both directions: real encoder output and
+    arbitrary bytes."""
+
+    @staticmethod
+    def _fast_runs(buf):
+        from libcolumnfile_spark.sources.columnfile.codec import decode_var_fast
+
+        got = decode_var_fast(buf)
+        if got is None:
+            return None
+        data, offsets, reps = got
+        return [
+            (bytes(data[offsets[i] : offsets[i + 1]]), int(reps[i]))
+            for i in range(len(reps))
+        ]
+
+    def test_encoder_output_agrees(self):
+        from hypothesis import given, settings, strategies as st
+
+        from libcolumnfile_spark.sources.columnfile.codec import (
+            RunEncoder,
+            decode_runs,
+        )
+
+        run = st.one_of(
+            st.none(),
+            st.binary(max_size=40),
+            st.binary(min_size=125, max_size=132),  # varint tier edge
+        )
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(st.tuples(run, st.integers(1, 200)), min_size=1, max_size=25))
+        def check(spec):
+            enc = RunEncoder()
+            for value, repeat in spec:
+                for _ in range(repeat):
+                    enc.put_null() if value is None else enc.put(value)
+            enc.flush_run()
+            buf = bytes(enc.data)
+            fast = self._fast_runs(buf)
+            slow = decode_runs(buf)
+            if fast is not None:
+                assert fast == slow  # acceptance implies exact agreement
+            # declining is always allowed (NULLs, prefix-coded runs,
+            # multi-byte varints) — the sequential parser is the
+            # authoritative fallback; test_simple_buffers_accepted pins
+            # that the fast path doesn't silently die on plain input
+
+        check()
+
+    def test_simple_buffers_accepted(self):
+        """Distinct short values with no RLE benefit — the layout the
+        writer's fast var encoder emits — MUST take the fast path (a
+        silent always-decline would erase the 3x decode win unnoticed)."""
+        from libcolumnfile_spark.sources.columnfile.codec import RunEncoder
+
+        enc = RunEncoder()
+        # leading counter keeps consecutive shared prefixes <= 2 chars —
+        # RunEncoder prefix-codes only past 2, and a prefix-coded run
+        # rightly declines the fast path
+        for i in range(50):
+            enc.put(f"{i:02d}-value-{'x' * (i % 40)}".encode())
+        enc.flush_run()
+        fast = self._fast_runs(bytes(enc.data))
+        assert fast is not None and len(fast) == 50
+
+    def test_random_bytes_no_divergent_accept(self):
+        from hypothesis import given, settings, strategies as st
+
+        from libcolumnfile_spark.sources.columnfile.codec import (
+            ColumnFileFormatError,
+            decode_runs,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=300))
+        def check(buf):
+            try:
+                fast = self._fast_runs(buf)
+            except ColumnFileFormatError:
+                # fast raised (implausible repeat total): sequential must
+                # reject this buffer too
+                try:
+                    decode_runs(buf)
+                except ColumnFileFormatError:
+                    return
+                raise AssertionError("fast raised where sequential accepted")
+            if fast is None:
+                return  # declined: sequential semantics are authoritative
+            slow = decode_runs(buf)  # must not raise if fast accepted
+            assert fast == slow
+
+        check()
