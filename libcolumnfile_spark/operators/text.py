@@ -1270,6 +1270,79 @@ _LM_ORACLE = (
 )
 
 
+def perplexity_split(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    documents ranked by unigram-LM perplexity WITHIN THEIR LANGUAGE and
+    cut into terciles — head (lowest NLL) is the Wikipedia-like slice,
+    tail the noisiest; pipelines train on head+middle or reweight by
+    split. Composes lm_nll_scores with a per-language ntile(3).
+
+    Scale note: ntile needs a per-language global rank, so parallelism
+    is bounded by language cardinality (the q_quality_filter precedent —
+    5 langs in the fixture). At corpus scale the standard variant is
+    approx per-lang NLL QUANTILE thresholds (two numbers per language,
+    one agg) + a map-side filter; the tercile semantics stay identical,
+    so this exact form remains the oracle-checkable anchor.
+    """
+    from pyspark.sql import Window
+
+    nll = lm_nll_scores(df, text_col, id_col)
+    langs = df.select(F.col(id_col), F.col("lang"))
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc(id_col))
+    labeled = (
+        nll.join(langs, id_col)
+        .withColumn("__t", F.ntile(3).over(w))
+        .select(
+            id_col,
+            "lang",
+            "avg_nll",
+            F.when(F.col("__t") == 1, F.lit("head"))
+            .when(F.col("__t") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("split"),
+        )
+    )
+    return labeled
+
+
+_PPL_SPLIT_ORACLE = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+    "'\\s+')) AS tok FROM documents), "
+    "t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+    "c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok), "
+    "g AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_tokens, "
+    "CAST(count(*) AS DOUBLE) AS vocab FROM c), "
+    "nll AS (SELECT doc_id, round(avg(-ln((c.cnt + 1.0) / (g.n_tokens + g.vocab))), 6) "
+    "AS avg_nll FROM t JOIN c USING (tok) CROSS JOIN g GROUP BY doc_id), "
+    "r AS (SELECT nll.doc_id, d.lang, avg_nll, "
+    "ntile(3) OVER (PARTITION BY d.lang ORDER BY avg_nll, nll.doc_id) AS t3 "
+    "FROM nll JOIN documents d ON nll.doc_id = d.doc_id) "
+    "SELECT doc_id, lang, avg_nll, "
+    "CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS split "
+    "FROM r"
+)
+
+
+@query(
+    "q_perplexity_split",
+    # ntile over (round(6) avg_nll, doc_id) is a total order, so the
+    # tercile assignment is deterministic in both engines
+    oracle=_PPL_SPLIT_ORACLE,
+    doc=(
+        "CCNet head/middle/tail split: per-language unigram-LM "
+        "perplexity terciles over documents (head = lowest NLL). "
+        "Composes the oracled LM scorer with one per-language ntile; "
+        "the at-scale variant swaps the rank for per-lang quantile "
+        "thresholds (see perplexity_split docstring)."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_perplexity_split(spark, sf_dir):
+    return perplexity_split(_spread(T(spark, sf_dir, "documents")))
+
+
 @query(
     "q_lm_perplexity",
     oracle=_LM_ORACLE,

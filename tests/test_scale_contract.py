@@ -115,6 +115,8 @@ CONTRACTS = {
                                      # agg + TakeOrdered; x100 probe 2.8 s
     "q_chunk_overlap": (1.2, 3.0),   # pure per-row fan-out, zero shuffles;
                                      # t1=0.19s, output ~n/stride chunks/doc
+    "q_perplexity_split": (1.9, 3.5),  # LM scorer + per-lang ntile (5 sorted
+                                     # runs — the q_quality_filter shape)
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
