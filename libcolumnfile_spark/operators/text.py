@@ -1271,29 +1271,58 @@ _LM_ORACLE = (
 
 
 def perplexity_split(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "ntile",
 ) -> DataFrame:
     """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
     documents ranked by unigram-LM perplexity WITHIN THEIR LANGUAGE and
     cut into terciles — head (lowest NLL) is the Wikipedia-like slice,
     tail the noisiest; pipelines train on head+middle or reweight by
-    split. Composes lm_nll_scores with a per-language ntile(3).
+    split. Composes lm_nll_scores with a per-language tercile cut.
 
-    Scale note: ntile needs a per-language global rank, so parallelism
-    is bounded by language cardinality (the q_quality_filter precedent —
-    5 langs in the fixture). At corpus scale the standard variant is
-    approx per-lang NLL QUANTILE thresholds (two numbers per language,
-    one agg) + a map-side filter; the tercile semantics stay identical,
-    so this exact form remains the oracle-checkable anchor.
+    Two methods, same semantics:
+    - ``"ntile"``: per-language ntile(3) — an exact per-language global
+      rank, so parallelism is bounded by language cardinality (the
+      q_quality_filter precedent). The oracle-checkable anchor.
+    - ``"quantile"``: the 100 TB path — per-language 1/3 and 2/3 NLL
+      percentiles (ONE aggregate emitting two numbers per language,
+      broadcast back) + a map-side CASE. No per-language sort ever
+      happens; parallelism stays at corpus width. Labels agree with
+      ntile everywhere except exact-boundary ties (ntile splits a tied
+      boundary value by rank; thresholds put all ties on one side) —
+      the differential test pins the agreement.
     """
     from pyspark.sql import Window
 
     nll = lm_nll_scores(df, text_col, id_col)
     langs = df.select(F.col(id_col), F.col("lang"))
+    scored = nll.join(langs, id_col)
+    if method == "quantile":
+        cuts = scored.groupBy("lang").agg(
+            F.expr(
+                "percentile(avg_nll, array(CAST(1.0/3.0 AS DOUBLE), "
+                "CAST(2.0/3.0 AS DOUBLE)))"
+            ).alias("__q")
+        )
+        return (
+            scored.join(F.broadcast(cuts), "lang")
+            .select(
+                id_col,
+                "lang",
+                "avg_nll",
+                F.when(F.col("avg_nll") <= F.col("__q")[0], F.lit("head"))
+                .when(F.col("avg_nll") <= F.col("__q")[1], F.lit("middle"))
+                .otherwise(F.lit("tail"))
+                .alias("split"),
+            )
+        )
+    if method != "ntile":
+        raise ValueError(f"unknown split method {method!r}")
     w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc(id_col))
     labeled = (
-        nll.join(langs, id_col)
-        .withColumn("__t", F.ntile(3).over(w))
+        scored.withColumn("__t", F.ntile(3).over(w))
         .select(
             id_col,
             "lang",

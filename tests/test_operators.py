@@ -249,6 +249,40 @@ class TestSimilarity:
 
 
 class TestText:
+    def test_perplexity_split_quantile_matches_ntile_anchor(self, spark):
+        """The 100 TB quantile-threshold split must agree with the
+        oracle-checked ntile anchor: identical monotone semantics (every
+        head NLL <= every middle NLL <= every tail NLL per language),
+        tercile sizes within interpolation slack, >=95% identical
+        labels (exact-boundary rows may differ by construction)."""
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        a = text.perplexity_split(docs, method="ntile").withColumnRenamed(
+            "split", "s_a"
+        )
+        b = text.perplexity_split(docs, method="quantile").withColumnRenamed(
+            "split", "s_b"
+        )
+        j = a.join(b.select("doc_id", "s_b"), "doc_id")
+        n = j.count()
+        agree = j.filter(F.col("s_a") == F.col("s_b")).count()
+        assert agree / n >= 0.95, f"label agreement {agree}/{n}"
+        # monotone consistency of the quantile labels per language
+        order = {"head": 0, "middle": 1, "tail": 2}
+        rows = b.collect()
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append((r["avg_nll"], order[r["s_b"]]))
+        for lang, vals in by_lang.items():
+            vals.sort()
+            labels = [t for _, t in vals]
+            assert labels == sorted(labels), f"{lang}: non-monotone split"
+            # tercile sizes within +-2 of n/3 (percentile interpolation)
+            from collections import Counter
+
+            c = Counter(labels)
+            third = len(labels) / 3.0
+            assert all(abs(c[t] - third) <= 2 for t in (0, 1, 2)), (lang, c)
+
     def test_token_count_and_stats(self, spark):
         df = spark.createDataFrame([(1, "a bb ccc"), (2, ""), (3, "   ")], ["doc_id", "text"])
         out = df.select("doc_id", text.token_count(F.col("text")).alias("n"))
