@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from libcolumnfile_spark.queries import query, T
+from libcolumnfile_spark.queries import pin, query, T
 from libcolumnfile_spark.tables import spread as _spread
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -1274,6 +1274,7 @@ def perplexity_split(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    lang_col: str = "lang",
     method: str = "ntile",
 ) -> DataFrame:
     """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
@@ -1282,32 +1283,53 @@ def perplexity_split(
     tail the noisiest; pipelines train on head+middle or reweight by
     split. Composes lm_nll_scores with a per-language tercile cut.
 
+    The output PARTITIONS the corpus: every input doc appears exactly
+    once. Unscorable docs (empty/whitespace-only text — zero tokens, no
+    NLL) go to ``tail`` with a NULL avg_nll, per CCNet's
+    noisiest-bucket routing; they never participate in the ranking.
+    NULL-language docs form their own language group in BOTH methods.
+
     Two methods, same semantics:
     - ``"ntile"``: per-language ntile(3) — an exact per-language global
       rank, so parallelism is bounded by language cardinality (the
       q_quality_filter precedent). The oracle-checkable anchor.
     - ``"quantile"``: the 100 TB path — per-language 1/3 and 2/3 NLL
-      percentiles (ONE aggregate emitting two numbers per language,
-      broadcast back) + a map-side CASE. No per-language sort ever
-      happens; parallelism stays at corpus width. Labels agree with
-      ntile everywhere except exact-boundary ties (ntile splits a tied
+      percentiles (one two-number-per-language aggregate, broadcast
+      back) + a map-side CASE over a PERSISTED score table (the scoring
+      DAG feeds both the cuts aggregate and the final labeling — pin it
+      or pay the LM pass twice). No per-language sort ever happens;
+      parallelism stays at corpus width. Labels agree with ntile
+      everywhere except exact-boundary ties (ntile splits a tied
       boundary value by rank; thresholds put all ties on one side) —
       the differential test pins the agreement.
     """
     from pyspark.sql import Window
 
     nll = lm_nll_scores(df, text_col, id_col)
-    langs = df.select(F.col(id_col), F.col("lang"))
-    scored = nll.join(langs, id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    scored = langs.join(nll, id_col, "left")
+    unscorable = scored.filter(F.col("avg_nll").isNull()).select(
+        id_col,
+        "lang",
+        F.col("avg_nll"),
+        F.lit("tail").alias("split"),
+    )
+    scored = scored.filter(F.col("avg_nll").isNotNull())
     if method == "quantile":
+        scored = pin(scored)
         cuts = scored.groupBy("lang").agg(
             F.expr(
                 "percentile(avg_nll, array(CAST(1.0/3.0 AS DOUBLE), "
                 "CAST(2.0/3.0 AS DOUBLE)))"
             ).alias("__q")
-        )
-        return (
-            scored.join(F.broadcast(cuts), "lang")
+        ).withColumnRenamed("lang", "__clang")
+        labeled = (
+            # eqNullSafe: a NULL-language group must find its own cuts
+            # row (a plain equi-join drops NULL keys silently)
+            scored.join(
+                F.broadcast(cuts),
+                F.col("lang").eqNullSafe(F.col("__clang")),
+            )
             .select(
                 id_col,
                 "lang",
@@ -1318,6 +1340,7 @@ def perplexity_split(
                 .alias("split"),
             )
         )
+        return labeled.unionByName(unscorable)
     if method != "ntile":
         raise ValueError(f"unknown split method {method!r}")
     w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc(id_col))
@@ -1333,7 +1356,7 @@ def perplexity_split(
             .alias("split"),
         )
     )
-    return labeled
+    return labeled.unionByName(unscorable)
 
 
 _PPL_SPLIT_ORACLE = (
@@ -1350,7 +1373,12 @@ _PPL_SPLIT_ORACLE = (
     "FROM nll JOIN documents d ON nll.doc_id = d.doc_id) "
     "SELECT doc_id, lang, avg_nll, "
     "CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS split "
-    "FROM r"
+    "FROM r "
+    # unscorable docs (zero tokens: empty/whitespace text) route to tail
+    # with NULL NLL — the output partitions the corpus
+    "UNION ALL SELECT d.doc_id, d.lang, CAST(NULL AS DOUBLE) AS avg_nll, "
+    "'tail' AS split FROM documents d LEFT JOIN nll ON d.doc_id = nll.doc_id "
+    "WHERE nll.doc_id IS NULL"
 )
 
 

@@ -764,6 +764,25 @@ class TestVarFastDifferential:
         fast = self._fast_runs(bytes(enc.data))
         assert fast is not None and len(fast) == 50
 
+    def test_implausible_repeat_total_raises_in_both_parsers(self):
+        """Directed coverage of the fast path's only raise (the random
+        strategy's 300-byte buffers can never reach the 2^27 repeat
+        ceiling): a structurally-valid buffer whose repeats sum past
+        MAX_ROWS must be rejected by BOTH parsers."""
+        from libcolumnfile_spark.sources.columnfile.codec import (
+            MAX_ROWS_PER_COLUMN_SEGMENT,
+            ColumnFileFormatError,
+            decode_runs,
+            decode_var_fast,
+        )
+
+        n_runs = MAX_ROWS_PER_COLUMN_SEGMENT // 127 + 2
+        buf = bytes([127, 0, 0]) * n_runs  # repeat=127, reserved, len=0
+        with pytest.raises(ColumnFileFormatError):
+            decode_var_fast(buf)
+        with pytest.raises(ColumnFileFormatError):
+            decode_runs(buf)
+
     def test_random_bytes_no_divergent_accept(self):
         from hypothesis import given, settings, strategies as st
 

@@ -272,16 +272,45 @@ class TestText:
         by_lang: dict = {}
         for r in rows:
             by_lang.setdefault(r["lang"], []).append((r["avg_nll"], order[r["s_b"]]))
+        from collections import Counter
+
         for lang, vals in by_lang.items():
             vals.sort()
             labels = [t for _, t in vals]
             assert labels == sorted(labels), f"{lang}: non-monotone split"
-            # tercile sizes within +-2 of n/3 (percentile interpolation)
-            from collections import Counter
-
+            # tercile sizes within n/3 +- max(2, largest tie group):
+            # thresholds put a whole boundary tie group on one side by
+            # design, so the slack must scale with tie size, not a
+            # constant (fixture regeneration could densify duplicates)
             c = Counter(labels)
             third = len(labels) / 3.0
-            assert all(abs(c[t] - third) <= 2 for t in (0, 1, 2)), (lang, c)
+            biggest_tie = max(Counter(nll for nll, _ in vals).values())
+            slack = max(2, biggest_tie)
+            assert all(abs(c[t] - third) <= slack for t in (0, 1, 2)), (lang, c)
+
+    def test_perplexity_split_partitions_corpus_with_edge_docs(self, spark):
+        """Empty/whitespace docs route to tail with NULL NLL; NULL-lang
+        docs form their own group; BOTH methods output every input row
+        exactly once."""
+        rows = [
+            (1, "the quick brown fox jumps high", "en"),
+            (2, "a slower red fox naps today", "en"),
+            (3, "many tokens for the third doc here", "en"),
+            (4, "", "en"),            # unscorable -> tail, NULL nll
+            (5, "   ", "en"),         # unscorable -> tail
+            (6, "nul lang doc with words", None),
+            (7, "another nul lang doc entirely", None),
+            (8, "third null lang doc words here", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        for method in ("ntile", "quantile"):
+            out = {r["doc_id"]: r for r in text.perplexity_split(df, method=method).collect()}
+            assert sorted(out) == [1, 2, 3, 4, 5, 6, 7, 8], method
+            assert out[4]["split"] == "tail" and out[4]["avg_nll"] is None
+            assert out[5]["split"] == "tail"
+            # null-lang docs were ranked (not dropped) and span terciles
+            null_lang_splits = {out[i]["split"] for i in (6, 7, 8)}
+            assert null_lang_splits == {"head", "middle", "tail"}, method
 
     def test_token_count_and_stats(self, spark):
         df = spark.createDataFrame([(1, "a bb ccc"), (2, ""), (3, "   ")], ["doc_id", "text"])
