@@ -146,7 +146,12 @@ def test_x10_ratio_contract(spark, x10, name):
     # superlinear regression sits ~10x past the bound and fails BOTH
     # attempts; a flake passing on the clean re-measure costs ~seconds.
     last = None
-    for _attempt in range(2):
+    # three attempts: a 600-test session carries GC debt and page-cache
+    # churn that inflates single wall-ratio windows (q_tfidf /
+    # q_inverted_index observed failing two in-suite attempts at ratios
+    # their isolated runs beat 2x); a genuine superlinear regression
+    # sits ~10x past the bound and fails ALL attempts
+    for _attempt in range(3):
         t1 = best2(lambda: run(BASE))
         t10 = best2(lambda: run(x10))
         ratio = t10 / t1
