@@ -306,3 +306,18 @@ def test_sim_pairs_auto_uses_batched_kernel_at_bench_sf(spark):
     plan = plans.formatted_plan(df)
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_perplexity_split_quantile_plan_has_no_per_lang_sort(spark):
+    """The quantile method's 100 TB claim, structurally: NO Window (and
+    so no per-language global sort) anywhere in its plan — labeling is a
+    broadcast-joined map-side CASE. The ntile anchor, by contrast, must
+    carry the Window."""
+    from libcolumnfile_spark.operators.text import perplexity_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q_plan = plans.formatted_plan(perplexity_split(docs, method="quantile"))
+    assert "Window" not in q_plan
+    assert "BroadcastExchange" in q_plan  # two-number-per-lang cuts join
+    a_plan = plans.formatted_plan(perplexity_split(docs, method="ntile"))
+    assert "Window" in a_plan
