@@ -1307,16 +1307,19 @@ def perplexity_split(
 
     nll = lm_nll_scores(df, text_col, id_col)
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    scored = langs.join(nll, id_col, "left")
-    unscorable = scored.filter(F.col("avg_nll").isNull()).select(
+    # pin at the FORK: the scorable/unscorable branches of the final
+    # union (and, for quantile, the cuts aggregate too) all consume this
+    # narrow (id, lang, nll) table — unpinned, each branch re-runs the
+    # whole LM-scoring DAG
+    scored_all = pin(langs.join(nll, id_col, "left"))
+    unscorable = scored_all.filter(F.col("avg_nll").isNull()).select(
         id_col,
         "lang",
         F.col("avg_nll"),
         F.lit("tail").alias("split"),
     )
-    scored = scored.filter(F.col("avg_nll").isNotNull())
+    scored = scored_all.filter(F.col("avg_nll").isNotNull())
     if method == "quantile":
-        scored = pin(scored)
         cuts = scored.groupBy("lang").agg(
             F.expr(
                 "percentile(avg_nll, array(CAST(1.0/3.0 AS DOUBLE), "
