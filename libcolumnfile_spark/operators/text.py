@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from libcolumnfile_spark.queries import pin, query, T
+from libcolumnfile_spark.queries import query, T
 from libcolumnfile_spark.tables import spread as _spread
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -1295,23 +1295,27 @@ def perplexity_split(
       q_quality_filter precedent). The oracle-checkable anchor.
     - ``"quantile"``: the 100 TB path — per-language 1/3 and 2/3 NLL
       percentiles (one two-number-per-language aggregate, broadcast
-      back) + a map-side CASE over a PERSISTED score table (the scoring
-      DAG feeds both the cuts aggregate and the final labeling — pin it
-      or pay the LM pass twice). No per-language sort ever happens;
-      parallelism stays at corpus width. Labels agree with ntile
-      everywhere except exact-boundary ties (ntile splits a tied
-      boundary value by rank; thresholds put all ties on one side) —
-      the differential test pins the agreement.
+      back) + a map-side CASE. The score table feeds multiple consumers
+      but stays UNPINNED: ReuseExchange shares its shuffles and caching
+      it measured 2.4x worse at sf0.1 (see the inline A/B note). No
+      per-language sort ever happens; parallelism stays at corpus
+      width. Labels agree with ntile everywhere except exact-boundary
+      ties (ntile splits a tied boundary value by rank; thresholds put
+      all ties on one side) — the differential test pins the agreement.
     """
     from pyspark.sql import Window
 
     nll = lm_nll_scores(df, text_col, id_col)
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    # pin at the FORK: the scorable/unscorable branches of the final
-    # union (and, for quantile, the cuts aggregate too) all consume this
-    # narrow (id, lang, nll) table — unpinned, each branch re-runs the
-    # whole LM-scoring DAG
-    scored_all = pin(langs.join(nll, id_col, "left"))
+    # deliberately NOT pinned at the fork: the union branches (and the
+    # quantile cuts aggregate) share identical exchange subtrees, so
+    # ReuseExchange computes each shuffle once and the per-consumer
+    # reduce-side work past the cached exchange output is a cheap
+    # projection/filter. Pinning was the measured-worse choice — cache
+    # fill of the score table cost 0.96 s vs 0.40 s unpinned at sf0.1
+    # (A/B 2026-08-15); at extreme scale a caller looping over many
+    # splits can persist the returned frame themselves.
+    scored_all = langs.join(nll, id_col, "left")
     unscorable = scored_all.filter(F.col("avg_nll").isNull()).select(
         id_col,
         "lang",
