@@ -290,6 +290,210 @@ def q_contamination(spark, sf_dir):
     return contamination_screen(d, bench)
 
 
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the benchmark set too big to ship
+# as a plain gram list)
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 63  # usable bits per BIGINT word: keeping the sign
+#                        bit clear makes >> arithmetic-shift-safe and
+#                        value-identical in Spark and DuckDB
+_BLOOM_WORDS = 1024  # m = 64512 bits; at the fixture's ~5k benchmark
+#                      gram inserts with k=2 the false-positive rate is
+#                      ~2% — the production knob is m, not the plan
+_BLOOM_PROBES = 2
+_BLOOM_SEED = 7
+
+
+def contamination_bloom_screen(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_words: int = _BLOOM_WORDS,
+    n_probes: int = _BLOOM_PROBES,
+    seed: int = _BLOOM_SEED,
+) -> DataFrame:
+    """Decontamination with a Bloom-bitset prefilter: benchmark grams are
+    folded into an m-bit Bloom filter (k universal-hash probes over the
+    md5 gram hash), corpus grams are tested against the bitset map-side,
+    and only Bloom CANDIDATES reach the exact verify join. No false
+    negatives by construction (every true match passes the Bloom), so
+    n_matched is identical to contamination_screen's.
+
+    Why this exists next to contamination_screen: the plain screen
+    broadcasts the benchmark's distinct gram set — fine for one eval
+    suite, but a consolidated held-out registry (every benchmark + all
+    its paraphrases) can reach 10^8-10^9 grams, past broadcast budgets.
+    The Bloom compresses membership to m bits CHOSEN AT BUILD TIME
+    (n_words * 63 bits regardless of gram count), so the prefilter stays
+    a constant-size structure; the expensive exact join then processes
+    only the ~fp-rate fraction of a 100 TB corpus' grams, small enough
+    to shuffle even when the benchmark side cannot broadcast.
+
+    Plan shape (all Catalyst, no Python): the bitset is a
+    ``groupBy(word) -> bit_or(mask)`` aggregate of at most ``n_words``
+    rows; each corpus gram joins that table k times BROADCAST (the
+    bitset table is bounded by n_words, not by benchmark size) and
+    tests its bit with shiftright/&. One corpus pass: per-gram candidate
+    and verified flags aggregate in a single per-doc hash agg.
+
+    Output: (doc_id, n_grams, n_candidates, n_matched, contamination)
+    for docs with at least one Bloom candidate — n_candidates >
+    n_matched rows quantify the false-positive cost actually paid.
+    """
+    from libcolumnfile_spark.operators.dedup import (
+        _MERSENNE_31,
+        _hash_params,
+        gram_rows,
+        md5_gram_hash,
+    )
+
+    w_bits = _BLOOM_WORD_BITS
+    m = n_words * w_bits
+    params = _hash_params(n_probes, seed)
+
+    def probe_pos(h: Column, ab: tuple[int, int]) -> Column:
+        a, b = ab
+        return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)) % F.lit(m)
+
+    bench = (
+        gram_rows(benchmark, text_col, id_col, shingle_n)
+        .select(md5_gram_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    # m-bit bitset as <= n_words (word, bits) rows: explode the k set
+    # positions per gram, OR the per-position masks. Bounded output no
+    # matter how many grams the benchmark registry holds.
+    words = (
+        bench.select(
+            F.explode(F.array(*[probe_pos(F.col("h"), ab) for ab in params])).alias(
+                "pos"
+            )
+        )
+        .select(
+            (F.col("pos") / w_bits).cast("long").alias("word"),
+            (F.col("pos") % w_bits).cast("int").alias("bit"),
+        )
+        .selectExpr("word", "shiftleft(CAST(1 AS BIGINT), bit) AS mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    hashed = gram_rows(_spread(df), text_col, id_col, shingle_n).select(
+        F.col("id").alias("doc_id"), md5_gram_hash(F.col("g")).alias("h")
+    )
+    probed = hashed
+    for j, ab in enumerate(params):
+        pos = probe_pos(F.col("h"), ab)
+        probed = probed.withColumn(
+            f"w{j}", (pos / w_bits).cast("long")
+        ).withColumn(f"t{j}", (pos % w_bits).cast("int"))
+        wj = words.select(
+            F.col("word").alias(f"word{j}"), F.col("bits").alias(f"bits{j}")
+        )
+        # LEFT join so non-candidate grams still count toward n_grams;
+        # a missing word row means the bit is unset -> not a candidate
+        probed = probed.join(
+            F.broadcast(wj), F.col(f"w{j}") == F.col(f"word{j}"), "left"
+        )
+    is_cand = None
+    for j in range(n_probes):
+        hit = F.expr(f"(shiftright(bits{j}, t{j}) & 1) = 1")
+        is_cand = hit if is_cand is None else (is_cand & hit)
+    flagged = probed.withColumn(
+        "_cand", F.coalesce(is_cand, F.lit(False))
+    ).join(F.broadcast(bench.withColumn("_m", F.lit(1))), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("_cand")).alias("n_candidates"),
+            F.count_if(F.col("_cand") & F.col("_m").isNotNull()).alias("n_matched"),
+        )
+        .filter(F.col("n_candidates") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_candidates",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
+
+
+def _contamination_bloom_oracle(
+    shingle_n: int = 3,
+    modulus: int = 97,
+    n_words: int = _BLOOM_WORDS,
+    n_probes: int = _BLOOM_PROBES,
+    seed: int = _BLOOM_SEED,
+) -> str:
+    from libcolumnfile_spark.operators.dedup import _MERSENNE_31, _hash_params
+
+    p = _MERSENNE_31
+    w_bits = _BLOOM_WORD_BITS
+    m = n_words * w_bits
+    params = _hash_params(n_probes, seed)
+    n1 = shingle_n - 1
+    gram_hash = (
+        "CAST(('0x' || substr(md5(array_to_string(toks[i:i+" + str(n1) + "], ' ')), 1, 15)) "
+        f"AS BIGINT) % {p}"
+    )
+    grams = (
+        "list_distinct(list_transform(generate_series(1, len(toks) - "
+        f"{n1}), i -> {gram_hash}))"
+    )
+    pos = [f"(({a} * h + {b}) % {p}) % {m}" for a, b in params]
+    set_union = " UNION ALL ".join(f"SELECT {pj} AS pos FROM b" for pj in pos)
+    cand_conds = " AND ".join(
+        f"((w{j}.bits >> CAST(p{j} % {w_bits} AS INT)) & 1) = 1"
+        for j in range(n_probes)
+    )
+    cand_joins = " ".join(
+        f"JOIN words w{j} ON w{j}.word = p{j} // {w_bits}" for j in range(n_probes)
+    )
+    probe_cols = ", ".join(f"{pj} AS p{j}" for j, pj in enumerate(pos))
+    return (
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, {grams} AS hs FROM t WHERE len(toks) >= {shingle_n}), "
+        f"b AS (SELECT DISTINCT unnest(hs) AS h FROM g WHERE doc_id % {modulus} = 0), "
+        f"setbits AS ({set_union}), "
+        f"words AS (SELECT pos // {w_bits} AS word, "
+        f"bit_or(CAST(1 AS BIGINT) << CAST(pos % {w_bits} AS INT)) AS bits "
+        "FROM setbits GROUP BY 1), "
+        "e AS (SELECT doc_id, unnest(hs) AS h FROM g), "
+        f"probe AS (SELECT doc_id, h, {probe_cols} FROM e), "
+        f"cand AS (SELECT doc_id, h FROM probe {cand_joins} WHERE {cand_conds}), "
+        "tot AS (SELECT doc_id, len(hs) AS n_grams FROM g), "
+        "c AS (SELECT cand.doc_id, count(*) AS n_candidates, count(b.h) AS n_matched "
+        "FROM cand LEFT JOIN b ON cand.h = b.h GROUP BY cand.doc_id) "
+        "SELECT tot.doc_id, n_grams, n_candidates, n_matched, "
+        "round(CAST(n_matched AS DOUBLE) / n_grams, 6) AS contamination "
+        "FROM tot JOIN c ON tot.doc_id = c.doc_id"
+    )
+
+
+@query(
+    "q_contamination_bloom",
+    oracle=_contamination_bloom_oracle(),
+    doc=(
+        "Bloom-prefiltered decontamination: benchmark grams folded into "
+        "a constant-size bit set (bit_or aggregate, <=1024 rows), corpus "
+        "grams tested map-side via k broadcast bitset joins, exact "
+        "verify only on Bloom candidates — the benchmark-too-big-to-"
+        "broadcast variant of q_contamination, no false negatives."
+    ),
+    tags=("pipeline", "dedup"),
+)
+def q_contamination_bloom(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_bloom_screen(d, bench)
+
+
 @query(
     "q_sample_stratified",
     oracle=(

@@ -482,3 +482,31 @@ class TestTableServingRobustness:
         # the first layout dir was SERVED this process: the sibling GC
         # must spare it (a live DataFrame may still hold its listing)
         assert os.path.exists(os.path.join(d1_dir, "_SUCCESS"))
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    """The Bloom prefilter may admit extra candidate grams (false
+    positives) but must never lose a true benchmark match: per doc,
+    n_matched is IDENTICAL to the plain broadcast screen's, and every
+    plain-screen row appears in the Bloom screen's output."""
+    from libcolumnfile_spark.registry import REGISTRY
+
+    plain = {
+        r["doc_id"]: r["n_matched"]
+        for r in REGISTRY["q_contamination"].spark_fn(spark, SF_CORRECT).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_matched"], r["n_candidates"])
+        for r in REGISTRY["q_contamination_bloom"]
+        .spark_fn(spark, SF_CORRECT)
+        .collect()
+    }
+    assert set(plain) <= set(bloom)
+    for doc_id, n_matched in plain.items():
+        assert bloom[doc_id][0] == n_matched
+    # candidates bound matches from above (the fp cost is visible)
+    assert all(c >= m for m, c in bloom.values())
+    # and at least one doc should exist where the Bloom admitted more
+    # candidates than true matches OR the sets are equal — either way the
+    # verify stage only ever sees candidate grams, so matched <= candidates
+    assert any(c > 0 for _, c in bloom.values())
