@@ -339,11 +339,11 @@ def q_quality(spark, sf_dir):
     return quality_features(d)
 
 
-def _winnow_oracle() -> str:
-    """DuckDB replica of the winnowing fingerprint: same normalization,
-    same codepoint polynomial (ord == utf-32 codepoint), same window-min
-    winnow — generated from the k/w/B constants so engines can't drift.
-    """
+def _winnow_pr_ctes() -> str:
+    """Shared DuckDB CTE chain ending in ``pr(doc_id, prints)`` — the
+    winnowed distinct-print set per document, generated from the k/w/B
+    constants so engines can't drift. Used by the fingerprint summary
+    oracle and the shared-span pair oracle."""
     k, w, b, p = _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_P
     # CAST to BIGINT before the multiply: DuckDB ord() is INT32 and the
     # 31^j coefficients overflow int32 multiplication otherwise
@@ -359,7 +359,16 @@ def _winnow_oracle() -> str:
         "FROM nrm), "
         "pr AS (SELECT doc_id, "
         f"list_distinct(list_transform(generate_series(1, len(gl) - {w - 1}), j -> least({win}))) AS prints "
-        "FROM g) "
+        "FROM g)"
+    )
+
+
+def _winnow_oracle() -> str:
+    """DuckDB replica of the winnowing fingerprint summary: same
+    normalization, same codepoint polynomial (ord == utf-32 codepoint),
+    same window-min winnow as winnow_prints_kernel."""
+    return (
+        _winnow_pr_ctes() + " "
         "SELECT doc_id, CAST(len(prints) AS BIGINT) AS n_prints, "
         "CAST(list_min(prints) AS BIGINT) AS min_print, "
         "CASE WHEN len(prints) > 0 THEN CAST(list_aggregate(prints, 'bit_xor') AS BIGINT) "
@@ -396,6 +405,118 @@ def q_fingerprint_winnow(spark, sf_dir):
         F.array_min("prints").alias("min_print"),
         F.when(F.size("prints") > 0, xor_fold).alias("xor_print"),
     )
+
+
+# Shared-span pair parameters: a print shared by more than _SPAN_MAX_DF
+# documents is boilerplate (license headers, navigation chrome) and is
+# suppressed before pairing — the same stop-print rule MOSS applies.
+_SPAN_MAX_DF = 16
+_SPAN_MIN_COVERAGE = 0.15
+
+
+def span_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = _SPAN_MAX_DF,
+    min_coverage: float = _SPAN_MIN_COVERAGE,
+) -> DataFrame:
+    """Duplicated-SPAN detection between document pairs: two documents
+    pair when they share winnowing fingerprints covering >= min_coverage
+    of the smaller document's print set. Any shared substring of length
+    >= k + w - 1 chars contributes a shared print (the winnowing
+    guarantee), so high coverage means large copied spans — the
+    substring-level dedup the suffix-array method targets ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022),
+    re-expressed as group-by-print blocking instead of a global suffix
+    sort.
+
+    Scale design: prints explode to (print, doc) rows and pairs form
+    ONLY within a print's posting list — one shuffle keyed by print.
+    Posting lists longer than max_df are dropped before pairing
+    (boilerplate prints pair everything with everything; real copied
+    spans are rare across docs), so per-print pair output is bounded by
+    C(max_df, 2) and total work by n_prints * C(max_df, 2) — never
+    corpus-quadratic. The per-doc print-count side table is O(docs) and
+    joins on doc_id after pair aggregation (pair cardinality is already
+    collapsed), keeping the wide text bodies out of every exchange.
+    """
+    pr = df.select(
+        F.col(id_col).alias("doc_id"),
+        winnow_prints_kernel()(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        ).alias("prints"),
+    ).filter(F.size("prints") > 0)
+    from libcolumnfile_spark.queries import pin
+
+    e = pin(
+        pr.select(
+            "doc_id",
+            F.size("prints").cast("bigint").alias("n_prints"),
+            F.explode("prints").alias("fp"),
+        )
+    )
+    rare = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= max_df
+    )
+    posts = e.join(rare.select("fp"), "fp")
+    a = posts.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = posts.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    counts = e.select("doc_id", "n_prints").distinct()
+    return (
+        pairs.join(counts.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_prints", "na")
+        .join(counts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_prints", "nb")
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("coverage") >= min_coverage)
+        .select("doc_a", "doc_b", "n_shared", "coverage")
+    )
+
+
+def _span_dedup_oracle(
+    max_df: int = _SPAN_MAX_DF, min_coverage: float = _SPAN_MIN_COVERAGE
+) -> str:
+    return (
+        _winnow_pr_ctes() + ", "
+        "pe AS (SELECT doc_id, CAST(len(prints) AS BIGINT) AS n_prints, "
+        "unnest(prints) AS fp FROM pr WHERE len(prints) > 0), "
+        f"rare AS (SELECT fp FROM pe GROUP BY fp HAVING count(*) <= {max_df}), "
+        "posts AS (SELECT pe.doc_id, pe.n_prints, pe.fp FROM pe JOIN rare USING (fp)), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_shared, min(a.n_prints) AS na, min(b.n_prints) AS nb "
+        "FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_shared, "
+        "round(CAST(n_shared AS DOUBLE) / least(na, nb), 6) AS coverage "
+        f"FROM pairs WHERE CAST(n_shared AS DOUBLE) / least(na, nb) >= {min_coverage}"
+    )
+
+
+@query(
+    "q_dedup_span",
+    oracle=_span_dedup_oracle(),
+    doc=(
+        "Duplicated-span pair detection: winnowing prints explode to "
+        "posting lists, stop-prints (df > 16) suppressed, pairs form "
+        "within posting lists only (bounded C(max_df,2) per print), "
+        "coverage = shared prints / smaller print set. The scalable "
+        "re-expression of substring-level (suffix-array) dedup."
+    ),
+    tags=("text", "dedup"),
+)
+def q_dedup_span(spark, sf_dir):
+    d = _spread(T(spark, sf_dir, "documents"))
+    return span_dedup_pairs(d)
 
 
 def repetition_stats(

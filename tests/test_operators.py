@@ -1158,3 +1158,42 @@ class TestLmPerplexity:
         }
         got = {r["doc_id"]: r["avg_nll"] for r in text.lm_nll_scores(df).collect()}
         assert got == {i: pytest.approx(v, abs=1e-9) for i, v in expected.items()}
+
+
+class TestSpanDedup:
+    def _pairs(self, spark, rows, **kw):
+        from libcolumnfile_spark.operators.text import span_dedup_pairs
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            (r.doc_a, r.doc_b): r.coverage
+            for r in span_dedup_pairs(df, **kw).collect()
+        }
+
+    def test_copied_span_pairs_documents(self, spark):
+        # docs 1 and 2 share a long copied span (>> k+w-1 chars) that
+        # dominates the smaller doc's print set; doc 3 is unrelated
+        span = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, span),
+            (2, span + " with a short unique suffix"),
+            (3, "entirely different content with no overlap whatsoever here"),
+        ]
+        out = self._pairs(spark, rows)
+        assert (1, 2) in out and out[(1, 2)] >= 0.5
+        assert all(3 not in p for p in out)
+
+    def test_stop_print_suppression_bounds_pairs(self, spark):
+        # the same text in max_df+2 docs: every print's posting list
+        # exceeds max_df, so NO pairs emerge (boilerplate suppression) —
+        # with a higher cap the clique appears
+        rows = [(i, "shared boilerplate license header text here") for i in range(6)]
+        assert self._pairs(spark, rows, max_df=4) == {}
+        dense = self._pairs(spark, rows, max_df=16)
+        assert len(dense) == 6 * 5 // 2
+        assert all(c == 1.0 for c in dense.values())
+
+    def test_pair_ordering_canonical(self, spark):
+        span = "a long enough shared sentence for winnowing fingerprints"
+        out = self._pairs(spark, [(9, span), (2, span)])
+        assert list(out) == [(2, 9)]
