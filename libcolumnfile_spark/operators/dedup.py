@@ -1500,3 +1500,113 @@ def md5_sig_key_sql(
         f"ELSE 'short:' || COALESCE(CAST({id_expr} AS VARCHAR), "
         f"'~' || md5(COALESCE(array_to_string({toks_expr}, ' '), ''))) END"
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental ingest dedup: screen a NEW batch against the already-
+    ingested corpus without re-deduplicating history. Two stages inside
+    the batch (exact content-hash first, then the row-local md5-MinHash
+    signature collapses near-identical re-crawls), then two anti-joins
+    drop survivors whose content hash OR fuzzy signature already exists
+    in the store. ``store`` needs only (text, id) here, but in
+    production it is the persisted (content_hash, sig_key) key table —
+    each ingest appends its survivors' keys, so successive batches
+    never rescan historical text.
+
+    Output: (doc_id, content_hash, sig_key, dup_count) — the surviving
+    batch docs, dup_count = how many batch docs collapsed into each.
+
+    Scale design: every exchange is keyed by a hash/signature string —
+    document bodies never shuffle. The store side is the 100 TB corpus'
+    key set: it is NEVER broadcast (anti-joins shuffle both sides on the
+    key; AQE handles skew), and at real scale it reads from the
+    persisted key parquet, i.e. O(history keys) bytes, not O(history
+    text). Batch-side work is one map pass + two key-bounded aggregates.
+    """
+    def keyed(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+            minhash_tokens(F.col(text_col)).alias("__toks"),
+        )
+        return toks.select(
+            "doc_id",
+            "content_hash",
+            md5_minhash_sig_key_from_tokens(
+                F.col("__toks"), F.col("doc_id"), n_hashes, shingle_n, seed
+            ).alias("sig_key"),
+        )
+
+    b = keyed(batch)
+    s = keyed(store)
+    # within-batch stage 1: exact dedup (min-id survivor per content
+    # hash). sig_key is text-determined for shingleable docs; min_by
+    # keeps the SURVIVOR's key so short docs (id-suffixed keys) stay
+    # per-survivor.
+    exact = b.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("sig_key", "doc_id").alias("sig_key"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    # within-batch stage 2: fuzzy collapse of the exact survivors
+    fuzzy = exact.groupBy("sig_key").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("content_hash", "doc_id").alias("content_hash"),
+        F.sum("n_exact").alias("dup_count"),
+    )
+    # history screen: anti-join the store's key sets (keys only — at
+    # scale this is the persisted signature store, not a text scan)
+    return (
+        fuzzy.join(s.select("sig_key").distinct(), "sig_key", "left_anti")
+        .join(s.select("content_hash").distinct(), "content_hash", "left_anti")
+        .select("doc_id", "content_hash", "sig_key", "dup_count")
+    )
+
+
+def _incremental_oracle(
+    modulus: int = 3, n_hashes: int = 4, shingle_n: int = 3, seed: int = 42
+) -> str:
+    sig = md5_sig_key_sql("toks", "doc_id", n_hashes, shingle_n, seed)
+    return (
+        "WITH d AS (SELECT doc_id, md5(text) AS content_hash, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"k AS (SELECT doc_id, content_hash, {sig} AS sig_key FROM d), "
+        f"b AS (SELECT * FROM k WHERE doc_id % {modulus} = 0), "
+        f"s AS (SELECT * FROM k WHERE doc_id % {modulus} <> 0), "
+        "ex AS (SELECT content_hash, min(doc_id) AS doc_id, "
+        "arg_min(sig_key, doc_id) AS sig_key, count(*) AS n_exact "
+        "FROM b GROUP BY content_hash), "
+        "fz AS (SELECT sig_key, min(doc_id) AS doc_id, "
+        "arg_min(content_hash, doc_id) AS content_hash, "
+        "CAST(sum(n_exact) AS BIGINT) AS dup_count FROM ex GROUP BY sig_key) "
+        "SELECT doc_id, content_hash, sig_key, dup_count FROM fz "
+        "WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.sig_key = fz.sig_key) "
+        "AND NOT EXISTS (SELECT 1 FROM s WHERE s.content_hash = fz.content_hash)"
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_incremental_oracle(),
+    doc=(
+        "Incremental ingest dedup: new batch (doc_id % 3 = 0) dedupes "
+        "within itself (exact hash, then fuzzy md5-MinHash signature) "
+        "and anti-joins the historical store's key sets — the "
+        "signature-store maintenance step of a continuously-ingesting "
+        "corpus; keys shuffle, text bodies never do."
+    ),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_incremental(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    store = d.filter(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(batch, store)

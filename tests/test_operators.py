@@ -1197,3 +1197,43 @@ class TestSpanDedup:
         span = "a long enough shared sentence for winnowing fingerprints"
         out = self._pairs(spark, [(9, span), (2, span)])
         assert list(out) == [(2, 9)]
+
+
+class TestIncrementalDedup:
+    def test_store_screen_and_batch_collapse(self, spark):
+        from libcolumnfile_spark.operators.dedup import incremental_dedup
+
+        store = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over the lazy dog"),
+                (101, "an unrelated historical document lives here"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                # exact duplicate of store doc 100 -> dropped (hash screen)
+                (1, "the quick brown fox jumps over the lazy dog"),
+                # two exact copies + novel -> one survivor, dup_count 2
+                (2, "a genuinely new document about spark engines"),
+                (3, "a genuinely new document about spark engines"),
+                # novel singleton
+                (4, "completely fresh content never seen before"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in incremental_dedup(batch, store).collect()}
+        assert set(out) == {2, 4}
+        assert out[2].dup_count == 2 and out[4].dup_count == 1
+
+    def test_short_doc_exact_dup_caught_by_hash_screen(self, spark):
+        from libcolumnfile_spark.operators.dedup import incremental_dedup
+
+        # short docs (< shingle_n tokens) carry per-id signature keys, so
+        # only the content-hash screen can catch their exact duplicates
+        store = spark.createDataFrame([(50, "tiny doc")], ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "other tiny")], ["doc_id", "text"]
+        )
+        out = [r.doc_id for r in incremental_dedup(batch, store).collect()]
+        assert out == [2]
