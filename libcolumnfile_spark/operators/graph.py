@@ -1,0 +1,170 @@
+"""Graph analytics over corpus-derived link graphs.
+
+Training-data pipelines use link-based scores as document-quality
+priors: Common Crawl publishes harmonic-centrality/PageRank rankings of
+the host web graph, and crawl frontiers are prioritized by them. The
+reference (libcolumnfile) has no graph step anywhere in
+`/root/reference/src` — this module is a north-star extension in the
+spirit of SURVEY.md §2.2's LLM-pipeline row, same as operators/pipeline.
+
+The fixture has no links table, so the declared query derives a
+deterministic host graph from `documents`: each document is one
+outlink from its `source` host to a hash-chosen target host
+(doc_id % N_HOSTS). The DERIVATION is synthetic and declared in the
+oracle; the OPERATOR — fixed-iteration weighted PageRank with dangling-
+mass redistribution — is the real, scale-shaped thing under test.
+
+Scale design (100 TB story): the edge list aggregates once to
+(src, dst, weight) — the only pass over raw documents. Every iteration
+is then one join + one aggregate keyed by node over a rank vector of
+O(|V|) rows: contributions shuffle on dst, the dangling mass is a
+1-row aggregate broadcast back (never a driver collect), and each
+round localCheckpoints the rank vector so the logical plan stays flat
+across iterations (ranks feeds BOTH the dangling aggregate and the
+contribution join — without truncation the plan doubles per round,
+the same 2^rounds growth q_dedup_cc guards against). |V| for a host
+graph is millions of rows — trivially partitionable; the expensive side
+(edge list) is shuffled once at build time and reused co-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libcolumnfile_spark.queries import T, query
+
+N_HOSTS = 20  # fixture host-id space for the derived dst (doc_id % N_HOSTS)
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = _PR_DAMPING,
+    n_iter: int = _PR_ITERS,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution, a FIXED
+    number of iterations (deterministic, hence SQL-oracle-able — the
+    production convergence loop would iterate until max |delta| < eps,
+    which only changes the stopping rule, not the per-round plan).
+
+    r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u) * w(u,v)/out(u)
+                                 + dangling_t / N)
+
+    Returns (node, rank) with rank rounded to 6 places.
+
+    Per-iteration plan: one broadcast of the 1-row dangling aggregate,
+    one edges-to-ranks join shuffled on the node key, one dst-keyed
+    aggregate. The rank vector localCheckpoints each round (it feeds two
+    consumers; see module docstring). N = |V| is one bounded count()
+    scalar, computed once.
+    """
+    e = edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).agg(
+        F.sum(weight_col).cast("double").alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # the node set feeds every iteration AND the |V| count: materialize
+    # once, truncating lineage back to the document scan
+    nodes = nodes.localCheckpoint(eager=True)
+    nn = float(nodes.count())  # bounded scalar: one long per graph
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / nn))
+    for _ in range(n_iter):
+        dang = ranks.join(
+            outd, ranks["node"] == outd["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        contrib = (
+            e.join(outd, "src")
+            .join(ranks, e["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / nn)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / nn)
+                ).alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+def _doc_host_edges(spark, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"), (F.col("doc_id") % N_HOSTS).cast("string")).alias(
+            "dst"
+        ),
+        F.lit(1).alias("w"),
+    )
+
+
+def _pagerank_oracle(
+    damping: float = _PR_DAMPING, n_iter: int = _PR_ITERS, n_hosts: int = N_HOSTS
+) -> str:
+    """Unrolled n_iter-round PageRank as chained CTEs — same edge
+    derivation, same dangling redistribution, same math as pagerank()."""
+    d = damping
+    ctes = [
+        (
+            "e AS (SELECT source AS src, "
+            f"'src' || CAST(doc_id % {n_hosts} AS VARCHAR) AS dst, "
+            "CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2)"
+        ),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)",
+        "outd AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / nn AS r FROM nodes, n)",
+    ]
+    for t in range(n_iter):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        ctes.append(
+            f"d{t} AS (SELECT COALESCE(sum(r), 0) AS dm FROM {prev} "
+            f"LEFT JOIN outd ON {prev}.node = outd.src WHERE outd.src IS NULL)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS node, sum({prev}.r * e.w / outd.outw) AS contrib "
+            f"FROM e JOIN outd ON e.src = outd.src JOIN {prev} ON e.src = {prev}.node "
+            "GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"(1 - {d}) / nn + {d} * (COALESCE(c{t}.contrib, 0) + d{t}.dm / nn) AS r "
+            f"FROM nodes CROSS JOIN n CROSS JOIN d{t} "
+            f"LEFT JOIN c{t} ON nodes.node = c{t}.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, round(r, 6) AS rank FROM r{n_iter}"
+    )
+
+
+@query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "Fixed-iteration weighted PageRank with dangling-mass "
+        "redistribution over the derived document host graph — the "
+        "link-based quality prior (Common-Crawl-style host ranking) as "
+        "per-iteration join+aggregate rounds on a localCheckpointed "
+        "rank vector."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_pagerank(spark, sf_dir):
+    return pagerank(_doc_host_edges(spark, sf_dir))

@@ -21,6 +21,7 @@ from libcolumnfile_spark.operators import udfs as _udfs  # noqa: F401
 from libcolumnfile_spark.operators import multimodal as _multimodal  # noqa: F401
 from libcolumnfile_spark.operators import pipeline as _pipeline  # noqa: F401
 from libcolumnfile_spark.operators import tpch as _tpch  # noqa: F401
+from libcolumnfile_spark.operators import graph as _graph  # noqa: F401
 from libcolumnfile_spark.operators import layout as _layout  # noqa: F401
 from libcolumnfile_spark.sources.columnfile import queries as _colq  # noqa: F401
 from libcolumnfile_spark.sources import stock as _stock  # noqa: F401

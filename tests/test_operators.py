@@ -1237,3 +1237,31 @@ class TestIncrementalDedup:
         )
         out = [r.doc_id for r in incremental_dedup(batch, store).collect()]
         assert out == [2]
+
+
+class TestPageRank:
+    def _ranks(self, spark, edges, **kw):
+        from libcolumnfile_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+    def test_mass_conserved(self, spark):
+        # dangling redistribution keeps total rank mass at exactly 1
+        edges = [("a", "b", 1), ("b", "c", 2), ("a", "c", 1)]  # c dangles
+        r = self._ranks(spark, edges)
+        assert abs(sum(r.values()) - 1.0) < 1e-4
+        # c receives from both a and b (and dangles its own mass back)
+        assert r["c"] > r["b"] > 0
+
+    def test_symmetric_cycle_uniform(self, spark):
+        # a 3-cycle with equal weights is rank-uniform at every iteration
+        edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+        r = self._ranks(spark, edges, n_iter=5)
+        assert r["a"] == r["b"] == r["c"] == round(1 / 3, 6)
+
+    def test_weight_bias(self, spark):
+        # b's inbound weight dominates c's -> b outranks c
+        edges = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+        r = self._ranks(spark, edges)
+        assert r["b"] > r["c"]
