@@ -40,32 +40,32 @@ from libcolumnfile_spark.streaming import queries as _streamq  # noqa: F401
 _PRIORITY = [
     # scan / project / filter / cast
     "q_scan", "q_project", "q_filter", "q_cast",
-    # set ops / sort / topk
-    "q_union_all", "q_intersect", "q_sort", "q_topk",
-    # aggregation surface (q_minmax_by/q_histogram demoted just past the
-    # window to make room for the round-5 semantic-dedup + domain-cap ops)
-    "q_group_agg", "q_rollup", "q_percentile", "q_stats_agg",
-    # join surface
+    # set ops / sort / topk (q_intersect demoted past the window —
+    # q_union_all keeps the set-op slot — for the round-6/7 rotation)
+    "q_union_all", "q_sort", "q_topk",
+    # aggregation surface (q_minmax_by/q_histogram/q_rollup demoted just
+    # past the window; q_group_agg/q_percentile/q_stats_agg hold the slots)
+    "q_group_agg", "q_percentile", "q_stats_agg",
+    # join surface (q_join_agg demoted — q_tpch_q3 is the join+agg rep)
     "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
-    "q_join_agg", "q_join_q5",
+    "q_join_q5",
     # canonical TPC-H shapes (scan-agg, disjunctive-pushdown, and
-    # hand-decorrelation reps; the rest of the pack follows after)
+    # hand-decorrelation reps; the rest of the pack follows after;
+    # q_subquery demoted — q_tpch_q21 is the decorrelation rep)
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q21",
-    # subqueries (q_exists_subquery is the same decorrelation shape —
-    # demoted past the window to make room for similarity/dedup reps)
-    "q_subquery",
-    # windows + event analytics (q_window_range demoted likewise)
-    "q_window_rank", "q_sessionize",
-    "q_funnel", "q_gap_fill",
+    # windows + event analytics (q_window_range/q_gap_fill demoted)
+    "q_window_rank", "q_sessionize", "q_funnel",
     # reshape / scalar / nested (q_json_extract demoted likewise)
     "q_scalar_str_date", "q_explode",
     # columnfile format layer + stock sources + partition pruning
-    "q_columnfile_scan", "q_columnfile_filter", "q_columnfile_nested",
+    # (q_columnfile_filter demoted; scan+nested keep the format slots)
+    "q_columnfile_scan", "q_columnfile_nested",
     "q_partition_pruned", "q_zorder_filter",
     # text analysis + IR (q_quality demoted past the window: the quality
-    # family keeps q_gopher_rules and the round-5 classifier gate)
+    # family keeps q_gopher_rules and the round-5 classifier gate;
+    # q_tfidf demoted — round-6's q_bm25_topk is the stronger IR rep)
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_gopher_rules",
-    "q_token_count", "q_tfidf", "q_classifier_filter",
+    "q_token_count", "q_bm25_topk", "q_classifier_filter",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # and the self-tuned SRP pair generator (round 4), plus the
     # full-oracle minhash dedup twin — one rep each for the ANN,
@@ -83,11 +83,21 @@ _PRIORITY = [
     # seeded-quantizer clustering + within-cluster dominance) and the
     # per-domain frequency cap (full-oracle, two-phase salted selection)
     "q_semdedup", "q_domain_cap",
-    # demoted just past the window to make room for the round-5 ops
-    # (their families keep in-window reps: q_group_agg, q_stats_agg,
-    # q_window_rank, q_explode); still in every full audit
+    # round-6 additions rotated into the window: sliding-window chunking
+    # and the CCNet head/middle/tail perplexity split
+    "q_chunk_overlap", "q_perplexity_split",
+    # round-7 additions rotated into the window: Bloom-prefiltered
+    # decontamination, duplicated-span pairs, incremental signature-store
+    # dedup, and fixed-iteration PageRank (graph analytics)
+    "q_contamination_bloom", "q_dedup_span", "q_dedup_incremental",
+    "q_pagerank",
+    # demoted just past the window across rounds 5-7 (their families
+    # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
+    # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
+    # q_bm25_topk); still in every full audit
     "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
-    "q_quality",
+    "q_quality", "q_intersect", "q_rollup", "q_join_agg", "q_subquery",
+    "q_gap_fill", "q_columnfile_filter", "q_tfidf",
     # deduplication — one representative per family, preferring the
     # oracle-bearing variant (plain simhash's oracle twin is
     # q_dedup_simhash_verified; the rows-only variants follow after)
