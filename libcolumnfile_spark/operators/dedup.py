@@ -1531,6 +1531,14 @@ def incremental_dedup(
     persisted key parquet, i.e. O(history keys) bytes, not O(history
     text). Batch-side work is one map pass + two key-bounded aggregates.
     """
+    # signature via the Arrow-batched kernel, not the Catalyst HOF
+    # expression: value-identical by pinned test (test_streaming.py::
+    # test_sig_key_kernel_equals_catalyst_expression) and ~14x/doc —
+    # the store side re-keys the whole corpus here, so the map stage is
+    # the cost center (measured 3.66 s -> ~1 s at sf0.1). Tokenization
+    # stays in Catalyst (codegen split; also pins Java-regex semantics).
+    kernel = md5_sig_key_kernel(n_hashes, shingle_n, seed)
+
     def keyed(df: DataFrame) -> DataFrame:
         toks = df.select(
             F.col(id_col).alias("doc_id"),
@@ -1540,9 +1548,7 @@ def incremental_dedup(
         return toks.select(
             "doc_id",
             "content_hash",
-            md5_minhash_sig_key_from_tokens(
-                F.col("__toks"), F.col("doc_id"), n_hashes, shingle_n, seed
-            ).alias("sig_key"),
+            kernel(F.col("__toks"), F.col("doc_id").cast("string")).alias("sig_key"),
         )
 
     b = keyed(batch)
@@ -1606,7 +1612,9 @@ def _incremental_oracle(
     tags=("dedup", "pipeline"),
 )
 def q_dedup_incremental(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    # _spread: the sig kernel is the cost center and must not inherit a
+    # one-row-group scan's single partition (see tables.spread)
+    d = _spread(T(spark, sf_dir, "documents"))
     batch = d.filter(F.col("doc_id") % 3 == 0)
     store = d.filter(F.col("doc_id") % 3 != 0)
     return incremental_dedup(batch, store)

@@ -117,6 +117,16 @@ CONTRACTS = {
                                      # t1=0.19s, output ~n/stride chunks/doc
     "q_perplexity_split": (1.9, 3.5),  # LM scorer + per-lang ntile (5 sorted
                                      # runs — the q_quality_filter shape)
+    # round-7 operators (measured 2026-08-15)
+    "q_contamination_bloom": (1.8, 3.5),  # k broadcast bitset joins stay
+                                     # map-side; bitset size is fixed
+    "q_dedup_incremental": (1.4, 3.0),  # Arrow sig kernel + key-only
+                                     # shuffles; x10 absolute ~2.3 s
+    "q_pagerank": (1.9, 3.5),        # per-round cost keyed by |V| (fixed
+                                     # 20-host graph; edge agg absorbs x10)
+    "q_dedup_span": (3.5, 6.0),      # x10 replicas multiply posting lists:
+                                     # surviving pairs are required C(10,2)
+                                     # output, like q_dedup_ngram's regime
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
