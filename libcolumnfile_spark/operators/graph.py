@@ -78,29 +78,46 @@ def pagerank(
     outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
     ranks = nodes.withColumn("r", F.lit(1.0 / nn))
     for _ in range(n_iter):
-        dang = ranks.join(
-            outd, ranks["node"] == outd["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        contrib = (
-            e.join(outd, "src")
-            .join(ranks, e["src"] == ranks["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
+        ranks = pagerank_round(nodes, e, outd, ranks, damping, nn).localCheckpoint(
+            eager=True
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(dang))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / nn)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / nn)
-                ).alias("r"),
-            )
-        )
-        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+def pagerank_round(
+    nodes: DataFrame,
+    e: DataFrame,
+    outd: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+    nn: float,
+) -> DataFrame:
+    """ONE PageRank round as a lazy plan (factored out so plan-contract
+    tests can audit the round's physical shape before the eager
+    localCheckpoint in pagerank() hides it): 1-row dangling aggregate
+    broadcast back in-plan, contribution join + dst-keyed aggregate,
+    left join onto the node set."""
+    dang = ranks.join(outd, ranks["node"] == outd["src"], "left_anti").agg(
+        F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+    )
+    contrib = (
+        e.join(outd, "src")
+        .join(ranks, e["src"] == ranks["node"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
+    )
+    return (
+        nodes.crossJoin(F.broadcast(dang))
+        .join(contrib, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit((1.0 - damping) / nn)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / nn)
+            ).alias("r"),
+        )
+    )
 
 
 def _doc_host_edges(spark, sf_dir: str) -> DataFrame:

@@ -321,3 +321,49 @@ def test_perplexity_split_quantile_plan_has_no_per_lang_sort(spark):
     assert "BroadcastExchange" in q_plan  # two-number-per-lang cuts join
     a_plan = plans.formatted_plan(perplexity_split(docs, method="ntile"))
     assert "Window" in a_plan
+
+
+def test_contamination_bloom_is_broadcast_only_joins(spark):
+    """The Bloom screen's 100 TB claim, structurally: every join in the
+    plan is a BROADCAST join (k bitset probes + the exact verify against
+    the bench gram set) — no SortMergeJoin / ShuffledHashJoin, so the
+    corpus gram stream is never shuffled for membership testing; the
+    only non-broadcast exchanges are the per-doc aggregate and the
+    bounded bitset/bench builds."""
+    plan = plan_of(spark, "q_contamination_bloom")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 bitset probes + verify
+
+
+def test_pagerank_dangling_mass_stays_in_plan(spark):
+    """The dangling-mass scalar must flow back via a broadcast join of a
+    1-row aggregate — never a driver collect (the per-ROUND plan, before
+    the eager localCheckpoint hides it) — and the final rank vector must
+    be checkpoint-backed (flat plan across rounds)."""
+    from libcolumnfile_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    edges = graph._doc_host_edges(spark, SF)
+    e = edges.groupBy("src", "dst").agg(F.sum("w").cast("double").alias("w"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / 20.0))
+    round_plan = plans.formatted_plan(
+        graph.pagerank_round(nodes, e, outd, ranks, 0.85, 20.0)
+    )
+    assert "BroadcastExchange" in round_plan  # the 1-row dangling mass
+    assert "CartesianProduct" not in round_plan
+    # the committed query's final vector is checkpoint-backed
+    assert "Scan ExistingRDD" in plan_of(spark, "q_pagerank")
+
+
+def test_dedup_incremental_no_text_in_exchanges(spark):
+    """Incremental dedup's exchanges must carry keys only: the raw text
+    column may appear below the sig-kernel projection but never in a
+    shuffle's output attributes."""
+    plan = plan_of(spark, "q_dedup_incremental")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
