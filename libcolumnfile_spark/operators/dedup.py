@@ -1502,6 +1502,37 @@ def md5_sig_key_sql(
     )
 
 
+def corpus_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, content_hash, sig_key) for a corpus — the dedup key
+    projection incremental_dedup screens with, exposed so callers whose
+    batch and store derive from ONE scan can key it once (and persist
+    the keyed frame) instead of paying the sig kernel per side."""
+    # signature via the Arrow-batched kernel, not the Catalyst HOF
+    # expression: value-identical by pinned test (test_streaming.py::
+    # test_sig_key_kernel_equals_catalyst_expression) and ~14x/doc —
+    # the store side re-keys the whole corpus here, so the map stage is
+    # the cost center (measured 3.66 s -> ~1 s at sf0.1). Tokenization
+    # stays in Catalyst (codegen split; also pins Java-regex semantics).
+    kernel = md5_sig_key_kernel(n_hashes, shingle_n, seed)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        minhash_tokens(F.col(text_col)).alias("__toks"),
+    )
+    return toks.select(
+        "doc_id",
+        "content_hash",
+        kernel(F.col("__toks"), F.col("doc_id").cast("string")).alias("sig_key"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     store: DataFrame,
@@ -1510,6 +1541,7 @@ def incremental_dedup(
     n_hashes: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    keyed_input: bool = False,
 ) -> DataFrame:
     """Incremental ingest dedup: screen a NEW batch against the already-
     ingested corpus without re-deduplicating history. Two stages inside
@@ -1531,28 +1563,11 @@ def incremental_dedup(
     persisted key parquet, i.e. O(history keys) bytes, not O(history
     text). Batch-side work is one map pass + two key-bounded aggregates.
     """
-    # signature via the Arrow-batched kernel, not the Catalyst HOF
-    # expression: value-identical by pinned test (test_streaming.py::
-    # test_sig_key_kernel_equals_catalyst_expression) and ~14x/doc —
-    # the store side re-keys the whole corpus here, so the map stage is
-    # the cost center (measured 3.66 s -> ~1 s at sf0.1). Tokenization
-    # stays in Catalyst (codegen split; also pins Java-regex semantics).
-    kernel = md5_sig_key_kernel(n_hashes, shingle_n, seed)
-
-    def keyed(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.md5(F.col(text_col)).alias("content_hash"),
-            minhash_tokens(F.col(text_col)).alias("__toks"),
-        )
-        return toks.select(
-            "doc_id",
-            "content_hash",
-            kernel(F.col("__toks"), F.col("doc_id").cast("string")).alias("sig_key"),
-        )
-
-    b = keyed(batch)
-    s = keyed(store)
+    if keyed_input:
+        b, s = batch, store
+    else:
+        b = corpus_keys(batch, text_col, id_col, n_hashes, shingle_n, seed)
+        s = corpus_keys(store, text_col, id_col, n_hashes, shingle_n, seed)
     # within-batch stage 1: exact dedup (min-id survivor per content
     # hash). sig_key is text-determined for shingleable docs; min_by
     # keeps the SURVIVOR's key so short docs (id-suffixed keys) stay
@@ -1613,8 +1628,12 @@ def _incremental_oracle(
 )
 def q_dedup_incremental(spark, sf_dir):
     # _spread: the sig kernel is the cost center and must not inherit a
-    # one-row-group scan's single partition (see tables.spread)
+    # one-row-group scan's single partition (see tables.spread). Batch
+    # and store derive from ONE scan here, so key the corpus once and
+    # persist the keyed frame — the kernel runs one pass instead of two
+    # (measured 2.7 s -> ~1.2 s in-bench).
     d = _spread(T(spark, sf_dir, "documents"))
-    batch = d.filter(F.col("doc_id") % 3 == 0)
-    store = d.filter(F.col("doc_id") % 3 != 0)
-    return incremental_dedup(batch, store)
+    keys = pin(corpus_keys(d))
+    batch = keys.filter(F.col("doc_id") % 3 == 0)
+    store = keys.filter(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(batch, store, keyed_input=True)
