@@ -494,6 +494,70 @@ def q_contamination_bloom(spark, sf_dir):
     return contamination_bloom_screen(d, bench)
 
 
+def _uniform01(key: Column) -> Column:
+    """Deterministic uniform in (0,1) from the md5 of the key's string
+    form: the first 48 md5 bits (exact in a double) shifted into the
+    open interval. Engine-portable like hash_bucket — the same row draws
+    the same uniform in Spark, DuckDB, or any md5-bearing tool."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+    return (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 48) + 1))
+
+
+def _uniform01_sql(key_sql: str) -> str:
+    return (
+        f"((('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 12))::BIGINT) + 1.0) "
+        f"/ {float((1 << 48) + 1)!r}"
+    )
+
+
+def weighted_sample(
+    df: DataFrame, weight: Column, id_col: Column, k: int = 100
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): per row draw the md5-uniform u and keep the top-k
+    by priority u^(1/w) — equivalently by ln(u)/w, computed in log space
+    so no pow() rounding crosses engines. Inclusion probability is
+    proportional to weight (the quality-/length-weighted subsampling
+    step of corpus curation), yet the sample is reproducible row-by-row
+    forever, unlike rand()-based sampling.
+
+    Scale: a pure map expression feeding TakeOrderedAndProject —
+    per-partition top-k heaps, no global sort, no shuffle of anything
+    but k rows per partition. Ordering ties are broken by id; ln()
+    last-ulp differences between engines cannot flip the cut because
+    48-bit uniforms spread adjacent priorities ~1e-3 apart at fixture
+    k, ~1e-9 even at billion-row corpora — 7+ orders above ulp noise.
+    """
+    key = F.log(_uniform01(id_col)) / weight
+    return (
+        df.filter(weight > 0)
+        .orderBy(key.desc(), id_col.asc())
+        .limit(k)
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=(
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
+        f"ORDER BY ln({_uniform01_sql('doc_id')}) / n_chars DESC, doc_id "
+        "LIMIT 100"
+    ),
+    doc=(
+        "Deterministic weighted sampling without replacement "
+        "(Efraimidis-Spirakis A-Res, md5 uniforms, log-space priority): "
+        "inclusion probability proportional to doc length, pure map + "
+        "TakeOrderedAndProject, reproducible across engines."
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_weighted(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return weighted_sample(d, F.col("n_chars"), F.col("doc_id")).select(
+        "doc_id", "n_chars"
+    )
+
+
 @query(
     "q_sample_stratified",
     oracle=(

@@ -510,3 +510,32 @@ def test_bloom_screen_no_false_negatives(spark):
     # candidates than true matches OR the sets are equal — either way the
     # verify stage only ever sees candidate grams, so matched <= candidates
     assert any(c > 0 for _, c in bloom.values())
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Efraimidis-Spirakis property: inclusion probability rises with
+    weight, so the k-of-n sample's mean weight exceeds the population's;
+    and the draw is deterministic (same rows both runs)."""
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, 1 + (i % 10) * 100) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picked = weighted_sample(df, F.col("w"), F.col("id"), k=80).collect()
+    assert len(picked) == 80
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    samp_mean = sum(r.w for r in picked) / len(picked)
+    assert samp_mean > pop_mean * 1.3
+    again = weighted_sample(df, F.col("w"), F.col("id"), k=80).collect()
+    assert sorted(r.id for r in picked) == sorted(r.id for r in again)
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame([(1, 0), (2, 5), (3, 0), (4, 7)], ["id", "w"])
+    got = {r.id for r in weighted_sample(df, F.col("w"), F.col("id"), k=10).collect()}
+    assert got == {2, 4}

@@ -367,3 +367,11 @@ def test_dedup_incremental_no_text_in_exchanges(spark):
     plan = plan_of(spark, "q_dedup_incremental")
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_sample_weighted_is_takeordered_no_exchange(spark):
+    """Weighted sampling must plan as a pure map feeding
+    TakeOrderedAndProject — zero exchanges at any scale."""
+    plan = plan_of(spark, "q_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange (") == 0

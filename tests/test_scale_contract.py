@@ -127,6 +127,7 @@ CONTRACTS = {
     "q_dedup_span": (3.5, 6.0),      # x10 replicas multiply posting lists:
                                      # surviving pairs are required C(10,2)
                                      # output, like q_dedup_ngram's regime
+    "q_sample_weighted": (1.2, 3.0),  # pure map + TakeOrdered; t1=0.27s
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
