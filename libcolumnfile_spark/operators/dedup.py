@@ -1637,3 +1637,122 @@ def q_dedup_incremental(spark, sf_dir):
     batch = keys.filter(F.col("doc_id") % 3 == 0)
     store = keys.filter(F.col("doc_id") % 3 != 0)
     return incremental_dedup(batch, store, keyed_input=True)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-SUBSET duplicate pairs by Broder containment
+    C(A,B) = |A n B| / |A|: doc A is (mostly) contained in doc B —
+    the asymmetric relation Jaccard misses (a long aggregator page
+    containing a short article scores low Jaccard but containment ~1).
+
+    Blocking: doc A's single min md5-gram-hash anchor joins against
+    doc B's full hashed gram posting rows. If C(A,B) >= t, A's
+    uniformly-random minimum gram lies in B with probability >= t —
+    a 1-hash MinHash bound, so recall is >= threshold by construction
+    (exact for full subsets). A length prefilter (nb >= t * na) rides
+    the same join condition.
+
+    Scale design: the A side contributes ONE key row per doc; the B
+    side one row per distinct gram (the inverted-index shape q_tfidf /
+    q_inverted_index already carry). The verify stage joins the compact
+    per-doc hashed-gram ARRAYS back by id for candidates only — gram
+    arrays shuffle once per candidate side, never per posting row, and
+    text bodies never shuffle at all. Like q_dedup_ngram, the exact
+    intersect runs on 31-bit hashed grams (collision odds ~1e-3 at
+    fixture scale, see _ngram_oracle's note); the oracle reproduces the
+    md5 anchor exactly and intersects gram strings.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    g = base.select(
+        "id", shingles_from_tokens(F.col("__toks"), shingle_n).alias("__grams")
+    ).filter(F.size("__grams") > 0)
+    arrays = pin(
+        g.select(
+            "id",
+            F.size("__grams").alias("n"),
+            F.transform(F.col("__grams"), md5_gram_hash).alias("hs"),
+        )
+    )
+    a = arrays.select(
+        F.col("id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.array_min("hs").alias("__anchor"),
+    )
+    e = arrays.select(
+        F.col("id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.explode("hs").alias("__h"),
+    )
+    cand = a.join(
+        e,
+        (F.col("__anchor") == F.col("__h"))
+        & (F.col("doc_a") != F.col("doc_b"))
+        & (F.col("nb").cast("double") >= F.lit(threshold) * F.col("na")),
+    ).select("doc_a", "doc_b", "na", "nb")
+    va = arrays.select(F.col("id").alias("doc_a"), F.col("hs").alias("__ha"))
+    vb = arrays.select(F.col("id").alias("doc_b"), F.col("hs").alias("__hb"))
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.round(inter.cast("double") / F.col("na"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def _containment_oracle(shingle_n: int = 3, threshold: float = 0.8) -> str:
+    p = _MERSENNE_31
+    n1 = shingle_n - 1
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "g AS (SELECT doc_id, "
+        f"list_distinct(list_transform(generate_series(1, len(toks) - {n1}), "
+        f"i -> array_to_string(toks[i:i+{n1}], ' '))) AS grams "
+        f"FROM t WHERE len(toks) >= {shingle_n}), "
+        "a AS (SELECT doc_id, grams, len(grams) AS na, "
+        "list_min(list_transform(grams, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})) AS anchor FROM g), "
+        "e AS (SELECT doc_id, len(grams) AS nb, grams, "
+        "unnest(list_transform(grams, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})) AS h FROM g), "
+        "cand AS (SELECT a.doc_id AS doc_a, e.doc_id AS doc_b, a.na, e.nb, "
+        "a.grams AS ga, e.grams AS gb FROM a JOIN e ON a.anchor = e.h "
+        f"AND a.doc_id <> e.doc_id AND e.nb >= {threshold} * a.na) "
+        "SELECT doc_a, doc_b, na, nb, "
+        "round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / na, 4) AS containment "
+        "FROM cand "
+        f"WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / na, 4) >= {threshold}"
+    )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=_containment_oracle(),
+    doc=(
+        "Near-subset duplicate pairs by Broder containment |AnB|/|A| — "
+        "the asymmetric relation Jaccard misses (short doc inside a "
+        "long aggregator page). Min-gram-anchor blocking (recall >= "
+        "threshold by the 1-hash MinHash bound), length prefilter in "
+        "the join condition, array-verify on candidates only."
+    ),
+    tags=("dedup",),
+)
+def q_dedup_containment(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return containment_pairs(d)

@@ -1265,3 +1265,45 @@ class TestPageRank:
         edges = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
         r = self._ranks(spark, edges)
         assert r["b"] > r["c"]
+
+
+class TestContainmentDedup:
+    def _pairs(self, spark, rows, **kw):
+        from libcolumnfile_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(df, **kw).collect()
+        }
+
+    def test_subset_doc_contained_in_superset(self, spark):
+        short = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, short),
+            (2, short + " plus much longer trailing content here now with extra words"),
+            (3, "completely unrelated text with different tokens entirely present"),
+        ]
+        out = self._pairs(spark, rows)
+        # full subset: every gram of 1 is in 2 -> containment 1.0; the
+        # asymmetric direction (2 in 1) fails the length prefilter
+        assert out[(1, 2)] == 1.0
+        assert (2, 1) not in out
+        assert all(3 not in p for p in out)
+
+    def test_jaccard_blind_containment_caught(self, spark):
+        # low-Jaccard high-containment pair: |A|=4 grams inside |B|=30+
+        a = "one two three four five six"
+        filler = " ".join(f"w{i}" for i in range(40))
+        out = self._pairs(spark, [(1, a), (2, a + " " + filler)])
+        assert out[(1, 2)] == 1.0
+
+    def test_threshold_gates_partial_overlap(self, spark):
+        # ~0.4 of A's grams in B: always below the 0.8 cut. (At lower
+        # thresholds recall is the DECLARED probabilistic >= t anchor
+        # bound, not a certainty — only containment -> 1 pairs are
+        # guaranteed, which tests 1-2 pin.)
+        a = "p q r s t u v w x y"           # grams over these tokens
+        b = "p q r s t filler1 filler2 filler3 filler4 filler5 filler6"
+        out8 = self._pairs(spark, [(1, a), (2, b)])
+        assert (1, 2) not in out8

@@ -128,6 +128,9 @@ CONTRACTS = {
                                      # surviving pairs are required C(10,2)
                                      # output, like q_dedup_ngram's regime
     "q_sample_weighted": (1.2, 3.0),  # pure map + TakeOrdered; t1=0.27s
+    "q_dedup_containment": (5.0, 8.0),  # x10 replicas mutually contain:
+                                     # ~90 required ordered pairs per doc
+                                     # group — output-bound like ngram/span
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
