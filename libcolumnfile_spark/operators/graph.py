@@ -108,18 +108,27 @@ def pagerank_round(
 ) -> DataFrame:
     """ONE PageRank round as a lazy plan (factored out so plan-contract
     tests can audit the round's physical shape before the eager
-    localCheckpoint in pagerank() hides it): 1-row dangling aggregate
-    broadcast back in-plan, contribution join + dst-keyed aggregate,
-    left join onto the node set."""
-    dang = ranks.join(outd, ranks["node"] == outd["src"], "left_anti").agg(
-        F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
-    )
-    contrib = (
+    localCheckpoint in pagerank() hides it): contribution join +
+    dst-keyed aggregate, dangling mass by the conservation identity,
+    left join onto the node set.
+
+    Dangling mass = sum(r) - sum(contrib): summing contrib over all
+    destinations telescopes to the rank mass of nodes WITH outlinks
+    (each u contributes r(u) * sum_v w(u,v)/out(u) = r(u)), so no
+    anti-join against the out-degree table is needed — the two 1-row
+    aggregates are partial/map-side, where the anti-join was a full
+    O(|V|) key shuffle per round."""
+    from libcolumnfile_spark.queries import pin
+
+    contrib = pin(
         e.join(outd, "src")
         .join(ranks, e["src"] == ranks["node"])
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
     )
+    dang = ranks.agg(F.sum("r").alias("__rs")).crossJoin(
+        contrib.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__cs"))
+    ).select((F.col("__rs") - F.col("__cs")).alias("dm"))
     return (
         nodes.crossJoin(F.broadcast(dang))
         .join(contrib, "node", "left")
@@ -165,13 +174,15 @@ def _pagerank_oracle(
     for t in range(n_iter):
         prev, cur = f"r{t}", f"r{t + 1}"
         ctes.append(
-            f"d{t} AS (SELECT COALESCE(sum(r), 0) AS dm FROM {prev} "
-            f"LEFT JOIN outd ON {prev}.node = outd.src WHERE outd.src IS NULL)"
-        )
-        ctes.append(
             f"c{t} AS (SELECT e.dst AS node, sum({prev}.r * e.w / outd.outw) AS contrib "
             f"FROM e JOIN outd ON e.src = outd.src JOIN {prev} ON e.src = {prev}.node "
             "GROUP BY e.dst)"
+        )
+        # dangling mass by conservation: sum(r) - sum(contrib) (see
+        # pagerank_round) — same identity, same float semantics
+        ctes.append(
+            f"d{t} AS (SELECT (SELECT sum(r) FROM {prev}) - "
+            f"COALESCE((SELECT sum(contrib) FROM c{t}), 0) AS dm)"
         )
         ctes.append(
             f"{cur} AS (SELECT nodes.node, "
