@@ -539,3 +539,46 @@ def test_weighted_sample_zero_weight_excluded(spark):
     df = spark.createDataFrame([(1, 0), (2, 5), (3, 0), (4, 7)], ["id", "w"])
     got = {r.id for r in weighted_sample(df, F.col("w"), F.col("id"), k=10).collect()}
     assert got == {2, 4}
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Randomized weights/ids vs a pure-python evaluation of the A-Res
+    rule (md5 uniforms, ln(u)/w priority) — the cross-engine determinism
+    claim, verified against a third implementation."""
+    import hashlib
+    import math
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.pipeline import weighted_sample
+
+    def uniform(i: int) -> float:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        return (h + 1.0) / ((1 << 48) + 1)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 100_000), st.integers(0, 50)),
+            min_size=1,
+            max_size=50,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(1, 12),
+    )
+    def check(rows, k):
+        expected = [
+            i
+            for i, w in sorted(
+                ((i, w) for i, w in rows if w > 0),
+                key=lambda t: (-(math.log(uniform(t[0])) / t[1]), t[0]),
+            )[:k]
+        ]
+        df = spark.createDataFrame(rows, "id BIGINT, w BIGINT")
+        got = [
+            r.id for r in weighted_sample(df, F.col("w"), F.col("id"), k=k).collect()
+        ]
+        assert got == expected
+
+    check()
