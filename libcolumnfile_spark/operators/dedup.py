@@ -1678,7 +1678,8 @@ def containment_pairs(
     arrays = pin(
         g.select(
             "id",
-            F.size("__grams").alias("n"),
+            # bigint: DuckDB len() is BIGINT — keeps na/nb dtype-identical
+            F.size("__grams").cast("bigint").alias("n"),
             F.transform(F.col("__grams"), md5_gram_hash).alias("hs"),
         )
     )

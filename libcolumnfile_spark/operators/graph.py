@@ -65,15 +65,17 @@ def pagerank(
     module docstring). N = |V| is one bounded count() scalar, computed
     once.
     """
-    from libcolumnfile_spark.queries import pin
-
     e = edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).agg(
         F.sum(weight_col).cast("double").alias("w")
     )
     # every eager round re-executes its inputs: persist the aggregated
     # edge list (and the derived out-degree table below) so the raw
-    # document scan runs ONCE, not once per iteration
-    e = pin(e)
+    # document scan runs ONCE, not once per iteration. Explicit
+    # persist/unpersist (not pin): the last checkpointed rank vector
+    # carries no lineage back to these, so they release at return
+    # instead of lingering until the next query invocation — the
+    # per-query cache-residency bound bench.py enforces.
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -83,10 +85,12 @@ def pagerank(
     # once, truncating lineage back to the document scan
     nodes = nodes.localCheckpoint(eager=True)
     nn = float(nodes.count())  # bounded scalar: one long per graph
-    outd = pin(e.groupBy("src").agg(F.sum("w").alias("outw")))
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
     ranks = nodes.withColumn("r", F.lit(1.0 / nn))
     for t in range(n_iter):
-        ranks = pagerank_round(nodes, e, outd, ranks, damping, nn)
+        ranks, round_tmp = pagerank_round(
+            nodes, e, outd, ranks, damping, nn, return_tmp=True
+        )
         # truncate lineage every checkpoint_every rounds: each round
         # references ranks twice (dangling + contribution), so a lazy
         # chain re-executes geometrically — measured A/B at bench SF:
@@ -95,6 +99,12 @@ def pagerank(
         # the gap widens with K
         if (t + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            # the checkpoint materialized the round: its temporary
+            # contribution cache is no longer reachable — release now
+            if round_tmp is not None:
+                round_tmp.unpersist(blocking=False)
+    e.unpersist(blocking=False)
+    outd.unpersist(blocking=False)
     return ranks.select("node", F.round("r", 6).alias("rank"))
 
 
@@ -105,7 +115,8 @@ def pagerank_round(
     ranks: DataFrame,
     damping: float,
     nn: float,
-) -> DataFrame:
+    return_tmp: bool = False,
+):
     """ONE PageRank round as a lazy plan (factored out so plan-contract
     tests can audit the round's physical shape before the eager
     localCheckpoint in pagerank() hides it): contribution join +
@@ -118,18 +129,18 @@ def pagerank_round(
     anti-join against the out-degree table is needed — the two 1-row
     aggregates are partial/map-side, where the anti-join was a full
     O(|V|) key shuffle per round."""
-    from libcolumnfile_spark.queries import pin
-
-    contrib = pin(
+    contrib = (
         e.join(outd, "src")
         .join(ranks, e["src"] == ranks["node"])
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
+        .persist()  # feeds the conservation scalar AND the node join;
+        #             caller unpersists once its round materializes
     )
     dang = ranks.agg(F.sum("r").alias("__rs")).crossJoin(
         contrib.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__cs"))
     ).select((F.col("__rs") - F.col("__cs")).alias("dm"))
-    return (
+    out = (
         nodes.crossJoin(F.broadcast(dang))
         .join(contrib, "node", "left")
         .select(
@@ -141,6 +152,7 @@ def pagerank_round(
             ).alias("r"),
         )
     )
+    return (out, contrib) if return_tmp else out
 
 
 def _doc_host_edges(spark, sf_dir: str) -> DataFrame:
