@@ -1538,3 +1538,80 @@ def _fragmented_documents_fixture(spark, sf_dir: str) -> tuple[str, str]:
 def q_compaction(spark, sf_dir):
     _frag, compacted = _fragmented_documents_fixture(spark, sf_dir)
     return spark.read.parquet(compacted).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def mv_maintain(
+    base_state: DataFrame, changes: DataFrame, key: str = "lang"
+) -> DataFrame:
+    """Incremental maintenance of an additive aggregate view: merge the
+    STORED per-group state with a signed change aggregate (CDC deltas:
+    mult=+1 inserts, mult=-1 deletes) instead of recomputing over
+    history. Counts and sums are self-maintainable (Gupta & Mumick,
+    "Maintenance of Materialized Views"), so the merged state is exactly
+    the full recompute — which is what the oracle checks, making the
+    correctness gate a CROSS-METHOD equivalence, not a replay.
+
+    ``base_state``: (key, n_docs, n_chars_sum) — the stored view.
+    ``changes``: (key, mult, n_chars) rows — the delta batch.
+
+    Scale: cost is O(delta) map work + a groups-bounded merge shuffle.
+    Maintaining a view over a 100 TB corpus from a 100 GB daily delta
+    touches the delta and the O(groups) state table only — never
+    history. Groups whose count reaches zero drop out of the view.
+    """
+    delta_state = changes.groupBy(key).agg(
+        F.sum("mult").cast("bigint").alias("n_docs"),
+        F.sum(F.col("mult") * F.col("n_chars")).cast("bigint").alias("n_chars_sum"),
+    )
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy(key)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_chars_sum").cast("bigint").alias("n_chars_sum"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+@query(
+    "q_mv_maintain",
+    # the oracle RECOMPUTES the view over the post-change membership —
+    # the incremental merge must land on exactly this state
+    oracle=(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum FROM documents "
+        "WHERE (doc_id % 5 <> 0 AND doc_id % 7 <> 3) OR doc_id % 5 = 0 "
+        "GROUP BY lang HAVING count(*) > 0"
+    ),
+    doc=(
+        "Incremental materialized-view maintenance: stored per-language "
+        "(count, char-sum) state merged with a signed CDC delta batch "
+        "(inserts doc_id%5=0, deletes doc_id%7=3 of the base) — "
+        "O(delta + groups), never a history rescan; the oracle is the "
+        "full recompute, so the gate checks cross-method equivalence."
+    ),
+    tags=("pipeline", "versioning"),
+)
+def q_mv_maintain(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    # stored view state (in production: the persisted O(groups) table)
+    base_state = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+    )
+    inserts = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("lang", F.lit(1).alias("mult"), "n_chars")
+    )
+    deletes = (
+        base.filter(F.col("doc_id") % 7 == 3)
+        .select("lang", F.lit(-1).alias("mult"), "n_chars")
+    )
+    return mv_maintain(base_state, inserts.unionByName(deletes))

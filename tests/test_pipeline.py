@@ -582,3 +582,26 @@ def test_weighted_sample_matches_python_reference(spark):
         assert got == expected
 
     check()
+
+
+def test_mv_maintain_handles_group_disappearance(spark):
+    """A group whose count reaches zero must drop from the view; pure
+    inserts create new groups; mixed deltas land on the recompute."""
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.pipeline import mv_maintain
+
+    base_state = spark.createDataFrame(
+        [("en", 2, 100), ("de", 1, 40)],
+        "lang STRING, n_docs BIGINT, n_chars_sum BIGINT",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("de", -1, 40),   # removes the only de doc -> group vanishes
+            ("en", -1, 60),   # one en doc out
+            ("fr", 1, 25),    # brand-new group
+        ],
+        "lang STRING, mult INT, n_chars BIGINT",
+    )
+    got = {r.lang: (r.n_docs, r.n_chars_sum) for r in mv_maintain(base_state, changes).collect()}
+    assert got == {"en": (1, 40), "fr": (1, 25)}
