@@ -131,6 +131,7 @@ CONTRACTS = {
                                      # surviving pairs are required C(10,2)
                                      # output, like q_dedup_ngram's regime
     "q_sample_weighted": (1.2, 3.0),  # pure map + TakeOrdered; t1=0.27s
+    "q_mv_maintain": (1.0, 3.0),     # O(delta + groups): flat by design
     "q_dedup_containment": (5.0, 8.0),  # x10 replicas mutually contain:
                                      # ~90 required ordered pairs per doc
                                      # group — output-bound like ngram/span
