@@ -1615,3 +1615,56 @@ def q_mv_maintain(spark, sf_dir):
         .select("lang", F.lit(-1).alias("mult"), "n_chars")
     )
     return mv_maintain(base_state, inserts.unionByName(deletes))
+
+
+@query(
+    "q_skew_report",
+    oracle=(
+        "WITH g AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem "
+        "GROUP BY l_suppkey), "
+        "s AS (SELECT CAST(sum(n) AS BIGINT) AS total, "
+        "CAST(max(n) AS BIGINT) AS max_n, "
+        "CAST(count(*) AS BIGINT) AS n_keys, "
+        "round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4) AS skew_factor "
+        "FROM g), "
+        "top AS (SELECT key, CAST(n AS BIGINT) AS n, "
+        "round(CAST(n AS DOUBLE) / (SELECT total FROM s), 6) AS share "
+        "FROM g ORDER BY n DESC, key LIMIT 5) "
+        "SELECT top.key, top.n, top.share, s.n_keys, s.total, s.skew_factor "
+        "FROM top CROSS JOIN s"
+    ),
+    doc=(
+        "Per-key skew diagnostics: heaviest join/agg keys with row "
+        "share, plus the max/mean group-size skew factor — the report "
+        "run before choosing salting or AQE skew-join thresholds. One "
+        "key-bounded aggregate + a 1-row stats cross join + top-k."
+    ),
+    tags=("pipeline", "diagnostics"),
+)
+def q_skew_report(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # 1-row stats: total rows, key count, skew factor (max/mean group
+    # size). Broadcast back onto the top-k — never a driver collect.
+    stats = g.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 4
+        ).alias("skew_factor"),
+    )
+    top = g.orderBy(F.col("n").desc(), F.col("key").asc()).limit(5)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            "n_keys",
+            "total",
+            "skew_factor",
+        )
+    )
