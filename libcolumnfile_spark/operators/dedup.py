@@ -1693,8 +1693,14 @@ def containment_pairs(
         F.col("n").alias("nb"),
         F.explode("hs").alias("__h"),
     )
-    cand = a.join(
-        e,
+    # every join in this operator is hinted shuffle_hash: no side is
+    # bounded by construction (a is O(docs), cand is O(candidates),
+    # arrays is O(corpus)), and Catalyst's post-join size estimates are
+    # unreliable enough that AQE attempted a driver-OOM broadcast of a
+    # 5M-row candidate table at the x100 probe. Hash-partitioned joins
+    # on anchor/id keys are the honest arms at every scale.
+    cand = a.hint("shuffle_hash").join(
+        e.hint("shuffle_hash"),
         (F.col("__anchor") == F.col("__h"))
         & (F.col("doc_a") != F.col("doc_b"))
         & (F.col("nb").cast("double") >= F.lit(threshold) * F.col("na")),
@@ -1703,8 +1709,9 @@ def containment_pairs(
     vb = arrays.select(F.col("id").alias("doc_b"), F.col("hs").alias("__hb"))
     inter = F.size(F.array_intersect("__ha", "__hb"))
     return (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
+        cand.hint("shuffle_hash")
+        .join(va.hint("shuffle_hash"), "doc_a")
+        .join(vb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
