@@ -40,26 +40,49 @@ def materialize(df) -> None:
 
 # Residency allowance per query: the current query's own pin()s (up to
 # a handful of persisted intermediates, released at the NEXT query) plus
-# localCheckpoint blocks (dedup CC, BPE distributed path) that the
-# ContextCleaner releases only when their RDD is GC'd driver-side. A
-# LEAK, by contrast, grows with every query x rep (3 reps x several
-# persists each) — a small constant bound separates the two cleanly
-# across a 160-query sweep.
-_HYGIENE_LIMIT = 10
+# localCheckpoint blocks (dedup CC, BPE distributed path, PageRank's
+# per-round rank vectors) that the ContextCleaner releases only when
+# their RDD is GC'd driver-side — asynchronously, and only as later
+# jobs give its queue cycles, so a few queries' worth can be resident
+# at once (measured: 12 after q_pagerank with history). A LEAK, by
+# contrast, grows with every query x rep (3 reps x several persists
+# each) and lands in the hundreds across a 180-query sweep — a small
+# constant bound still separates the two cleanly.
+_HYGIENE_LIMIT = 16
 
 
 def assert_cache_hygiene(spark, name: str, limit: int = _HYGIENE_LIMIT) -> None:
     """Fail fast if persisted state is accumulating (a persist path that
     exits early without its unpersist/pin release). Checks BOTH stores:
     SQL-cached relations (DataFrame.persist -> CacheManager) and
-    RDD-level persists/localCheckpoints (getPersistentRDDs)."""
-    n_sql = spark._jsparkSession.sharedState().cacheManager().cachedData().size()
-    n_rdd = spark.sparkContext._jsc.getPersistentRDDs().size()
+    RDD-level persists/localCheckpoints (getPersistentRDDs).
+
+    localCheckpoint RDDs are released by the ContextCleaner only after
+    the driver GC collects their last reference, so several iterative
+    queries back-to-back can transiently exceed the bound without any
+    leak. On a first exceedance, force a GC on both sides and re-count;
+    only a count that SURVIVES collection is a real leak."""
+
+    def counts():
+        return (
+            spark._jsparkSession.sharedState().cacheManager().cachedData().size(),
+            spark.sparkContext._jsc.getPersistentRDDs().size(),
+        )
+
+    n_sql, n_rdd = counts()
+    if n_sql > limit or n_rdd > limit:
+        import gc as _gc
+        import time as _time
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(0.5)  # let the ContextCleaner drain its queue
+        n_sql, n_rdd = counts()
     if n_sql > limit or n_rdd > limit:
         raise RuntimeError(
             f"cache hygiene after {name}: {n_sql} cached relations / "
-            f"{n_rdd} persistent RDDs remain (> {limit}) — a persist/pin "
-            "path is leaking"
+            f"{n_rdd} persistent RDDs remain (> {limit}) after GC — a "
+            "persist/pin path is leaking"
         )
 
 
