@@ -1584,10 +1584,22 @@ def incremental_dedup(
         F.sum("n_exact").alias("dup_count"),
     )
     # history screen: anti-join the store's key sets (keys only — at
-    # scale this is the persisted signature store, not a text scan)
+    # scale this is the persisted signature store, not a text scan).
+    # Both anti-joins hinted shuffle_hash: the store side is O(history
+    # keys) — construction-UNBOUNDED, so it must never ride a post-
+    # aggregate size estimate into a broadcast (repo policy since the
+    # containment AQE-broadcast OOM, da9de06); a plan contract pins this
     return (
-        fuzzy.join(s.select("sig_key").distinct(), "sig_key", "left_anti")
-        .join(s.select("content_hash").distinct(), "content_hash", "left_anti")
+        fuzzy.join(
+            s.select("sig_key").distinct().hint("shuffle_hash"),
+            "sig_key",
+            "left_anti",
+        )
+        .join(
+            s.select("content_hash").distinct().hint("shuffle_hash"),
+            "content_hash",
+            "left_anti",
+        )
         .select("doc_id", "content_hash", "sig_key", "dup_count")
     )
 

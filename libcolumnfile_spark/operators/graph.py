@@ -87,10 +87,18 @@ def pagerank(
     nn = float(nodes.count())  # bounded scalar: one long per graph
     outd = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
     ranks = nodes.withColumn("r", F.lit(1.0 / nn))
+    # EVERY round's contribution cache is tracked and released — with
+    # checkpoint_every > 1 the intermediate rounds' persisted frames
+    # stay reachable through the lazy chain until the next checkpoint
+    # materializes it, so they release in a batch there (and any
+    # stragglers at return); dropping them on the floor would leak
+    # CacheManager entries past the query (bench's cache-hygiene guard)
+    pending_tmps: list[DataFrame] = []
     for t in range(n_iter):
         ranks, round_tmp = pagerank_round(
             nodes, e, outd, ranks, damping, nn, return_tmp=True
         )
+        pending_tmps.append(round_tmp)
         # truncate lineage every checkpoint_every rounds: each round
         # references ranks twice (dangling + contribution), so a lazy
         # chain re-executes geometrically — measured A/B at bench SF:
@@ -99,10 +107,18 @@ def pagerank(
         # the gap widens with K
         if (t + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-            # the checkpoint materialized the round: its temporary
-            # contribution cache is no longer reachable — release now
-            if round_tmp is not None:
-                round_tmp.unpersist(blocking=False)
+            # the checkpoint materialized every round since the last
+            # one: their contribution caches are no longer reachable
+            for tmp in pending_tmps:
+                tmp.unpersist(blocking=False)
+            pending_tmps.clear()
+    if pending_tmps:
+        # n_iter not divisible by checkpoint_every: materialize the
+        # tail before releasing what it still references
+        ranks = ranks.localCheckpoint(eager=True)
+        for tmp in pending_tmps:
+            tmp.unpersist(blocking=False)
+        pending_tmps.clear()
     e.unpersist(blocking=False)
     outd.unpersist(blocking=False)
     return ranks.select("node", F.round("r", 6).alias("rank"))
@@ -134,9 +150,13 @@ def pagerank_round(
         .join(ranks, e["src"] == ranks["node"])
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
-        .persist()  # feeds the conservation scalar AND the node join;
-        #             caller unpersists once its round materializes
     )
+    if return_tmp:
+        # feeds the conservation scalar AND the node join; the caller
+        # receives the handle and unpersists once its round
+        # materializes. Persisting on the return_tmp=False (plan-audit)
+        # path would register a cache entry no caller can release.
+        contrib = contrib.persist()
     dang = ranks.agg(F.sum("r").alias("__rs")).crossJoin(
         contrib.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__cs"))
     ).select((F.col("__rs") - F.col("__cs")).alias("dm"))

@@ -251,13 +251,17 @@ def contamination_screen(
 def _contamination_oracle(shingle_n: int = 3, modulus: int = 97) -> str:
     p = (1 << 31) - 1
     n1 = shingle_n - 1
-    gram_hash = (
-        "CAST(('0x' || substr(md5(array_to_string(toks[i:i+" + str(n1) + "], ' ')), 1, 15)) "
-        f"AS BIGINT) % {p}"
+    # dedup gram STRINGS before hashing (mirrors gram_rows' dropDuplicates
+    # on the string form) — list_distinct over the HASHES would silently
+    # collapse any within-doc 31-bit collision between distinct grams and
+    # diverge the per-doc counts from the Spark side
+    gram_strs = (
+        "list_distinct(list_transform(generate_series(1, len(toks) - "
+        f"{n1}), i -> array_to_string(toks[i:i+{n1}], ' ')))"
     )
     grams = (
-        "list_distinct(list_transform(generate_series(1, len(toks) - "
-        f"{n1}), i -> {gram_hash}))"
+        f"list_transform({gram_strs}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})"
     )
     return (
         "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
@@ -332,12 +336,18 @@ def contamination_bloom_screen(
     only the ~fp-rate fraction of a 100 TB corpus' grams, small enough
     to shuffle even when the benchmark side cannot broadcast.
 
-    Plan shape (all Catalyst, no Python): the bitset is a
-    ``groupBy(word) -> bit_or(mask)`` aggregate of at most ``n_words``
-    rows; each corpus gram joins that table k times BROADCAST (the
-    bitset table is bounded by n_words, not by benchmark size) and
-    tests its bit with shiftright/&. One corpus pass: per-gram candidate
-    and verified flags aggregate in a single per-doc hash agg.
+    Plan shape: the bitset is a ``groupBy(word) -> bit_or(mask)``
+    aggregate of at most ``n_words`` rows; each corpus gram joins that
+    table k times BROADCAST (the bitset table is bounded by n_words,
+    not by benchmark size) and tests its bit with shiftright/&. The
+    per-doc gram/candidate counts aggregate straight off that map-side
+    pass; ONLY the ~fp-fraction candidate gram rows then reach the
+    exact verify join, which is hinted shuffle_hash on the gram hash —
+    the bench gram set is the construction-UNBOUNDED side this operator
+    exists for (10^8-10^9 grams), so it must never broadcast (repo
+    policy since the containment AQE-broadcast OOM, da9de06). The
+    matched counts rejoin the per-doc counts on doc_id (both sides
+    O(docs), also shuffle_hash).
 
     Output: (doc_id, n_grams, n_candidates, n_matched, contamination)
     for docs with at least one Bloom candidate — n_candidates >
@@ -402,17 +412,35 @@ def contamination_bloom_screen(
     for j in range(n_probes):
         hit = F.expr(f"(shiftright(bits{j}, t{j}) & 1) = 1")
         is_cand = hit if is_cand is None else (is_cand & hit)
-    flagged = probed.withColumn(
-        "_cand", F.coalesce(is_cand, F.lit(False))
-    ).join(F.broadcast(bench.withColumn("_m", F.lit(1))), "h", "left")
-    return (
+    flagged = probed.withColumn("_cand", F.coalesce(is_cand, F.lit(False)))
+    counts = (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count_if(F.col("_cand")).alias("n_candidates"),
-            F.count_if(F.col("_cand") & F.col("_m").isNotNull()).alias("n_matched"),
         )
         .filter(F.col("n_candidates") > 0)
+    )
+    # exact verify on Bloom CANDIDATES only: the unbounded bench gram
+    # set shuffles against the fp-fraction candidate stream, never
+    # broadcasts (see docstring)
+    matched = (
+        flagged.filter(F.col("_cand"))
+        .select("doc_id", "h")
+        .join(bench.hint("shuffle_hash"), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        counts.join(matched.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_candidates",
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("bigint")).alias(
+                "n_matched"
+            ),
+        )
         .select(
             "doc_id",
             "n_grams",
@@ -437,13 +465,17 @@ def _contamination_bloom_oracle(
     m = n_words * w_bits
     params = _hash_params(n_probes, seed)
     n1 = shingle_n - 1
-    gram_hash = (
-        "CAST(('0x' || substr(md5(array_to_string(toks[i:i+" + str(n1) + "], ' ')), 1, 15)) "
-        f"AS BIGINT) % {p}"
+    # dedup gram STRINGS before hashing (mirrors gram_rows' dropDuplicates
+    # on the string form) — list_distinct over the HASHES would silently
+    # collapse any within-doc 31-bit collision between distinct grams and
+    # diverge the per-doc counts from the Spark side
+    gram_strs = (
+        "list_distinct(list_transform(generate_series(1, len(toks) - "
+        f"{n1}), i -> array_to_string(toks[i:i+{n1}], ' ')))"
     )
     grams = (
-        "list_distinct(list_transform(generate_series(1, len(toks) - "
-        f"{n1}), i -> {gram_hash}))"
+        f"list_transform({gram_strs}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})"
     )
     pos = [f"(({a} * h + {b}) % {p}) % {m}" for a, b in params]
     set_union = " UNION ALL ".join(f"SELECT {pj} AS pos FROM b" for pj in pos)

@@ -474,11 +474,12 @@ def span_dedup_pairs(
         .withColumnRenamed("n_prints", "na")
         .join(counts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("n_prints", "nb")
-        .withColumn(
-            "coverage",
-            F.round(F.col("n_shared") / F.least("na", "nb"), 6),
-        )
-        .filter(F.col("coverage") >= min_coverage)
+        # filter on the RAW ratio (the oracle's WHERE is unrounded):
+        # thresholding the rounded value would admit raw coverages in
+        # [min_coverage - 5e-7, min_coverage) that the oracle excludes
+        .withColumn("_cov_raw", F.col("n_shared") / F.least("na", "nb"))
+        .filter(F.col("_cov_raw") >= min_coverage)
+        .withColumn("coverage", F.round(F.col("_cov_raw"), 6))
         .select("doc_a", "doc_b", "n_shared", "coverage")
     )
 

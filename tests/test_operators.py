@@ -1266,6 +1266,20 @@ class TestPageRank:
         r = self._ranks(spark, edges)
         assert r["b"] > r["c"]
 
+    def test_sparse_checkpoints_release_every_round_cache(self, spark):
+        # checkpoint_every=2 with n_iter=3: rounds 1 and 3 persist a
+        # contrib frame that is NOT immediately checkpointed — all of
+        # them (batch-released at the round-2 checkpoint, tail-flushed
+        # at return) must leave the CacheManager by the time pagerank
+        # returns, or back-to-back queries accumulate entries until
+        # bench's assert_cache_hygiene fires
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        before = cm.cachedData().size()
+        edges = [("a", "b", 1), ("b", "c", 2), ("a", "c", 1)]
+        r = self._ranks(spark, edges, n_iter=3, checkpoint_every=2)
+        assert abs(sum(r.values()) - 1.0) < 1e-4
+        assert cm.cachedData().size() == before
+
 
 class TestContainmentDedup:
     def _pairs(self, spark, rows, **kw):

@@ -323,17 +323,25 @@ def test_perplexity_split_quantile_plan_has_no_per_lang_sort(spark):
     assert "Window" in a_plan
 
 
-def test_contamination_bloom_is_broadcast_only_joins(spark):
-    """The Bloom screen's 100 TB claim, structurally: every join in the
-    plan is a BROADCAST join (k bitset probes + the exact verify against
-    the bench gram set) — no SortMergeJoin / ShuffledHashJoin, so the
-    corpus gram stream is never shuffled for membership testing; the
-    only non-broadcast exchanges are the per-doc aggregate and the
-    bounded bitset/bench builds."""
+def test_contamination_bloom_joins_split_bounded_vs_unbounded(spark):
+    """The Bloom screen's 100 TB claim, structurally: the ONLY broadcast
+    joins are the k bitset probes (bounded at n_words rows by
+    construction); the exact verify against the bench gram set — the
+    construction-UNBOUNDED side this operator exists for — and the
+    doc_id counts join must be SHUFFLE joins, so a 10^9-gram benchmark
+    registry can never ride a size estimate into a driver-OOM
+    broadcast. Membership testing itself stays map-side (the corpus
+    gram stream reaches a shuffle only as the ~fp-rate candidate
+    fraction)."""
     plan = plan_of(spark, "q_contamination_bloom")
     assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # 2 bitset probes + verify
+    # exactly the 2 bitset probes broadcast — 4 physical nodes because
+    # the flagged-gram subtree feeds BOTH the counts aggregate and the
+    # candidate filter (broadcast exchanges are reused). The bench
+    # verify must contribute zero BroadcastHashJoins.
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    # verify (on h, left_semi) + counts-matched rejoin (on doc_id)
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) >= 2
 
 
 def test_pagerank_dangling_mass_stays_in_plan(spark):
@@ -367,6 +375,17 @@ def test_dedup_incremental_no_text_in_exchanges(spark):
     plan = plan_of(spark, "q_dedup_incremental")
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_dedup_incremental_store_never_broadcast(spark):
+    """The docstring's 'the store is NEVER broadcast' claim, enforced:
+    the store-side key sets are O(history keys) — construction-unbounded
+    — so both history anti-joins must be shuffle joins regardless of
+    what post-aggregate size estimates suggest at fixture scale."""
+    plan = plan_of(spark, "q_dedup_incremental")
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ShuffledHashJoin") >= 2  # sig_key + content_hash antis
 
 
 def test_sample_weighted_is_takeordered_no_exchange(spark):
