@@ -1670,15 +1670,30 @@ def containment_pairs(
     (exact for full subsets). A length prefilter (nb >= t * na) rides
     the same join condition.
 
-    Scale design: the A side contributes ONE key row per doc; the B
-    side one row per distinct gram (the inverted-index shape q_tfidf /
-    q_inverted_index already carry). The verify stage joins the compact
-    per-doc hashed-gram ARRAYS back by id for candidates only — gram
-    arrays shuffle once per candidate side, never per posting row, and
-    text bodies never shuffle at all. Like q_dedup_ngram, the exact
-    intersect runs on 31-bit hashed grams (collision odds ~1e-3 at
-    fixture scale, see _ngram_oracle's note); the oracle reproduces the
-    md5 anchor exactly and intersects gram strings.
+    Scale design — gram-SET signature collapse, then the quadratic work
+    runs on DISTINCT sets only:
+
+    1. Docs collapse to their gram-set signature (md5 of the sorted
+       hash array) — one groupBy carrying each hash array ONCE per doc.
+       Real corpora are dup-heavy (that is why dedup operators exist),
+       so distinct signatures << docs; exact replicas collapse to one
+       representative BEFORE any pairing.
+    2. Anchor blocking + array verify run between REPRESENTATIVES: the
+       A side contributes one key row per distinct set, the B side one
+       posting row per (set, gram). The verify join carries gram arrays
+       once per candidate REP pair — the per-pair array shuffle that
+       made the x100 replica probe output-bound now scales with
+       distinct-set pairs, not doc pairs.
+    3. Rep-level pairs expand back to doc pairs through two member
+       joins (narrow rows), and same-signature members pair directly
+       with containment exactly 1.0 — equal hash sets intersect fully,
+       so this branch is identity-equal to running the verify join on
+       those pairs, not an approximation.
+
+    Like q_dedup_ngram, the exact intersect (and hence the signature)
+    runs on 31-bit hashed grams (collision odds ~1e-3 at fixture scale,
+    see _ngram_oracle's note); the oracle reproduces the md5 anchor
+    exactly and intersects gram strings.
     """
     base = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -1687,52 +1702,99 @@ def containment_pairs(
     g = base.select(
         "id", shingles_from_tokens(F.col("__toks"), shingle_n).alias("__grams")
     ).filter(F.size("__grams") > 0)
-    arrays = pin(
+    keyed = pin(
         g.select(
             "id",
             # bigint: DuckDB len() is BIGINT — keeps na/nb dtype-identical
             F.size("__grams").cast("bigint").alias("n"),
             F.transform(F.col("__grams"), md5_gram_hash).alias("hs"),
+        ).withColumn(
+            # order-free set signature: hs follows token order, so sort
+            # before hashing; md5 (128-bit) keeps accidental signature
+            # collisions far below the declared 31-bit gram-hash caveat
+            "sig",
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort("hs"), lambda h: h.cast("string")), ","
+                )
+            ),
         )
     )
-    a = arrays.select(
-        F.col("id").alias("doc_a"),
+    members = keyed.select("sig", "id", "n")
+    reps = keyed.groupBy("sig").agg(
+        # n and hs-as-a-set are sig-determined; min_by pins a
+        # deterministic representative array ordering
+        F.min_by("n", "id").alias("n"),
+        F.min_by("hs", "id").alias("hs"),
+    )
+    a = reps.select(
+        F.col("sig").alias("sig_a"),
         F.col("n").alias("na"),
         F.array_min("hs").alias("__anchor"),
     )
-    e = arrays.select(
-        F.col("id").alias("doc_b"),
+    e = reps.select(
+        F.col("sig").alias("sig_b"),
         F.col("n").alias("nb"),
         F.explode("hs").alias("__h"),
     )
     # every join in this operator is hinted shuffle_hash: no side is
-    # bounded by construction (a is O(docs), cand is O(candidates),
-    # arrays is O(corpus)), and Catalyst's post-join size estimates are
-    # unreliable enough that AQE attempted a driver-OOM broadcast of a
-    # 5M-row candidate table at the x100 probe. Hash-partitioned joins
-    # on anchor/id keys are the honest arms at every scale.
+    # bounded by construction (reps is O(distinct sets), cand is
+    # O(candidates), members is O(corpus)), and Catalyst's post-join
+    # size estimates are unreliable enough that AQE attempted a
+    # driver-OOM broadcast of a 5M-row candidate table at the x100
+    # probe. Hash-partitioned joins on anchor/sig keys are the honest
+    # arms at every scale.
     cand = a.hint("shuffle_hash").join(
         e.hint("shuffle_hash"),
         (F.col("__anchor") == F.col("__h"))
-        & (F.col("doc_a") != F.col("doc_b"))
+        & (F.col("sig_a") != F.col("sig_b"))
         & (F.col("nb").cast("double") >= F.lit(threshold) * F.col("na")),
-    ).select("doc_a", "doc_b", "na", "nb")
-    va = arrays.select(F.col("id").alias("doc_a"), F.col("hs").alias("__ha"))
-    vb = arrays.select(F.col("id").alias("doc_b"), F.col("hs").alias("__hb"))
+    ).select("sig_a", "sig_b", "na", "nb")
+    va = reps.select(F.col("sig").alias("sig_a"), F.col("hs").alias("__ha"))
+    vb = reps.select(F.col("sig").alias("sig_b"), F.col("hs").alias("__hb"))
     inter = F.size(F.array_intersect("__ha", "__hb"))
-    return (
+    rep_pairs = (
         cand.hint("shuffle_hash")
-        .join(va.hint("shuffle_hash"), "doc_a")
-        .join(vb.hint("shuffle_hash"), "doc_b")
+        .join(va.hint("shuffle_hash"), "sig_a")
+        .join(vb.hint("shuffle_hash"), "sig_b")
         .select(
-            "doc_a",
-            "doc_b",
+            "sig_a",
+            "sig_b",
             "na",
             "nb",
             F.round(inter.cast("double") / F.col("na"), 4).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
     )
+    ma = members.select(F.col("sig").alias("sig_a"), F.col("id").alias("doc_a"))
+    mb = members.select(F.col("sig").alias("sig_b"), F.col("id").alias("doc_b"))
+    cross = (
+        rep_pairs.hint("shuffle_hash")
+        .join(ma.hint("shuffle_hash"), "sig_a")
+        .join(mb.hint("shuffle_hash"), "sig_b")
+        .select("doc_a", "doc_b", "na", "nb", "containment")
+    )
+    # identical hash sets: anchor membership and the length prefilter
+    # hold in both directions and the hash intersect is total, so every
+    # ordered member pair is required output at containment exactly 1.0
+    m1 = members.select("sig", F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    m2 = members.select("sig", F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    same = (
+        m1.hint("shuffle_hash")
+        .join(m2.hint("shuffle_hash"), "sig")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.lit(1.0).alias("containment"),
+        )
+        # constant-folds: same-sig pairs exist in the output iff the
+        # threshold admits full containment
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(same)
 
 
 def _containment_oracle(shingle_n: int = 3, threshold: float = 0.8) -> str:

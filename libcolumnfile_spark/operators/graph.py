@@ -186,18 +186,25 @@ def _doc_host_edges(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_edge_cte(n_hosts: int = N_HOSTS) -> str:
+    return (
+        "e AS (SELECT source AS src, "
+        f"'src' || CAST(doc_id % {n_hosts} AS VARCHAR) AS dst, "
+        "CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2)"
+    )
+
+
 def _pagerank_oracle(
-    damping: float = _PR_DAMPING, n_iter: int = _PR_ITERS, n_hosts: int = N_HOSTS
+    edge_cte: str | None = None,
+    damping: float = _PR_DAMPING,
+    n_iter: int = _PR_ITERS,
 ) -> str:
     """Unrolled n_iter-round PageRank as chained CTEs — same edge
-    derivation, same dangling redistribution, same math as pagerank()."""
+    derivation (``edge_cte`` must define ``e(src, dst, w)``), same
+    dangling redistribution, same math as pagerank()."""
     d = damping
     ctes = [
-        (
-            "e AS (SELECT source AS src, "
-            f"'src' || CAST(doc_id % {n_hosts} AS VARCHAR) AS dst, "
-            "CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2)"
-        ),
+        edge_cte or _host_edge_cte(),
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)",
         "outd AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)",
@@ -226,6 +233,66 @@ def _pagerank_oracle(
         "WITH " + ", ".join(ctes) + " "
         f"SELECT node, round(r, 6) AS rank FROM r{n_iter}"
     )
+
+
+def _doc_id_edges(spark, sf_dir: str) -> DataFrame:
+    """Doc-LEVEL graph: |V| proportional to the corpus (every doc is a
+    node) — the derivation that makes PageRank's scale claim measurable
+    instead of structural. Each doc emits a tree edge toward doc_id//2
+    (connects the id space) and an md5-derived long-range edge (the
+    md5_gram_hash family, so the oracle reproduces it exactly); targets
+    outside the doc-id range are legitimate dangling nodes, so |V| is
+    ~2x docs and the rank-vector join and dst-keyed aggregate carry
+    O(|V|) rows that GROW with the data, unlike the fixed-20-host
+    fixture graph of q_pagerank."""
+    from libcolumnfile_spark.operators.dedup import md5_gram_hash
+
+    d = T(spark, sf_dir, "documents")
+    sid = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    tree = d.select(
+        sid.alias("src"),
+        F.concat(F.lit("d"), F.shiftright("doc_id", 1).cast("string")).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    hashed = d.select(
+        sid.alias("src"),
+        F.concat(
+            F.lit("d"), md5_gram_hash(F.col("doc_id").cast("string")).cast("string")
+        ).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    return tree.unionByName(hashed)
+
+
+def _doc_edge_cte() -> str:
+    p = (1 << 31) - 1
+    h = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {p}"
+    return (
+        "e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM ("
+        "SELECT 'd' || CAST(doc_id AS VARCHAR) AS src, "
+        "'d' || CAST(doc_id // 2 AS VARCHAR) AS dst FROM documents "
+        "UNION ALL "
+        "SELECT 'd' || CAST(doc_id AS VARCHAR), "
+        f"'d' || CAST({h} AS VARCHAR) FROM documents"
+        ") GROUP BY 1, 2)"
+    )
+
+
+@query(
+    "q_pagerank_docs",
+    oracle=_pagerank_oracle(edge_cte=_doc_edge_cte()),
+    doc=(
+        "Fixed-iteration PageRank over a DOC-level graph (|V| ~ 2x "
+        "docs: tree edge toward doc_id//2 plus an md5-derived "
+        "long-range edge) — same operator as q_pagerank, but the rank "
+        "vector, contribution join, and dst aggregate all scale with "
+        "the corpus, so the per-round O(|V|) claim is exercised, not "
+        "asserted."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_pagerank_docs(spark, sf_dir):
+    return pagerank(_doc_id_edges(spark, sf_dir))
 
 
 @query(

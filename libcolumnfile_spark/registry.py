@@ -58,8 +58,11 @@ _PRIORITY = [
     # reshape / scalar / nested (q_json_extract demoted likewise)
     "q_scalar_str_date", "q_explode",
     # columnfile format layer + stock sources + partition pruning
-    # (q_columnfile_filter demoted; scan+nested keep the format slots)
-    "q_columnfile_scan", "q_columnfile_nested",
+    # (q_columnfile_filter demoted earlier; round 8 rotates
+    # q_columnfile_nested just past the window — q_roundtrip becomes the
+    # writer/codec rep, exercising all 5 block codecs end-to-end, while
+    # nested shredding stays byte-pinned in pytest and in the full audit)
+    "q_columnfile_scan", "q_roundtrip",
     "q_partition_pruned", "q_zorder_filter",
     # text analysis + IR (q_quality demoted past the window: the quality
     # family keeps q_gopher_rules and the round-5 classifier gate;
@@ -88,13 +91,16 @@ _PRIORITY = [
     "q_chunk_overlap", "q_perplexity_split",
     # round-7 additions rotated into the window: Bloom-prefiltered
     # decontamination, duplicated-span pairs, incremental signature-store
-    # dedup, and fixed-iteration PageRank (graph analytics)
+    # dedup; round 8 swaps the graph slot to the doc-scale PageRank
+    # (|V| ~ corpus — the variant whose per-round shuffles actually grow
+    # with the data; the 20-host q_pagerank stays in the full audit)
     "q_contamination_bloom", "q_dedup_span", "q_dedup_incremental",
-    "q_pagerank",
-    # demoted just past the window across rounds 5-7 (their families
+    "q_pagerank_docs",
+    # demoted just past the window across rounds 5-8 (their families
     # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
-    # q_bm25_topk); still in every full audit
+    # q_roundtrip, q_bm25_topk, q_pagerank_docs); still in every full audit
+    "q_pagerank", "q_columnfile_nested",
     "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
     "q_quality", "q_intersect", "q_rollup", "q_join_agg", "q_subquery",
     "q_gap_fill", "q_columnfile_filter", "q_tfidf",

@@ -206,3 +206,82 @@ def q_columnfile_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+_RT_CODECS = ("none", "snappy", "lz4", "lzma", "zlib")
+
+
+def _roundtrip_oracle() -> str:
+    p = (1 << 31) - 1
+    key = (
+        "CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' || "
+        "source || '|' || CAST(n_chars AS VARCHAR)"
+    )
+    codecs = ", ".join(f"('{c}')" for c in _RT_CODECS)
+    return (
+        f"WITH h AS (SELECT CAST(('0x' || substr(md5({key}), 1, 15)) AS BIGINT) "
+        f"% {p} AS hv FROM documents), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(hv) AS BIGINT) AS hash_sum FROM h) "
+        f"SELECT codec, n_rows, hash_sum FROM (VALUES {codecs}) AS t(codec) "
+        "CROSS JOIN s"
+    )
+
+
+@query(
+    "q_roundtrip",
+    oracle=_roundtrip_oracle(),
+    doc=(
+        "Write/read roundtrip of the native columnfile format under ALL "
+        "five block codecs (reference O1/O18, columnfile-writer.cc + "
+        "columnfile-internal.h codec table): the documents table is "
+        "written per codec and read back, and a per-row md5 checksum "
+        "sum over every column must equal the same aggregate computed "
+        "on the source parquet — any byte lost or reordered anywhere in "
+        "encode -> compress -> decompress -> decode shifts the sum."
+    ),
+    tags=("columnfile", "codec"),
+)
+def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark)
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    p = (1 << 31) - 1
+    hv = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.col("text"),
+                        F.col("lang"),
+                        F.col("source"),
+                        F.col("n_chars").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(p),
+    )
+    out = None
+    for codec in _RT_CODECS:
+        path = cache_path("colcache", key, f"documents_rt_{codec}")
+        if not fs_exists(fs_join(path, MANIFEST_FILE)):
+            d.write.format("columnfile").option("compression", codec).mode(
+                "overwrite"
+            ).save(path)
+        r = (
+            spark.read.format("columnfile")
+            .option("partition_bytes", str(_parallel_partition_bytes(path)))
+            .load(path)
+        )
+        agg = r.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(hv).alias("hash_sum")
+        ).select(F.lit(codec).alias("codec"), "n_rows", "hash_sum")
+        out = agg if out is None else out.unionByName(agg)
+    return out

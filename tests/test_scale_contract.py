@@ -52,9 +52,6 @@ CONTRACTS = {
     # no pair generation — growth must stay near-linear
     "q_dedup_passage": (1.8, 3.5),
     "q_tfidf": (3.9, 6.5),        # x10 absolute ~1.4 s
-    "q_inverted_index": (2.7, 10.0),  # x10 absolute ~1.1-3 s; flaked at
-                                     # 4.5-8.3 in-suite (load), 2.7
-                                     # isolated — true quadratic lands ~27
     "q_sim_knn": (1.9, 3.5),      # broadcast queries: corpus map-side
     "q_sessionize": (6.6, 10.0),  # t1=0.14s floor; x10 events = 10x distinct users, x10 absolute ~0.9 s
     # percent_rank partitions by language (5 values) — parallelism is
@@ -118,11 +115,6 @@ CONTRACTS = {
     "q_perplexity_split": (1.9, 3.5),  # LM scorer + per-lang ntile (5 sorted
                                      # runs — the q_quality_filter shape)
     # round-7 operators (measured 2026-08-15)
-    "q_contamination_bloom": (2.8, 9.0),  # k broadcast bitset joins stay
-                                     # map-side; bitset size is fixed;
-                                     # isolated 1.8-2.8, in-suite 6.7
-                                     # (session GC debt inflates the x10
-                                     # window); true quadratic lands ~28
     "q_dedup_incremental": (1.4, 3.0),  # Arrow sig kernel + key-only
                                      # shuffles; x10 absolute ~2.3 s
     "q_pagerank": (1.9, 3.5),        # per-round cost keyed by |V| (fixed
@@ -132,15 +124,9 @@ CONTRACTS = {
                                      # output, like q_dedup_ngram's regime
     "q_sample_weighted": (1.2, 3.0),  # pure map + TakeOrdered; t1=0.27s
     "q_mv_maintain": (1.0, 3.0),     # O(delta + groups): flat by design
-    "q_dedup_containment": (5.6, 30.0),  # x10 replicas mutually contain:
-                                     # ~90 required ordered pairs per doc
-                                     # group, each rider carrying gram
-                                     # arrays through the (OOM-proof)
-                                     # shuffle_hash verify — output/
-                                     # shuffle-bound like ngram/span.
-                                     # isolated 5.6, in-suite up to 25.8
-                                     # (GC debt); corpus-quadratic lands
-                                     # ~100
+    # round-8 operators (measured 2026-08-15)
+    "q_pagerank_docs": (2.2, 4.0),   # |V| ~ 2x docs: per-round join+agg
+                                     # grow WITH the data (x100: 4.1)
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
@@ -148,6 +134,50 @@ CONTRACTS = {
     # worse denominator's ratio (8.0 observed) plus headroom.
     "q_gap_fill": (8.0, 11.0),
 }
+
+
+# Load-sensitive contracts, run ISOLATED: these three queries' in-suite
+# wall ratios historically inflated 2-5x under a 600-test session's JVM
+# GC debt and page-cache churn, and round 7 absorbed that by loosening
+# their bounds (containment to 30x against a 5.6x isolated measurement)
+# — diluting the only automated scale guard. Each now runs in a FRESH
+# process/JVM via tools/isolated_ratio.py, which is what the bound was
+# measured under, so the bounds are back at <= 1.5x the isolated
+# measurement and there is no retry loop: a failure here is a real
+# superlinear regression (quadratic lands ~10x past the bound).
+# Measured 2026-08-15 (fresh sessions, idle host).
+ISOLATED_CONTRACTS = {
+    "q_dedup_containment": (2.75, 4.1),   # set-signature collapse: verify
+                                          # runs on distinct gram sets,
+                                          # expansion is required output
+    "q_contamination_bloom": (2.67, 4.0),  # bitset probes map-side;
+                                          # verify = candidate fraction
+    "q_inverted_index": (2.58, 3.9),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ISOLATED_CONTRACTS))
+def test_x10_ratio_contract_isolated(name):
+    import json
+    import subprocess
+
+    _measured, bound = ISOLATED_CONTRACTS[name]
+    proc = subprocess.run(
+        [sys.executable, "tools/isolated_ratio.py", name],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    assert r["ratio"] <= bound, (
+        f"{name}: isolated x10 wall-clock ratio {r['ratio']:.2f} exceeds "
+        f"contract {bound} (sf0.1 {r['t1']:.2f}s -> x10 {r['tN']:.2f}s) — "
+        "superlinear regression (lost blocking / degraded collapse / new "
+        "shuffle?)"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -170,12 +200,11 @@ def test_x10_ratio_contract(spark, x10, name):
     # superlinear regression sits ~10x past the bound and fails BOTH
     # attempts; a flake passing on the clean re-measure costs ~seconds.
     last = None
-    # three attempts: a 600-test session carries GC debt and page-cache
-    # churn that inflates single wall-ratio windows (q_tfidf /
-    # q_inverted_index observed failing two in-suite attempts at ratios
-    # their isolated runs beat 2x); a genuine superlinear regression
-    # sits ~10x past the bound and fails ALL attempts
-    for _attempt in range(3):
+    # the chronically load-sensitive contracts run isolated (see
+    # ISOLATED_CONTRACTS above); for the rest, one clean re-measure
+    # absorbs one-off host spikes — a genuine superlinear regression
+    # sits ~10x past the bound and fails both attempts
+    for _attempt in range(2):
         t1 = best2(lambda: run(BASE))
         t10 = best2(lambda: run(x10))
         ratio = t10 / t1
