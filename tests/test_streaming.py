@@ -615,3 +615,105 @@ def test_fuzzy_dedup_null_id_short_docs_never_merge_distinct_text(spark):
     assert out.count() == 3
     texts = sorted(r["text"] or "" for r in out.collect())
     assert texts == ["", "alpha beta", "gamma delta"]
+
+
+def test_columnfile_tailed_segments_watermark_equals_batch(spark, tmp_path):
+    """The reference's O23 tail-able-segment semantics under REAL
+    lateness: out-of-order micro-batches arrive as segments appended to
+    ONE growing .col file (writer flush per segment = the reference's
+    per-segment pubsync, columnfile-writer.cc:84), and a watermarked
+    tumbling aggregation replays from the same checkpoint after each
+    append. Contract: (a) a late event that is behind the watermark but
+    whose WINDOW is still open must be COUNTED — lateness inside the
+    state-retention bound is correctness, not best effort; (b) every
+    window the stream emits equals the batch aggregate of the same
+    file's rows; (c) each closed window emits exactly once."""
+    import datetime as dt
+
+    register(spark)
+    from pyspark.sql.types import _parse_datatype_string
+
+    from libcolumnfile_spark.sources.columnfile.format import ColumnFileWriter
+    from libcolumnfile_spark.sources.columnfile.typed import encoder_for
+
+    schema = _parse_datatype_string(EVENTS_DDL)
+    encs = [encoder_for(f.dataType) for f in schema.fields]
+    path = str(tmp_path / "grow.col")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    w = ColumnFileWriter(path, compression="lz4")
+
+    def append_segment(rows):  # rows: [(event_id, minutes-after-base)]
+        for eid, m in rows:
+            vals = (
+                eid,
+                base + dt.timedelta(minutes=m),
+                eid % 3,
+                "click",
+                eid * 0.5,
+                None,
+            )
+            for c, v in enumerate(vals):
+                if v is None:
+                    w.put_null(c)
+                else:
+                    w.put(c, encs[c](v))
+            w.add_rows(1)
+        assert w.flush() is not None  # one complete on-disk segment
+
+    def run_once():
+        stream = (
+            spark.readStream.format("columnfile").schema(EVENTS_DDL).load(path)
+        )
+        sq = (
+            P.tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(sq)
+
+    # segment 1: 10:05, 10:20, 11:05 -> end-of-run watermark 10:55;
+    # window [10,11) stays OPEN (10:55 < 11:00), nothing emits yet
+    append_segment([(0, 5), (1, 20), (2, 65)])
+    run_once()
+    # segment 2, out of order: 10:40 is BEHIND the restored 10:55
+    # watermark but its window is still open -> must be aggregated;
+    # 11:45 advances the watermark to 11:35, closing [10,11) with THREE
+    # events (the late one included)
+    append_segment([(3, 40), (4, 105)])
+    run_once()
+    # segment 3: 12:30 -> end-of-run watermark 12:20; emission of a
+    # closed window happens in the batch AFTER the one that advanced
+    # the watermark (the restored-watermark replay path), so...
+    append_segment([(5, 150)])
+    run_once()
+    # ...segment 4's run replays with the restored 12:20 watermark and
+    # closes [11,12) (2 events); [12,13) and [13,14) stay open in state
+    append_segment([(6, 210)])
+    run_once()
+    w.finalize()
+
+    got = sorted(
+        spark.read.parquet(sink).collect(), key=lambda r: r["window_start"]
+    )
+    # (c) exactly-once per window, (a) the late 10:40 event counted
+    assert [r["n_events"] for r in got] == [3, 2]
+    # (b) emitted windows equal the batch aggregate of the same file
+    batch = {
+        r["window_start"]: r
+        for r in P.tumbling_counts(
+            spark.read.format("columnfile").schema(EVENTS_DDL).load(path)
+        ).collect()
+    }
+    for r in got:
+        b = batch[r["window_start"]]
+        assert (r["n_events"], r["total_value"]) == (
+            b["n_events"],
+            b["total_value"],
+        ), r["window_start"]
