@@ -819,6 +819,72 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(T(spark, sf_dir, "documents"), "text", 100)
 
 
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1000
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus top-k token
+    vocabulary: n_tokens, n_oov, and the OOV rate — the
+    tokenizer-coverage eval of a data pipeline (how much of each
+    document a fixed vocabulary can represent; high-OOV docs are
+    boilerplate, foreign-language leakage, or encoding damage).
+
+    Scale design: the vocabulary is construction-BOUNDED at k rows
+    (the one case repo policy allows a broadcast), so coverage testing
+    is a map-side broadcast join over the token stream — one corpus
+    pass, and the only exchange carries per-doc partial counts. The
+    vocab build itself is vocab_topk's O(distinct tokens) shuffle +
+    TakeOrdered; (cnt, token) is a total order, so the cut at k is
+    deterministic cross-engine.
+    """
+    vocab = vocab_topk(df, text_col, k).select("token").withColumn(
+        "_v", F.lit(1)
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_v").isNull()).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(text), '\\s+')) AS token "
+        "FROM documents), "
+        "t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''), "
+        "v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM t2 "
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 1000)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov, "
+        "round(CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE) "
+        "/ count(*), 6) AS oov_rate "
+        "FROM t2 LEFT JOIN v USING (token) GROUP BY doc_id"
+    ),
+    doc=(
+        "Per-document OOV rate against the corpus top-1000 token "
+        "vocabulary — tokenizer-coverage eval: bounded-k vocab "
+        "broadcast, map-side membership test, per-doc count aggregate."
+    ),
+    tags=("pipeline", "text"),
+)
+def q_vocab_coverage(spark, sf_dir):
+    return vocab_coverage(_spread(T(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Connected components (dedup-cluster transitive closure)
 # ---------------------------------------------------------------------------

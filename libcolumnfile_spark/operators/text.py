@@ -977,6 +977,144 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK)
 
 
+_RRF_K = 60.0  # the standard reciprocal-rank-fusion constant (Cormack,
+#                Clarke & Buettcher 2009); dampens the head so one
+#                list's #1 cannot dominate a consistent #3-#5 presence
+_RRF_LIST_K = 50
+_RRF_TOPK = 25
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k_const: float = _RRF_K,
+    topk: int = _RRF_TOPK,
+) -> DataFrame:
+    """Reciprocal-rank fusion of scorer-heterogeneous ranking lists:
+    rrf(d) = sum_i 1/(k + rank_i(d)), items absent from a list
+    contribute 0 for it. The standard way to combine rankings whose
+    scores are NOT calibrated against each other (lexical BM25 vs a
+    quality prior vs embedding cosine) without learning fusion weights.
+
+    Each input is an already-cut top-k list, so everything here is
+    bounded by construction: rank assignment is a row_number over a
+    k-row frame (the no-partition Window sorts k rows, not the corpus),
+    the full-outer join unions <= sum(k_i) rows, and the final cut is a
+    TakeOrdered. The expensive part of retrieval stays inside the
+    upstream scorers, which keep their own scale shapes (bm25_topk:
+    map-side scoring + 1-row stats broadcast; quality_features:
+    map-only).
+
+    Ranks tie-break by id, so fusion is deterministic cross-engine; the
+    two reciprocal terms add left-to-right in both engines and round(6)
+    absorbs nothing (sums of two exact binary fractions' quotients are
+    identical expression trees).
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    for i, (df, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        r = df.select(id_col, F.row_number().over(w).alias(f"r{i}"))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    rrf = None
+    for i in range(len(rankings)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(k_const) + F.col(f"r{i}")), F.lit(0.0)
+        )
+        rrf = c if rrf is None else rrf + c
+    return (
+        fused.select(id_col, F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def _rank_fusion_oracle(
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    list_k: int = _RRF_LIST_K,
+    k_const: float = _RRF_K,
+    topk: int = _RRF_TOPK,
+) -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)) "
+        f"/ (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    # quality composite: identical staged arithmetic to _QUALITY_ORACLE
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"p AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t), "
+        "g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, "
+        f"{df_cols} FROM p), "
+        f"s AS (SELECT doc_id, ({score}) AS raw FROM p CROSS JOIN g), "
+        "ba AS (SELECT doc_id, round(raw, 6) AS bm25 FROM s WHERE raw > 0 "
+        f"ORDER BY round(raw, 6) DESC, doc_id LIMIT {list_k}), "
+        "ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) "
+        "AS r0 FROM ba), "
+        "c AS (SELECT doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "  ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_alnum, "
+        "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper "
+        "FROM documents), "
+        "r AS (SELECT doc_id, "
+        "CASE WHEN n_chars_calc > 0 THEN CAST(n_chars_calc - n_alnum AS DOUBLE) / n_chars_calc ELSE 0.0 END AS pr, "
+        "CASE WHEN n_chars_calc > 0 THEN CAST(n_upper AS DOUBLE) / n_chars_calc ELSE 0.0 END AS ur, "
+        "n_tokens FROM c), "
+        "q AS (SELECT doc_id, "
+        "round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 "
+        "  + (1.0 - least(pr * 5.0, 1.0)) * 0.3 "
+        "  + (1.0 - least(ur * 5.0, 1.0)) * 0.2, 4) AS quality FROM r), "
+        f"qb AS (SELECT doc_id, quality FROM q ORDER BY quality DESC, doc_id LIMIT {list_k}), "
+        "rb AS (SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) "
+        "AS r1 FROM qb), "
+        "f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, r0, r1 "
+        "FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id) "
+        f"SELECT doc_id, round(COALESCE(1.0 / ({k_const} + CAST(r0 AS DOUBLE)), 0.0) "
+        f"+ COALESCE(1.0 / ({k_const} + CAST(r1 AS DOUBLE)), 0.0), 6) AS rrf "
+        f"FROM f ORDER BY rrf DESC, doc_id LIMIT {topk}"
+    )
+
+
+@query(
+    "q_rank_fusion",
+    oracle=_rank_fusion_oracle(),
+    doc=(
+        "Reciprocal-rank fusion (RRF, k=60) of two uncalibrated "
+        "rankings — BM25 relevance for the 5-term query and the "
+        "composite quality prior — the retrieve-relevant-AND-high-"
+        "quality selection step of corpus curation. Rank assignment on "
+        "bounded top-50 lists, full-outer union, TakeOrdered top-25."
+    ),
+    tags=("text", "similarity", "pipeline"),
+)
+def q_rank_fusion(spark, sf_dir):
+    d = _spread(T(spark, sf_dir, "documents"))
+    bm = bm25_topk(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_RRF_LIST_K)
+    quality = (
+        quality_features(d)
+        .select("doc_id", "quality")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(_RRF_LIST_K)
+    )
+    return rrf_fuse([(bm, "bm25"), (quality, "quality")])
+
+
 @query(
     "q_quality_filter",
     # percent_rank is (rank-1)/(n-1) on both engines; the (quality,

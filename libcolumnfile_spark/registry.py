@@ -67,8 +67,11 @@ _PRIORITY = [
     # text analysis + IR (q_quality demoted past the window: the quality
     # family keeps q_gopher_rules and the round-5 classifier gate;
     # q_tfidf demoted — round-6's q_bm25_topk is the stronger IR rep)
+    # (round 8: q_rank_fusion supersedes q_bm25_topk as the retrieval
+    # rep — it exercises BM25 AND the quality prior AND RRF fusion;
+    # bm25 itself follows just past the window)
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_gopher_rules",
-    "q_token_count", "q_bm25_topk", "q_classifier_filter",
+    "q_token_count", "q_rank_fusion", "q_classifier_filter",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # and the self-tuned SRP pair generator (round 4), plus the
     # full-oracle minhash dedup twin — one rep each for the ANN,
@@ -86,9 +89,10 @@ _PRIORITY = [
     # seeded-quantizer clustering + within-cluster dominance) and the
     # per-domain frequency cap (full-oracle, two-phase salted selection)
     "q_semdedup", "q_domain_cap",
-    # round-6 additions rotated into the window: sliding-window chunking
-    # and the CCNet head/middle/tail perplexity split
-    "q_chunk_overlap", "q_perplexity_split",
+    # round-6/8 rotation: the CCNet perplexity split keeps its slot;
+    # round 8 swaps chunking (pure fan-out, covered by pytest + full
+    # audit) for vocabulary-coverage analysis (tokenizer OOV eval)
+    "q_vocab_coverage", "q_perplexity_split",
     # round-7 additions rotated into the window: Bloom-prefiltered
     # decontamination, duplicated-span pairs, incremental signature-store
     # dedup; round 8 swaps the graph slot to the doc-scale PageRank
@@ -99,8 +103,9 @@ _PRIORITY = [
     # demoted just past the window across rounds 5-8 (their families
     # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
-    # q_roundtrip, q_bm25_topk, q_pagerank_docs); still in every full audit
-    "q_pagerank", "q_columnfile_nested",
+    # q_roundtrip, q_rank_fusion, q_pagerank_docs); still in every full
+    # audit
+    "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
     "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
     "q_quality", "q_intersect", "q_rollup", "q_join_agg", "q_subquery",
     "q_gap_fill", "q_columnfile_filter", "q_tfidf",

@@ -1321,3 +1321,66 @@ class TestContainmentDedup:
         b = "p q r s t filler1 filler2 filler3 filler4 filler5 filler6"
         out8 = self._pairs(spark, [(1, a), (2, b)])
         assert (1, 2) not in out8
+
+
+class TestVocabCoverage:
+    def test_oov_counts(self, spark):
+        from libcolumnfile_spark.operators.pipeline import vocab_coverage
+
+        # vocab k=2 -> {"a", "b"} (a x4, b x3); "zz"/"q" are OOV
+        rows = [
+            (1, "a a b zz"),
+            (2, "a b q"),
+            (3, "a b a"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+            for r in vocab_coverage(df, k=2).collect()
+        }
+        assert out[1] == (4, 1, 0.25)
+        assert out[2] == (3, 1, round(1 / 3, 6))
+        assert out[3] == (3, 0, 0.0)
+
+    def test_vocab_cut_is_deterministic_on_count_ties(self, spark):
+        from libcolumnfile_spark.operators.pipeline import vocab_coverage
+
+        # four tokens with count 1 each, k=2: (cnt desc, token asc)
+        # keeps {"a", "b"}; "c"/"d" are OOV regardless of input order
+        df = spark.createDataFrame([(1, "d c b a")], ["doc_id", "text"])
+        (r,) = vocab_coverage(df, k=2).collect()
+        assert (r.n_tokens, r.n_oov) == (4, 2)
+
+
+class TestRRFFuse:
+    def _fuse(self, spark, a_rows, b_rows, **kw):
+        from libcolumnfile_spark.operators.text import rrf_fuse
+
+        a = spark.createDataFrame(a_rows, ["doc_id", "sa"])
+        b = spark.createDataFrame(b_rows, ["doc_id", "sb"])
+        return {
+            r.doc_id: r.rrf for r in rrf_fuse([(a, "sa"), (b, "sb")], **kw).collect()
+        }
+
+    def test_consensus_beats_single_list_head(self, spark):
+        # doc 1 tops list A only; doc 2 is #2 in BOTH -> doc 2 wins
+        out = self._fuse(
+            spark,
+            [(1, 10.0), (2, 5.0), (3, 1.0)],
+            [(4, 9.0), (2, 8.0), (5, 7.0)],
+            k_const=1.0,
+        )
+        # doc2: 1/(1+2) + 1/(1+2) = 2/3; doc1: 1/(1+1) = 1/2
+        assert out[2] == round(2 / 3, 6)
+        assert out[1] == 0.5
+        assert out[2] > out[1] > out[3]
+
+    def test_absent_list_contributes_zero(self, spark):
+        out = self._fuse(spark, [(1, 1.0)], [(2, 1.0)], k_const=1.0)
+        # both docs are rank 1 in exactly one list
+        assert out[1] == out[2] == 0.5
+
+    def test_rank_ties_break_by_id(self, spark):
+        # equal scores: doc 3 must rank ahead of doc 7 by id tie-break
+        out = self._fuse(spark, [(7, 1.0), (3, 1.0)], [(3, 1.0)], k_const=1.0)
+        assert out[3] > out[7]

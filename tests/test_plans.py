@@ -388,6 +388,18 @@ def test_dedup_incremental_store_never_broadcast(spark):
     assert plan.count("ShuffledHashJoin") >= 2  # sig_key + content_hash antis
 
 
+def test_vocab_coverage_vocab_is_broadcast(spark):
+    """The coverage join's 100 TB claim: the vocabulary side is bounded
+    at k rows BY CONSTRUCTION (the one case repo policy allows a forced
+    broadcast), so membership testing must be a BroadcastHashJoin over
+    the token stream — a shuffle there would key an exchange by token
+    over the whole corpus."""
+    plan = plan_of(spark, "q_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_sample_weighted_is_takeordered_no_exchange(spark):
     """Weighted sampling must plan as a pure map feeding
     TakeOrderedAndProject — zero exchanges at any scale."""

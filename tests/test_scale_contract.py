@@ -127,6 +127,11 @@ CONTRACTS = {
     # round-8 operators (measured 2026-08-15)
     "q_pagerank_docs": (2.2, 4.0),   # |V| ~ 2x docs: per-round join+agg
                                      # grow WITH the data (x100: 4.1)
+    "q_vocab_coverage": (1.7, 3.5),  # bounded-k vocab broadcast, token
+                                     # stream rides idle cores
+    "q_rank_fusion": (4.6, 7.0),     # t1=0.49s is mostly floor (3 jobs);
+                                     # x10 absolute 2.2 s, map-side BM25
+                                     # + TakeOrdered lists
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
