@@ -96,6 +96,18 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].spark_fn
+        # settle the allocator BEFORE each query, outside the timed
+        # region (JMH-style inter-benchmark GC): a 185-query sweep in
+        # one JVM accumulates GC debt that lands on whichever query runs
+        # next — measured 3x inflation mid-sweep (q_vocab_coverage
+        # 1.64 s in-sweep vs 0.49 s in a fresh session, q_udtf 1.16 vs
+        # 0.20, q_tpch_q9 1.36 vs 0.34). The python gc.collect() also
+        # drains DataFrame refs into the ContextCleaner queue so stale
+        # checkpoint RDDs release here instead of inside a timed run.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         # untimed warm run: codegen compile + JIT tier-up + worker pool +
         # one-time fixture conversions (see module docstring)
         materialize(fn(spark, sf_dir))
