@@ -1405,6 +1405,139 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def scd2_merge(
+    dim: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts: int,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 MERGE: apply a snapshot batch to
+    a validity-interval dimension. ``dim`` carries (key, attrs...,
+    valid_from, valid_to) with valid_to NULL marking the current
+    version; ``delta`` carries (key, attrs...) — the new values
+    observed at time ``ts``. For every delta key whose attributes
+    ACTUALLY differ from the current version (null-safe compare: no-op
+    re-deliveries must not mint versions), the current row closes at
+    ``ts`` and a new current row opens; everything else passes through
+    untouched. The metadata-versioning face of corpus refreshes — where
+    q_upsert_merge overwrites, SCD2 keeps the full audit history every
+    as-of query needs.
+
+    Plan shape: ONE left shuffle join of the current slice against the
+    delta (hinted shuffle_hash — the delta is a batch of arbitrary
+    size, never broadcast on an estimate), whose output splits three
+    ways by a change flag (closed / kept / opened); closed history
+    passes through join-free. At 100 TB the dimension co-partitions
+    with the delta on the key and the whole merge is that single
+    exchange.
+    """
+    cur = dim.filter(F.col("valid_to").isNull())
+    hist = dim.filter(F.col("valid_to").isNotNull())
+    u = delta.select(
+        F.col(key_col),
+        *[F.col(a).alias(f"__u_{a}") for a in attr_cols],
+        F.lit(1).alias("__m"),
+    )
+    j = cur.join(u.hint("shuffle_hash"), key_col, "left")
+    differs = None
+    for a in attr_cols:
+        d = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        differs = d if differs is None else (differs | d)
+    changed = (F.col("__m") == 1) & differs
+    out_cols = [key_col, *attr_cols, "valid_from", "valid_to"]
+    closed = j.filter(changed).select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.col("valid_from"),
+        F.lit(ts).cast("bigint").alias("valid_to"),
+    )
+    kept = j.filter(~F.coalesce(changed, F.lit(False))).select(*out_cols)
+    opened = j.filter(changed).select(
+        F.col(key_col),
+        *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
+        F.lit(ts).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    return hist.select(*out_cols).unionByName(closed).unionByName(kept).unionByName(
+        opened
+    )
+
+
+@query(
+    "q_scd2_merge",
+    oracle=(
+        "WITH b AS (SELECT c_custkey, c_acctbal, c_mktsegment, "
+        f"{_bucket_sql('c_custkey')} AS bk FROM customer), "
+        "dim AS ("
+        "SELECT c_custkey, c_acctbal, c_mktsegment, CAST(0 AS BIGINT) AS valid_from, "
+        "CAST(NULL AS BIGINT) AS valid_to FROM b "
+        "UNION ALL "
+        "SELECT c_custkey, c_acctbal - 50.0, c_mktsegment, CAST(-1 AS BIGINT), "
+        "CAST(0 AS BIGINT) FROM b WHERE bk < 5), "
+        "delta AS ("
+        "SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment "
+        "FROM b WHERE bk < 30 "
+        "UNION ALL "
+        "SELECT c_custkey, c_acctbal, c_mktsegment FROM b WHERE bk >= 30 AND bk < 40), "
+        "cur AS (SELECT * FROM dim WHERE valid_to IS NULL), "
+        "hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL), "
+        "j AS (SELECT cur.*, d.c_acctbal AS u_bal, d.c_mktsegment AS u_seg, "
+        "d.c_custkey IS NOT NULL AND (d.c_acctbal IS DISTINCT FROM cur.c_acctbal "
+        "OR d.c_mktsegment IS DISTINCT FROM cur.c_mktsegment) AS changed "
+        "FROM cur LEFT JOIN delta d ON cur.c_custkey = d.c_custkey) "
+        "SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to FROM hist "
+        "UNION ALL "
+        "SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, CAST(1 AS BIGINT) "
+        "FROM j WHERE changed "
+        "UNION ALL "
+        "SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to "
+        "FROM j WHERE NOT COALESCE(changed, FALSE) "
+        "UNION ALL "
+        "SELECT c_custkey, u_bal, u_seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT) "
+        "FROM j WHERE changed"
+    ),
+    doc=(
+        "SCD Type-2 MERGE over a validity-interval dimension: a delta "
+        "batch (30% value changes + 10% no-op re-deliveries, derived by "
+        "hash bucket; 5% of keys carry prior history rows) closes "
+        "changed current versions at ts=1 and opens new ones; no-op "
+        "deliveries mint NO versions (null-safe attribute compare). One "
+        "left shuffle join split three ways by the change flag."
+    ),
+    tags=("pipeline", "versioning"),
+)
+def q_scd2_merge(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    bk = hash_bucket(F.col("c_custkey"))
+    base = c.select("c_custkey", "c_acctbal", "c_mktsegment", bk.alias("__bk"))
+    dim = base.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    ).unionByName(
+        base.filter(F.col("__bk") < 5).select(
+            "c_custkey",
+            (F.col("c_acctbal") - 50.0).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(-1).cast("bigint").alias("valid_from"),
+            F.lit(0).cast("bigint").alias("valid_to"),
+        )
+    )
+    delta = base.filter(F.col("__bk") < 30).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        base.filter((F.col("__bk") >= 30) & (F.col("__bk") < 40)).select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+    )
+    return scd2_merge(dim, delta, "c_custkey", ["c_acctbal", "c_mktsegment"], ts=1)
+
+
 # ---------------------------------------------------------------------------
 # Data quality: column profiling and constraint validation — the checks a
 # pipeline runs before promoting a corpus snapshot.

@@ -958,6 +958,7 @@ def knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     salt_buckets: int = 16,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Exact batch cosine k-NN join: for each query vector, its top-k
     corpus neighbors. Output (q_id, c_id, cos_sim, rn).
@@ -971,6 +972,13 @@ def knn_join(
     corpus-hash salt, so ~salt_buckets * k rows survive per query —
     phase 2 re-ranks those survivors per q_id. Any global top-k row is
     top-k within its salt bucket, so the two-phase result is exact.
+
+    With ``planes`` set, scoring is restricted to SRP same-bucket
+    (query, corpus) pairs — the ANN regime: the broadcast join keys on
+    the bucket id, so only ~2^-n_planes of the corpus is scored per
+    query and the top-k is approximate with recall governed by
+    n_planes. Same plan shape (broadcast + map-side + two-phase top-k);
+    the bucket predicate just moves from "always true" to a join key.
     """
     from pyspark.sql import Window
 
@@ -980,7 +988,13 @@ def knn_join(
     c = corpus.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cv")
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
+    if planes is None:
+        cand = c.crossJoin(F.broadcast(q))
+    else:
+        qb = q.withColumn("__bkt", lsh_bucket(F.col("__qv"), planes))
+        cb = c.withColumn("__bkt", lsh_bucket(F.col("__cv"), planes))
+        cand = cb.join(F.broadcast(qb), "__bkt")
+    scored = cand.select(
         "q_id",
         "c_id",
         F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos_sim"),
@@ -1028,6 +1042,124 @@ def q_sim_knn(spark, sf_dir):
         emb.filter(F.col("vec_id") < 8),
         _spread(emb.filter(F.col("vec_id") >= 8)),
         k=5,
+    )
+
+
+_RECALL_K = 10
+_RECALL_PLANES = 3  # coarse buckets: ~1/8 of the corpus scored per query
+
+
+def ann_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = _RECALL_K,
+    n_planes: int = _RECALL_PLANES,
+    seed: int = 13,
+    dim: int = _QUERY_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of the SRP-LSH ANN retrieval against exact
+    brute force — the index-quality monitoring step every production
+    ANN deployment runs (a quantizer drifts as the corpus distribution
+    shifts; recall is the dial that says when to add probes or rebuild).
+
+    Output: (q_id, n_exact, n_approx, n_hit, recall) where recall =
+    |approx top-k ∩ exact top-k| / |exact top-k|. A query whose bucket
+    holds no corpus vectors scores n_approx = 0, recall = 0 — silent
+    dead buckets are precisely what this surfaces.
+
+    Scale shape: both arms are knn_join's broadcast + map-side +
+    two-phase-salted top-k (the approximate arm just keys the broadcast
+    join on the bucket id), and every aggregate below them is over
+    n_queries x k rows — bounded by construction.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    exact = knn_join(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    approx = knn_join(
+        queries, corpus, k=k, vec_col=vec_col, id_col=id_col, planes=planes
+    )
+    e = exact.select("q_id", "c_id")
+    a = approx.select(F.col("q_id").alias("__aq"), F.col("c_id").alias("__ac"))
+    n_exact = e.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = a.groupBy(F.col("__aq").alias("q_id")).agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    n_hit = (
+        e.join(a, (F.col("q_id") == F.col("__aq")) & (F.col("c_id") == F.col("__ac")), "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_approx, "q_id", "left")
+        .join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0).cast("bigint")).alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_oracle(
+    k: int = _RECALL_K, n_planes: int = _RECALL_PLANES, seed: int = 13
+) -> str:
+    planes = _hyperplanes(_QUERY_DIM, n_planes, seed)
+    bq = _duckdb_bucket_expr(planes, "qv")
+    bc = _duckdb_bucket_expr(planes, "cv")
+    return (
+        "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 8), "
+        "c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv "
+        "FROM embeddings WHERE vec_id >= 8), "
+        f"bq AS (SELECT q_id, qv, {bq} AS bkt FROM q), "
+        f"bc AS (SELECT c_id, cv, {bc} AS bkt FROM c), "
+        "s AS (SELECT q_id, c_id, round(list_cosine_similarity(cv, qv), 6) "
+        "AS cos_sim FROM c CROSS JOIN q), "
+        "e AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER ("
+        "PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn FROM s) "
+        f"WHERE rn <= {k}), "
+        "sa AS (SELECT bq.q_id, bc.c_id, "
+        "round(list_cosine_similarity(bc.cv, bq.qv), 6) AS cos_sim "
+        "FROM bc JOIN bq ON bc.bkt = bq.bkt), "
+        "a AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER ("
+        "PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn FROM sa) "
+        f"WHERE rn <= {k}), "
+        "ne AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY q_id), "
+        "na AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_approx FROM a GROUP BY q_id), "
+        "nh AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_hit FROM e "
+        "JOIN a ON e.q_id = a.q_id AND e.c_id = a.c_id GROUP BY e.q_id) "
+        "SELECT ne.q_id, n_exact, COALESCE(n_approx, 0) AS n_approx, "
+        "COALESCE(n_hit, 0) AS n_hit, "
+        "round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact, 6) AS recall "
+        "FROM ne LEFT JOIN na ON ne.q_id = na.q_id "
+        "LEFT JOIN nh ON ne.q_id = nh.q_id"
+    )
+
+
+@query(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc=(
+        "ANN index-quality eval: per-query recall@10 of SRP-LSH "
+        "(3-plane bucket join) against exact brute-force cosine over "
+        "the same 8-query batch — both arms are broadcast + map-side + "
+        "two-phase salted top-k; every downstream aggregate is bounded "
+        "by n_queries x k."
+    ),
+    tags=("similarity", "lsh"),
+)
+def q_ann_recall(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return ann_recall(
+        emb.filter(F.col("vec_id") < 8),
+        _spread(emb.filter(F.col("vec_id") >= 8)),
     )
 
 

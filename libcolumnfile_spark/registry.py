@@ -47,14 +47,19 @@ _PRIORITY = [
     # past the window; q_group_agg/q_percentile/q_stats_agg hold the slots)
     "q_group_agg", "q_percentile", "q_stats_agg",
     # join surface (q_join_agg demoted — q_tpch_q3 is the join+agg rep)
-    "q_join_inner", "q_join_outer", "q_join_semi", "q_join_asof",
+    # (q_join_semi demoted in round 8: the join family keeps 4 in-window
+    # reps + 3 TPC-H shapes; the semi arm is exercised inside q_tpch_q21
+    # and the ann-recall hit join)
+    "q_join_inner", "q_join_outer", "q_join_asof",
     "q_join_q5",
     # canonical TPC-H shapes (scan-agg, disjunctive-pushdown, and
     # hand-decorrelation reps; the rest of the pack follows after;
     # q_subquery demoted — q_tpch_q21 is the decorrelation rep)
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q21",
-    # windows + event analytics (q_window_range/q_gap_fill demoted)
-    "q_window_rank", "q_sessionize", "q_funnel",
+    # windows + event analytics (q_window_range/q_gap_fill demoted;
+    # round 8 demotes q_funnel — sessionize keeps the event slot and
+    # funnel stays in the full audit)
+    "q_window_rank", "q_sessionize",
     # reshape / scalar / nested (q_json_extract demoted likewise)
     "q_scalar_str_date", "q_explode",
     # columnfile format layer + stock sources + partition pruning
@@ -100,12 +105,18 @@ _PRIORITY = [
     # with the data; the 20-host q_pagerank stays in the full audit)
     "q_contamination_bloom", "q_dedup_span", "q_dedup_incremental",
     "q_pagerank_docs",
+    # round-8 additions rotated into the window: ANN index-quality
+    # recall eval (supersedes q_sim_knn — its exact arm IS a knn join)
+    # and SCD Type-2 dimension merge (supersedes q_upsert_merge as the
+    # versioning rep: keeps history where upsert overwrites)
+    "q_ann_recall", "q_scd2_merge",
     # demoted just past the window across rounds 5-8 (their families
     # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
     # q_roundtrip, q_rank_fusion, q_pagerank_docs); still in every full
     # audit
     "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
+    "q_join_semi", "q_funnel",
     "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
     "q_quality", "q_intersect", "q_rollup", "q_join_agg", "q_subquery",
     "q_gap_fill", "q_columnfile_filter", "q_tfidf",

@@ -1384,3 +1384,32 @@ class TestRRFFuse:
         # equal scores: doc 3 must rank ahead of doc 7 by id tie-break
         out = self._fuse(spark, [(7, 1.0), (3, 1.0)], [(3, 1.0)], k_const=1.0)
         assert out[3] > out[7]
+
+
+class TestANNRecall:
+    def test_zero_planes_is_full_probe_recall_one(self, spark):
+        # with no hyperplanes every vector lands in bucket 0, the
+        # approximate arm degenerates to exact brute force, and recall
+        # must be exactly 1.0 for every query — the same identity the
+        # IVF full-probe test pins
+        from libcolumnfile_spark.operators.similarity import ann_recall
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        out = ann_recall(
+            emb.filter("vec_id < 4"),
+            emb.filter("vec_id >= 4"),
+            k=5,
+            n_planes=0,
+        ).collect()
+        assert len(out) == 4
+        assert all(r.recall == 1.0 and r.n_hit == r.n_exact == 5 for r in out)
+
+    def test_recall_bounded_and_counts_consistent(self, spark):
+        from libcolumnfile_spark.operators.similarity import ann_recall
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        for r in ann_recall(
+            emb.filter("vec_id < 8"), emb.filter("vec_id >= 8")
+        ).collect():
+            assert 0.0 <= r.recall <= 1.0
+            assert r.n_hit <= min(r.n_exact, r.n_approx)

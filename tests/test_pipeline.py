@@ -605,3 +605,59 @@ def test_mv_maintain_handles_group_disappearance(spark):
     )
     got = {r.lang: (r.n_docs, r.n_chars_sum) for r in mv_maintain(base_state, changes).collect()}
     assert got == {"en": (1, 40), "fr": (1, 25)}
+
+
+class TestSCD2Merge:
+    def _merge(self, spark, dim_rows, delta_rows, ts=5):
+        from libcolumnfile_spark.operators.pipeline import scd2_merge
+
+        dim = spark.createDataFrame(
+            dim_rows, "k bigint, v string, valid_from bigint, valid_to bigint"
+        )
+        delta = spark.createDataFrame(delta_rows, "k bigint, v string")
+        out = scd2_merge(dim, delta, "k", ["v"], ts=ts).collect()
+        return sorted(
+            ((r.k, r.v, r.valid_from, r.valid_to) for r in out),
+            key=lambda t: (t[0], t[1] or "", t[2]),
+        )
+
+    def test_change_closes_and_opens(self, spark):
+        got = self._merge(spark, [(1, "a", 0, None)], [(1, "b")])
+        assert got == [(1, "a", 0, 5), (1, "b", 5, None)]
+
+    def test_noop_delivery_mints_no_version(self, spark):
+        got = self._merge(spark, [(1, "a", 0, None)], [(1, "a")])
+        assert got == [(1, "a", 0, None)]
+
+    def test_untouched_key_passes_through(self, spark):
+        got = self._merge(spark, [(1, "a", 0, None), (2, "x", 0, None)], [(1, "b")])
+        assert got == [
+            (1, "a", 0, 5),
+            (1, "b", 5, None),
+            (2, "x", 0, None),
+        ]
+
+    def test_history_rows_never_touched(self, spark):
+        got = self._merge(
+            spark,
+            [(1, "old", -3, 0), (1, "a", 0, None)],
+            [(1, "b")],
+        )
+        assert got == [
+            (1, "a", 0, 5),
+            (1, "b", 5, None),
+            (1, "old", -3, 0),
+        ]
+
+    def test_null_safe_compare(self, spark):
+        # NULL -> value IS a change; NULL -> NULL is a no-op
+        got = self._merge(
+            spark,
+            [(1, None, 0, None), (2, None, 0, None)],
+            [(1, "b"), (2, None)],
+        )
+        assert got == [
+            (1, None, 0, 5),
+            (1, "b", 5, None),
+            (2, None, 0, None),
+        ]

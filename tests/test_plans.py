@@ -388,6 +388,26 @@ def test_dedup_incremental_store_never_broadcast(spark):
     assert plan.count("ShuffledHashJoin") >= 2  # sig_key + content_hash antis
 
 
+def test_scd2_merge_is_one_shuffle_join(spark):
+    """SCD2's 100 TB claim, structurally: the whole merge is ONE left
+    shuffle join of the current slice against the delta (split three
+    ways by the change flag) — the delta is a batch of arbitrary size,
+    so it must never ride a size estimate into a broadcast, and closed
+    history must pass through join-free. (The x10 fixture cannot probe
+    this: dimension tables are scale-fixed by design, so the wall ratio
+    is ~1 regardless of plan shape.)"""
+    import re as _re
+
+    plan = plan_of(spark, "q_scd2_merge")
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    n_shj = len(_re.findall(r"\(\d+\) ShuffledHashJoin", plan))
+    # one logical join; it may appear per consumer branch (closed/kept/
+    # opened reuse the subtree), but no OTHER join kind may exist
+    assert n_shj >= 1
+
+
 def test_vocab_coverage_vocab_is_broadcast(spark):
     """The coverage join's 100 TB claim: the vocabulary side is bounded
     at k rows BY CONSTRUCTION (the one case repo policy allows a forced

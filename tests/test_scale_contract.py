@@ -128,10 +128,18 @@ CONTRACTS = {
     "q_pagerank_docs": (2.2, 4.0),   # |V| ~ 2x docs: per-round join+agg
                                      # grow WITH the data (x100: 4.1)
     "q_vocab_coverage": (1.7, 3.5),  # bounded-k vocab broadcast, token
-                                     # stream rides idle cores
+                                     # stream rides idle cores; x100 3.0 s
     "q_rank_fusion": (4.6, 7.0),     # t1=0.49s is mostly floor (3 jobs);
-                                     # x10 absolute 2.2 s, map-side BM25
-                                     # + TakeOrdered lists
+                                     # x10 absolute 2.2 s; x100 19.6 s is
+                                     # the quality prior's 3 full-text
+                                     # regex passes — map-only, linear in
+                                     # bytes (cores saturate past x10)
+    "q_ann_recall": (1.4, 3.0),      # both arms broadcast + two-phase
+                                     # top-k; embeddings x10 = 20k vecs
+    "q_scd2_merge": (0.8, 2.0),      # dim tables are scale-FIXED in the
+                                     # probe (ratio ~1 by construction) —
+                                     # the real guard is the plan contract
+                                     # (one shuffle join, no broadcast)
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
