@@ -17,6 +17,8 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -1043,6 +1045,78 @@ def q_sim_knn(spark, sf_dir):
         _spread(emb.filter(F.col("vec_id") >= 8)),
         k=5,
     )
+
+
+_PROJ_DIM = 8
+_PROJ_SEED = 11
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = _PROJ_DIM,
+    seed: int = _PROJ_SEED,
+    dim: int = _QUERY_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce embeddings to
+    ``out_dim`` components against a SEEDED dense projection matrix
+    (rows scaled by 1/sqrt(out_dim), the JL normalization) — the
+    standard cheap pre-reduce before clustering/ANN when the full
+    dimension is overkill. Emitted in exploded (id, j, comp) form: the
+    component values are scalar doubles, so the cross-engine value
+    check applies its float normalization (array cells would compare
+    by repr).
+
+    Pure map + row-local posexplode: the projection matrix is
+    out_dim x dim LITERALS baked into the plan (seeded, reproducible
+    anywhere — the md5-uniform family's vector analog), so 100 TB of
+    embeddings project with zero shuffles and zero Python.
+    """
+    planes = [
+        deterministic_query_vector(dim, seed=seed * 1000 + j)
+        for j in range(out_dim)
+    ]
+    scale = 1.0 / math.sqrt(float(out_dim))
+    comps = F.array(
+        *[
+            F.round(dot(F.col(vec_col), _lit_vec(p)) * F.lit(scale), 6)
+            for p in planes
+        ]
+    )
+    return _spread(df).select(
+        F.col(id_col), F.posexplode(comps).alias("j", "comp")
+    )
+
+
+def _projection_oracle(
+    out_dim: int = _PROJ_DIM, seed: int = _PROJ_SEED, dim: int = _QUERY_DIM
+) -> str:
+    scale = 1.0 / math.sqrt(float(out_dim))
+    branches = []
+    for j in range(out_dim):
+        p = deterministic_query_vector(dim, seed=seed * 1000 + j)
+        branches.append(
+            f"SELECT vec_id, {j} AS j, "
+            f"round(list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"{_duckdb_vec(p)}) * {scale!r}, 6) AS comp FROM embeddings"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@query(
+    "q_embedding_project",
+    oracle=_projection_oracle(),
+    doc=(
+        "Johnson-Lindenstrauss random projection 64 -> 8 dims against a "
+        "seeded literal matrix (1/sqrt(k) scaling): the cheap "
+        "dimensionality pre-reduce of an embedding pipeline. Pure map + "
+        "row-local explode, zero shuffles, zero Python."
+    ),
+    tags=("similarity", "pipeline"),
+)
+def q_embedding_project(spark, sf_dir):
+    return random_projection(T(spark, sf_dir, "embeddings"))
 
 
 _RECALL_K = 10

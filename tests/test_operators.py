@@ -1413,3 +1413,30 @@ class TestANNRecall:
         ).collect():
             assert 0.0 <= r.recall <= 1.0
             assert r.n_hit <= min(r.n_exact, r.n_approx)
+
+
+class TestRandomProjection:
+    def test_one_hot_vector_reads_matrix_row(self, spark):
+        # projecting a one-hot vector must return exactly the (scaled)
+        # j-th plane's component at the hot index — pins the matrix
+        # derivation and the fold arithmetic in one identity
+        import math
+
+        from libcolumnfile_spark.operators.similarity import (
+            _PROJ_SEED,
+            deterministic_query_vector,
+            random_projection,
+        )
+
+        dim, out_dim, hot = 16, 4, 3
+        onehot = [0.0] * dim
+        onehot[hot] = 1.0
+        df = spark.createDataFrame([(1, onehot)], ["vec_id", "embedding"])
+        got = {
+            r.j: r.comp
+            for r in random_projection(df, out_dim=out_dim, dim=dim).collect()
+        }
+        scale = 1.0 / math.sqrt(out_dim)
+        for j in range(out_dim):
+            plane = deterministic_query_vector(dim, seed=_PROJ_SEED * 1000 + j)
+            assert got[j] == round(plane[hot] * scale, 6)

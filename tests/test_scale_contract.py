@@ -136,6 +136,7 @@ CONTRACTS = {
                                      # bytes (cores saturate past x10)
     "q_ann_recall": (1.4, 3.0),      # both arms broadcast + two-phase
                                      # top-k; embeddings x10 = 20k vecs
+    "q_embedding_project": (1.0, 2.5),  # literal-matrix map, zero shuffles
     "q_scd2_merge": (0.8, 2.0),      # dim tables are scale-FIXED in the
                                      # probe (ratio ~1 by construction) —
                                      # the real guard is the plan contract
