@@ -309,3 +309,198 @@ def q_pagerank_docs(spark, sf_dir):
 )
 def q_pagerank(spark, sf_dir):
     return pagerank(_doc_host_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + degree distribution (graph-shape diagnostics for the
+# same corpus-derived link graphs PageRank scores: clustering structure
+# separates organic link neighborhoods from link farms / mirror clusters,
+# and the degree histogram is the first skew diagnostic before any
+# node-keyed graph shuffle).
+# ---------------------------------------------------------------------------
+
+
+def _doc_succ_edges(spark, sf_dir: str) -> DataFrame:
+    """Deterministic doc-id graph that actually CONTAINS triangles: each
+    doc links to doc_id+1, +2, +3 (every consecutive id triple closes)
+    plus one md5-derived long-range target (degree irregularity, so the
+    degree orientation below is doing real work)."""
+    from libcolumnfile_spark.operators.dedup import md5_gram_hash
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + k).alias("dst")
+        )
+        for k in (1, 2, 3)
+    ]
+    parts.append(
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(
+                md5_gram_hash(F.col("doc_id").cast("string")), F.lit(1 << 20)
+            ).alias("dst"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _succ_edge_cte() -> str:
+    p = (1 << 31) - 1
+    h = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {p}"
+    return (
+        "es AS ("
+        "SELECT doc_id AS src, doc_id + 1 AS dst FROM documents "
+        "UNION ALL SELECT doc_id, doc_id + 2 FROM documents "
+        "UNION ALL SELECT doc_id, doc_id + 3 FROM documents "
+        f"UNION ALL SELECT doc_id, ({h}) % {1 << 20} FROM documents), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM es WHERE src <> dst)"
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: n_nodes, n_edges,
+    n_wedges, n_triangles, global clustering coefficient.
+
+    Scale design — the standard degree-orientation (Schank/Wagner,
+    node-iterator++): canonicalize to distinct a<b edges, orient every
+    edge from its lower-(degree, id) endpoint to the higher, and build
+    wedges by self-joining the oriented list on the SOURCE. Orientation
+    caps every out-degree at O(sqrt(m)), so the wedge join emits
+    O(m^1.5) rows worst-case instead of sum(deg^2) — the difference
+    between a web-scale graph being tractable and its highest-degree
+    hub exploding one reducer. The close step joins wedges back to the
+    canonical edge set on the composite key (shuffle hash both sides;
+    nothing here is construction-bounded, so nothing is broadcast).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w"))
+    ).select(
+        F.col("o1.w").alias("a"), F.col("o2.w").alias("b")
+    )
+    tri = wedges.join(e, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    sizes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(sum(deg * (deg - 1)) AS BIGINT) DIV 2").alias("n_wedges"),
+    )
+    m = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        sizes.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("global_cc"),
+        )
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle=(
+        f"WITH {_succ_edge_cte()}, "
+        "d AS (SELECT v, count(*) AS deg FROM ("
+        "SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v), "
+        "t AS (SELECT count(*) AS n_triangles FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "s AS (SELECT count(*) AS n_nodes, "
+        "CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges FROM d), "
+        "m AS (SELECT count(*) AS n_edges FROM e) "
+        "SELECT n_nodes, n_edges, n_wedges, n_triangles, "
+        "round(CASE WHEN n_wedges > 0 "
+        "THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6) AS global_cc "
+        "FROM s CROSS JOIN m CROSS JOIN t"
+    ),
+    doc=(
+        "Degree-oriented triangle counting (node-iterator++) over the "
+        "derived doc graph: canonical a<b edges, (degree, id) "
+        "orientation bounding wedge fan-out at O(sqrt(m)), wedge "
+        "self-join closed against the edge set; emits the global "
+        "triangle census + clustering coefficient."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_triangle_count(spark, sf_dir):
+    return triangle_stats(_doc_succ_edges(spark, sf_dir))
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree histogram of the canonical undirected graph: degree ->
+    node count. Two hash aggregates (node degrees, then the histogram);
+    the second exchange is max-degree-bounded. The first skew
+    diagnostic to run before any node-keyed graph operation — a
+    heavy-tail histogram is the signal to salt or orient (see
+    triangle_stats) before shuffling on node id."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "q_degree_dist",
+    oracle=(
+        f"WITH {_succ_edge_cte()}, "
+        "d AS (SELECT v, count(*) AS deg FROM ("
+        "SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v) "
+        "SELECT deg, count(*) AS n_nodes FROM d GROUP BY deg"
+    ),
+    doc=(
+        "Degree distribution of the derived doc graph (canonical "
+        "undirected edges): the pre-shuffle skew diagnostic for "
+        "node-keyed graph work."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_degree_dist(spark, sf_dir):
+    return degree_distribution(_doc_succ_edges(spark, sf_dir))

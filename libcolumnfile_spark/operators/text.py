@@ -1681,3 +1681,296 @@ def q_perplexity_split(spark, sf_dir):
 )
 def q_lm_perplexity(spark, sf_dir):
     return lm_nll_scores(_spread(T(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram corpus statistics: collocation mining (PMI), bigram LM estimation,
+# per-document token entropy, Zipf-law fit. The reference has no text layer
+# (it stores bytes, tools/columnfile-cat.cc only reinterprets them); these
+# are the corpus-statistics operators an LLM-data pipeline runs over the
+# same stored tables.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent lowercased whitespace-token pairs (w1, w2), extracted
+    map-side with array `transform` over the token array — no
+    explode-then-self-join and no window: the only exchange in any
+    consumer is its own aggregation. Inner tokens of a whitespace split
+    are never empty, so the w1/w2 <> '' guard only drops the [''] array
+    of blank documents."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(toks, i + F.lit(2)).alias("w2")
+        ),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+_BIGRAM_CTE = (
+    "t AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
+    "FROM documents), "
+    "b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ("
+    "SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t) "
+    "WHERE toks[i] <> '' AND toks[i + 1] <> ''), "
+    "pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM b GROUP BY w1, w2)"
+)
+
+
+def cooc_pmi(df: DataFrame, text_col: str = "text", min_count: int = 3) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, PMI = ln(c12 * N / (c1 * c2)) with c1/c2 the left/right
+    positional marginals.
+
+    Plan shape: one map-side bigram pass feeds a (w1, w2) hash aggregate
+    whose exchange is bigram-VOCABULARY-bounded (Heaps-law sublinear, not
+    corpus-bounded); the marginals are window sums over that same
+    aggregate keyed by w1 then w2 (two vocabulary-bounded exchanges, no
+    joins, no second corpus scan), and N arrives as a 1-row aggregate
+    cross join (broadcast nested loop). min_count filters BEFORE the
+    marginal windows would be wrong (marginals must see all pairs), so
+    the filter sits after them — it only cuts the output.
+    """
+    pc = _bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_cnt")
+    )
+    n = pc.agg(F.sum("pair_cnt").cast("double").alias("n_bigrams"))
+    from pyspark.sql import Window
+
+    c1 = F.sum("pair_cnt").over(Window.partitionBy("w1"))
+    c2 = F.sum("pair_cnt").over(Window.partitionBy("w2"))
+    return (
+        pc.withColumn("c1", c1)
+        .withColumn("c2", c2)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("pair_cnt") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            F.round(
+                F.log(
+                    F.col("pair_cnt") * F.col("n_bigrams")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "q_cooc_pmi",
+    oracle=(
+        # marginal windows computed BEFORE the min-count filter (WHERE in
+        # the same SELECT would filter the window input), hence the
+        # subquery
+        f"WITH {_BIGRAM_CTE}, "
+        "n AS (SELECT CAST(sum(pair_cnt) AS DOUBLE) AS n_bigrams FROM pc), "
+        "m AS (SELECT w1, w2, pair_cnt, "
+        "sum(pair_cnt) OVER (PARTITION BY w1) AS c1, "
+        "sum(pair_cnt) OVER (PARTITION BY w2) AS c2 FROM pc) "
+        "SELECT w1, w2, pair_cnt, "
+        "round(ln(pair_cnt * n_bigrams / (c1 * c2)), 6) AS pmi "
+        "FROM m CROSS JOIN n WHERE pair_cnt >= 3"
+    ),
+    doc=(
+        "Collocation mining: PMI of adjacent token pairs against "
+        "positional marginals. Map-side bigram extraction; every "
+        "exchange is bigram-vocabulary-bounded."
+    ),
+    tags=("text", "llm-pipeline"),
+)
+def q_cooc_pmi(spark, sf_dir):
+    return cooc_pmi(_spread(T(spark, sf_dir, "documents")))
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text", min_count: int = 2) -> DataFrame:
+    """Bigram language-model estimation with add-one smoothing:
+    log P(w2|w1) = ln((c12 + 1) / (c1 + V)), V = # distinct continuation
+    types. The count-based LM-training step of a data pipeline (the same
+    estimator family the CCNet-style scorer q_lm_perplexity consumes,
+    but conditional and trained, not just applied).
+
+    Same vocabulary-bounded plan as cooc_pmi: one bigram aggregate, a
+    w1-keyed window sum for the context marginal, and a 1-row cross join
+    carrying V.
+    """
+    pc = _bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_cnt")
+    )
+    v = pc.select("w2").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v_types")
+    )
+    from pyspark.sql import Window
+
+    c1 = F.sum("pair_cnt").over(Window.partitionBy("w1"))
+    return (
+        pc.withColumn("c1", c1)
+        .crossJoin(F.broadcast(v))
+        .filter(F.col("pair_cnt") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            F.round(
+                F.log((F.col("pair_cnt") + 1.0) / (F.col("c1") + F.col("v_types"))),
+                6,
+            ).alias("log_p"),
+        )
+    )
+
+
+@query(
+    "q_ngram_lm",
+    oracle=(
+        f"WITH {_BIGRAM_CTE}, "
+        "v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v_types FROM pc), "
+        # context marginal windows before the min-count filter (same
+        # subquery reasoning as q_cooc_pmi)
+        "m AS (SELECT w1, w2, pair_cnt, "
+        "sum(pair_cnt) OVER (PARTITION BY w1) AS c1 FROM pc) "
+        "SELECT w1, w2, pair_cnt, "
+        "round(ln((pair_cnt + 1.0) / (c1 + v_types)), 6) AS log_p "
+        "FROM m CROSS JOIN v WHERE pair_cnt >= 2"
+    ),
+    doc=(
+        "Bigram LM estimation: add-one-smoothed conditional "
+        "log-probabilities over adjacent token pairs (count-based LM "
+        "training as a vocabulary-bounded aggregate)."
+    ),
+    tags=("text", "llm-pipeline"),
+)
+def q_ngram_lm(spark, sf_dir):
+    return bigram_lm(_spread(T(spark, sf_dir, "documents")))
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram token entropy (nats): H = ln n - (1/n) * sum
+    c*ln c over the doc's token histogram, plus the ln(n_distinct)-
+    normalized form — the repetition/diversity quality signal (a
+    low-entropy doc is boilerplate or degenerate repetition; Gopher's
+    repetition rules approximate this, the entropy is the principled
+    version).
+
+    Two hash aggregates: (doc, token) counts then per-doc entropy — the
+    first exchange carries one row per distinct token per doc (bounded
+    by doc length), the second one row per doc. Blank documents have no
+    tokens and are excluded on both engines.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hist = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").cast("double")
+    distinct = F.count(F.lit(1))
+    h = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return hist.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        distinct.alias("n_distinct"),
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(distinct > 1, h / F.log(distinct.cast("double"))).otherwise(0.0), 6
+        ).alias("norm_entropy"),
+    )
+
+
+@query(
+    "q_token_entropy",
+    oracle=(
+        "WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+        "'\\s+')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, tok, count(*) AS c FROM t WHERE tok <> '' "
+        "GROUP BY doc_id, tok) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "count(*) AS n_distinct, "
+        "round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy, "
+        "round(CASE WHEN count(*) > 1 THEN "
+        "(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) "
+        "/ ln(CAST(count(*) AS DOUBLE)) ELSE 0.0 END, 6) AS norm_entropy "
+        "FROM h GROUP BY doc_id"
+    ),
+    doc=(
+        "Per-document unigram token entropy + normalized entropy: the "
+        "diversity/repetition quality signal as two hash aggregates."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_token_entropy(spark, sf_dir):
+    return token_entropy(_spread(T(spark, sf_dir, "documents")))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", head: int = 1000) -> DataFrame:
+    """Zipf-law fit over the corpus token frequency distribution: OLS of
+    ln(freq) on ln(rank) over the top-`head` ranks (rank by (cnt DESC,
+    token) — a total order, so the head cut is deterministic
+    cross-engine). Returns one row: corpus token count, vocabulary
+    size, fitted slope/intercept/R² (a healthy natural-language corpus
+    sits near slope -1; a flat slope flags template/boilerplate
+    corpora, a cliff flags deduplication damage).
+
+    The frequency table is vocabulary-bounded (Heaps-law sublinear), so
+    the global row_number window — normally forbidden — ranks a
+    bounded side, same argument as tfidf's dfreq broadcast; the
+    regression itself is one partial+final aggregate.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))),
+    ).filter(F.col("rank") <= head)
+    y = F.log(F.col("cnt").cast("double"))
+    x = F.log(F.col("rank").cast("double"))
+    fit = ranked.agg(
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+    )
+    return totals.crossJoin(F.broadcast(fit))
+
+
+@query(
+    "q_zipf_fit",
+    oracle=(
+        "WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), "
+        "'\\s+')) AS tok FROM documents), "
+        "f AS (SELECT tok, count(*) AS cnt FROM t WHERE tok <> '' GROUP BY tok), "
+        "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM f), "
+        "fit AS (SELECT round(regr_slope(ln(CAST(cnt AS DOUBLE)), "
+        "ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope, "
+        "round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) "
+        "AS zipf_intercept, "
+        "round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) "
+        "AS zipf_r2 FROM r WHERE rank <= 1000), "
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+        "count(*) AS vocab_size FROM f) "
+        "SELECT n_tokens, vocab_size, zipf_slope, zipf_intercept, zipf_r2 "
+        "FROM tot CROSS JOIN fit"
+    ),
+    doc=(
+        "Zipf-law fit of the corpus token frequency head (OLS of "
+        "ln freq on ln rank, top-1000 ranks): corpus-health "
+        "diagnostics as one vocabulary-bounded aggregate + regression."
+    ),
+    tags=("text", "llm-pipeline"),
+)
+def q_zipf_fit(spark, sf_dir):
+    return zipf_fit(_spread(T(spark, sf_dir, "documents")))
