@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.operators.joins import asof_join, range_join_pairs
@@ -1004,3 +1004,276 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics: recency-decayed activity scores, proportional
+# time-range splits, transition matrices, robust outlier reports. All
+# epoch arithmetic runs on unix MICROSECONDS (bigint, exact on both
+# engines) — never float seconds.
+# ---------------------------------------------------------------------------
+
+
+def _epoch_us(c) -> Column:
+    """Exact epoch microseconds of a timestamp column. events.ts arrives
+    as TIMESTAMP_NTZ (nanos parquet via load_table); the session zone is
+    pinned to UTC (tables.py:44), so the NTZ->TIMESTAMP cast is the
+    identity and matches DuckDB's naive epoch_us()."""
+    return F.unix_micros(F.col(c).cast("timestamp") if isinstance(c, str) else c.cast("timestamp"))
+
+
+def decay_score(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Per-user exponentially time-decayed activity score:
+    score = sum(value * 2^(-age_days / half_life)), age measured from
+    the corpus max timestamp. The recency-weighted user/domain activity
+    prior of a pipeline (recent activity counts, stale activity decays)
+    — the closed-form aggregate that replaces a sequential EWMA, which
+    would need per-row recursion.
+
+    One groupBy(user) aggregate; the global max(ts) arrives as a 1-row
+    aggregate broadcast cross join (never a driver collect). Age deltas
+    are integer microseconds; the only float step is the final exp.
+    """
+    tmax = df.agg(_epoch_us(F.max(ts_col)).alias("__tmax_us"))
+    age_days = (F.col("__tmax_us") - _epoch_us(ts_col)) / (
+        86400.0 * 1e6
+    )
+    decayed = F.col(value_col) * F.pow(F.lit(2.0), -age_days / half_life_days)
+    return (
+        df.crossJoin(F.broadcast(tmax))
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(decayed), 4).alias("decay_score"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "q_decay_score",
+    oracle=(
+        "WITH m AS (SELECT epoch_us(max(ts)) AS tmax_us FROM events) "
+        "SELECT user_id, count(*) AS n_events, "
+        "round(sum(value * pow(2.0, -((tmax_us - epoch_us(ts)) / 86400000000.0) "
+        "/ 7.0)), 4) AS decay_score, "
+        "max(ts) AS last_ts "
+        "FROM events CROSS JOIN m GROUP BY user_id"
+    ),
+    doc=(
+        "Per-user exponentially time-decayed activity score (half-life "
+        "7 days from the corpus max timestamp): one hash aggregate + a "
+        "1-row broadcast; integer-microsecond age arithmetic."
+    ),
+    tags=("events", "agg", "pipeline"),
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decay_score(T(spark, sf_dir, "events"))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bounds: tuple[int, int] = (8, 9),
+) -> DataFrame:
+    """Proportional time-range train/valid/test split: the time axis
+    [min_ts, max_ts] divides at 80%/90% of its SPAN and every row is
+    assigned by integer-microsecond comparison — the leakage-free
+    temporal split of a training pipeline (future rows never land in
+    train), as opposed to q_split_assign's hash split.
+
+    All arithmetic is integer ((e - mn) * 10 < span * k), so the
+    boundary is exact on both engines — no interpolated quantile, no
+    float threshold, no global sort: a 1-row min/max broadcast plus a
+    map-side CASE, then one tiny aggregate per split.
+    """
+    b1, b2 = bounds
+    mm = df.agg(
+        _epoch_us(F.min(ts_col)).alias("__mn"),
+        _epoch_us(F.max(ts_col)).alias("__mx"),
+    )
+    e = _epoch_us(ts_col)
+    rel10 = (e - F.col("__mn")) * 10
+    span = F.col("__mx") - F.col("__mn")
+    split = (
+        F.when(rel10 < span * b1, F.lit("train"))
+        .when(rel10 < span * b2, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(user_col).alias("n_users"),
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        )
+    )
+
+
+@query(
+    "q_temporal_split",
+    oracle=(
+        "WITH m AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx "
+        "FROM events) "
+        "SELECT CASE WHEN (epoch_us(ts) - mn) * 10 < (mx - mn) * 8 THEN 'train' "
+        "WHEN (epoch_us(ts) - mn) * 10 < (mx - mn) * 9 THEN 'valid' "
+        "ELSE 'test' END AS split, "
+        "count(*) AS n_events, count(DISTINCT user_id) AS n_users, "
+        "min(ts) AS min_ts, max(ts) AS max_ts "
+        "FROM events CROSS JOIN m GROUP BY 1"
+    ),
+    doc=(
+        "Leakage-free temporal train/valid/test split at 80%/90% of the "
+        "time span: integer-microsecond boundaries, 1-row min/max "
+        "broadcast, map-side assignment."
+    ),
+    tags=("events", "pipeline"),
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal_split(T(spark, sf_dir, "events"))
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count of (current -> next) event-type transitions and
+    the conditional probability P(next | current). Clickstream /
+    curriculum sequence statistics as one lag window + one hash
+    aggregate; the transition matrix is event-type-cardinality-bounded
+    (tiny), so the probability normalization is a window sum over it.
+
+    The sequence order (ts, event_id) is a total order — lag is
+    deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = F.lead(type_col).over(w)
+    tc = (
+        df.select(F.col(type_col).alias("cur"), nxt.alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("cur"))
+    return tc.select(
+        "cur",
+        "nxt",
+        "n_transitions",
+        F.round(F.col("n_transitions") / total, 6).alias("p_next"),
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle=(
+        "WITH s AS (SELECT event_type AS cur, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS nxt FROM events), "
+        "tc AS (SELECT cur, nxt, count(*) AS n_transitions FROM s "
+        "WHERE nxt IS NOT NULL GROUP BY cur, nxt) "
+        "SELECT cur, nxt, n_transitions, "
+        "round(n_transitions / sum(n_transitions) OVER (PARTITION BY cur), 6) "
+        "AS p_next FROM tc"
+    ),
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences (lag window on the (ts, event_id) total order + "
+        "type-bounded aggregate)."
+    ),
+    tags=("events", "window", "pipeline"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(T(spark, sf_dir, "events"))
+
+
+def iqr_outlier_report(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-group Tukey-fence outlier report: quartiles, IQR fences at
+    1.5x, and the count/rate of rows outside them — the numeric
+    data-quality screen that runs before a metric column is trusted.
+
+    Two passes: an exact-percentile aggregate builds the per-group
+    fences (group-cardinality-bounded — construction-bounded, so
+    broadcasting it back is repo-legal), then one map-side compare +
+    hash aggregate counts violations. Exact percentile holds per-group
+    sorted buffers; at 100 TB swap pass one for approx_percentile
+    (t-digest) — same note as q_percentile.
+    """
+    fences = (
+        df.groupBy(key_col)
+        .agg(
+            F.percentile(F.col(value_col), F.lit(0.25)).alias("q1"),
+            F.percentile(F.col(value_col), F.lit(0.75)).alias("q3"),
+        )
+        .select(
+            key_col,
+            "q1",
+            "q3",
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    out = (
+        df.select(key_col, value_col)
+        .join(F.broadcast(fences), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(
+                (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+            ).alias("n_outliers"),
+            F.round(F.min("lo"), 6).alias("lo_fence"),
+            F.round(F.min("hi"), 6).alias("hi_fence"),
+        )
+        .select(
+            key_col,
+            "n_rows",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_rows"), 6).alias("outlier_rate"),
+            "lo_fence",
+            "hi_fence",
+        )
+    )
+    return out
+
+
+@query(
+    "q_outlier_iqr",
+    oracle=(
+        "WITH f AS (SELECT event_type, "
+        "quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 "
+        "FROM events GROUP BY event_type), "
+        "g AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, "
+        "q3 + 1.5 * (q3 - q1) AS hi FROM f) "
+        "SELECT e.event_type, count(*) AS n_rows, "
+        "count(*) FILTER (e.value < g.lo OR e.value > g.hi) AS n_outliers, "
+        "round(count(*) FILTER (e.value < g.lo OR e.value > g.hi) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS outlier_rate, "
+        "round(min(g.lo), 6) AS lo_fence, round(min(g.hi), 6) AS hi_fence "
+        "FROM events e JOIN g USING (event_type) GROUP BY e.event_type"
+    ),
+    doc=(
+        "Per-group Tukey-fence (1.5x IQR) outlier report over the metric "
+        "column: exact-quartile fences broadcast back over one map-side "
+        "compare; the pre-trust screen for numeric columns."
+    ),
+    tags=("events", "agg", "quality"),
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iqr_outlier_report(T(spark, sf_dir, "events"))
