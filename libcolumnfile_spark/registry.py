@@ -44,8 +44,10 @@ _PRIORITY = [
     # q_union_all keeps the set-op slot — for the round-6/7 rotation)
     "q_union_all", "q_sort", "q_topk",
     # aggregation surface (q_minmax_by/q_histogram/q_rollup demoted just
-    # past the window; q_group_agg/q_percentile/q_stats_agg hold the slots)
-    "q_group_agg", "q_percentile", "q_stats_agg",
+    # past the window; q_group_agg/q_percentile hold the slots — round 8
+    # rotates q_stats_agg just past the window too, freeing a slot for
+    # the new corpus-statistics family; moments stay in the full audit)
+    "q_group_agg", "q_percentile",
     # join surface (q_join_agg demoted — q_tpch_q3 is the join+agg rep)
     # (q_join_semi demoted in round 8: the join family keeps 4 in-window
     # reps + 3 TPC-H shapes; the semi arm is exercised inside q_tpch_q21
@@ -58,10 +60,14 @@ _PRIORITY = [
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q21",
     # windows + event analytics (q_window_range/q_gap_fill demoted;
     # round 8 demotes q_funnel — sessionize keeps the event slot and
-    # funnel stays in the full audit)
-    "q_window_rank", "q_sessionize",
-    # reshape / scalar / nested (q_json_extract demoted likewise)
-    "q_scalar_str_date", "q_explode",
+    # funnel stays in the full audit; the leakage-free temporal split
+    # joins as the second events rep, the splits-family oracle twin of
+    # hash-split q_split_assign)
+    "q_window_rank", "q_sessionize", "q_temporal_split",
+    # reshape / scalar / nested (q_json_extract demoted likewise;
+    # round 8 demotes q_scalar_str_date — q_explode keeps the slot,
+    # string/date scalars stay in the full audit)
+    "q_explode",
     # columnfile format layer + stock sources + partition pruning
     # (q_columnfile_filter demoted earlier; round 8 rotates
     # q_columnfile_nested just past the window — q_roundtrip becomes the
@@ -75,8 +81,12 @@ _PRIORITY = [
     # (round 8: q_rank_fusion supersedes q_bm25_topk as the retrieval
     # rep — it exercises BM25 AND the quality prior AND RRF fusion;
     # bm25 itself follows just past the window)
+    # (round 8 rotates q_token_count just past the window — the token
+    # accounting path is exercised in-window by q_vocab_coverage and
+    # q_bpe_train; the slot goes to the PMI collocation miner, the new
+    # bigram corpus-statistics family's rep)
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_gopher_rules",
-    "q_token_count", "q_rank_fusion", "q_classifier_filter",
+    "q_cooc_pmi", "q_rank_fusion", "q_classifier_filter",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # and the self-tuned SRP pair generator (round 4), plus the
     # full-oracle minhash dedup twin — one rep each for the ANN,
@@ -106,17 +116,20 @@ _PRIORITY = [
     "q_contamination_bloom", "q_dedup_span", "q_dedup_incremental",
     "q_pagerank_docs",
     # round-8 additions rotated into the window: ANN index-quality
-    # recall eval (supersedes q_sim_knn — its exact arm IS a knn join)
-    # and SCD Type-2 dimension merge (supersedes q_upsert_merge as the
-    # versioning rep: keeps history where upsert overwrites)
-    "q_ann_recall", "q_scd2_merge",
+    # recall eval (supersedes q_sim_knn — its exact arm IS a knn join),
+    # SCD Type-2 dimension merge (supersedes q_upsert_merge as the
+    # versioning rep: keeps history where upsert overwrites), and the
+    # degree-oriented triangle census (second graph rep next to
+    # q_pagerank_docs: clustering structure vs link-rank)
+    "q_ann_recall", "q_scd2_merge", "q_triangle_count",
     # demoted just past the window across rounds 5-8 (their families
     # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
     # q_roundtrip, q_rank_fusion, q_pagerank_docs); still in every full
     # audit
     "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
-    "q_join_semi", "q_funnel",
+    "q_join_semi", "q_funnel", "q_stats_agg", "q_scalar_str_date",
+    "q_token_count",
     "q_distinct", "q_window_running", "q_pivot", "q_minmax_by", "q_histogram",
     "q_quality", "q_intersect", "q_rollup", "q_join_agg", "q_subquery",
     "q_gap_fill", "q_columnfile_filter", "q_tfidf",
