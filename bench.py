@@ -74,10 +74,22 @@ def assert_cache_hygiene(spark, name: str, limit: int = _HYGIENE_LIMIT) -> None:
         import gc as _gc
         import time as _time
 
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        _time.sleep(0.5)  # let the ContextCleaner drain its queue
-        n_sql, n_rdd = counts()
+        # drain, don't just poke once: the ContextCleaner releases
+        # checkpoint/persist blocks asynchronously after driver GC, and
+        # one 0.5 s nap flaked under load. Keep re-collecting while the
+        # count is still FALLING — a real leak plateaus above the bound
+        # (same count twice), a draining queue walks down to it.
+        prev = None
+        for _ in range(6):
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(0.5)
+            n_sql, n_rdd = counts()
+            if n_sql <= limit and n_rdd <= limit:
+                break
+            if prev == (n_sql, n_rdd):
+                break
+            prev = (n_sql, n_rdd)
     if n_sql > limit or n_rdd > limit:
         raise RuntimeError(
             f"cache hygiene after {name}: {n_sql} cached relations / "

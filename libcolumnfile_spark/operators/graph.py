@@ -94,6 +94,14 @@ def pagerank(
     # stragglers at return); dropping them on the floor would leak
     # CacheManager entries past the query (bench's cache-hygiene guard)
     pending_tmps: list[DataFrame] = []
+    # superseded checkpoints are released EAGERLY: once round t+1's
+    # eager checkpoint materializes, round t's checkpointed blocks are
+    # unreachable from any future execution (localCheckpoint truncates
+    # lineage, and the returned plan reads only the LAST checkpoint) —
+    # leaving them for the ContextCleaner meant ~4 resident checkpoint
+    # RDDs per invocation, and a 4-invocation bench query transiently
+    # tripped the cache-hygiene bound while the cleaner drained
+    prev_ckpt: DataFrame | None = None
     for t in range(n_iter):
         ranks, round_tmp = pagerank_round(
             nodes, e, outd, ranks, damping, nn, return_tmp=True
@@ -107,6 +115,9 @@ def pagerank(
         # the gap widens with K
         if (t + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist(blocking=False)
+            prev_ckpt = ranks
             # the checkpoint materialized every round since the last
             # one: their contribution caches are no longer reachable
             for tmp in pending_tmps:
@@ -116,11 +127,17 @@ def pagerank(
         # n_iter not divisible by checkpoint_every: materialize the
         # tail before releasing what it still references
         ranks = ranks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(blocking=False)
+        prev_ckpt = ranks
         for tmp in pending_tmps:
             tmp.unpersist(blocking=False)
         pending_tmps.clear()
     e.unpersist(blocking=False)
     outd.unpersist(blocking=False)
+    # the node-set checkpoint fed every round's plan; the final
+    # checkpointed rank vector no longer references it
+    nodes.unpersist(blocking=False)
     return ranks.select("node", F.round("r", 6).alias("rank"))
 
 

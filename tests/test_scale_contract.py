@@ -141,6 +141,22 @@ CONTRACTS = {
                                      # probe (ratio ~1 by construction) —
                                      # the real guard is the plan contract
                                      # (one shuffle join, no broadcast)
+    # round-8 session-2 operators (isolated measurements 2026-08-16, a
+    # high-variance host day — interleaved A/B in BASELINE.md measured
+    # 2-3x ambient wall swings, so bounds sit ~1.7x the isolated ratio)
+    "q_cooc_pmi": (3.3, 6.0),        # bigram-vocab-bounded agg + two
+                                     # marginal windows; x100 14.3 s
+    "q_ngram_lm": (4.5, 7.0),        # same plan, one window; x10 output
+                                     # grows (more pairs pass min_count)
+    "q_token_entropy": (2.2, 4.0),   # two hash aggs, (doc,tok) exchange
+    "q_zipf_fit": (1.3, 3.0),        # vocab-bounded freq agg + head rank
+    "q_triangle_count": (3.7, 6.5),  # degree-oriented wedge join; x100
+                                     # 6.7 s on ~2M-edge graph (ratio 7.2)
+    "q_degree_dist": (2.0, 3.5),     # two hash aggs, degree-bounded final
+    "q_decay_score": (1.9, 3.5),     # one user-keyed agg + 1-row broadcast
+    "q_temporal_split": (2.0, 3.5),  # 1-row min/max broadcast + map CASE
+    "q_event_transitions": (2.1, 3.5),  # one user-window + type-bounded agg
+    "q_outlier_iqr": (1.5, 3.0),     # exact-quartile fences + map compare
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
