@@ -521,3 +521,90 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
 )
 def q_degree_dist(spark, sf_dir):
     return degree_distribution(_doc_succ_edges(spark, sf_dir))
+
+
+def kcore(
+    edges: DataFrame, k: int = 4, rounds: int = 3
+) -> DataFrame:
+    """Fixed-round k-core peeling: iteratively drop nodes with degree
+    < k (and their edges) ``rounds`` times, then return the surviving
+    nodes with their residual degree. The dense-subgraph extractor —
+    for corpus link graphs, the k-core separates organically
+    interlinked neighborhoods from the long peel-able tail (mirror
+    chains, isolated hash targets). A fixed round count keeps it
+    deterministic and SQL-oracle-able (the production loop adds a
+    convergence test, which changes the stopping rule, not the
+    per-round plan).
+
+    Scale design: each round is one degree aggregate (exchange keyed by
+    node, O(m) in, O(|V|) out) plus two left_semi joins filtering the
+    edge list against the surviving node set — all shuffles keyed by
+    node id, nothing broadcast (the alive set is O(|V|), construction-
+    UNBOUNDED). The edge list shrinks monotonically, so round cost is
+    non-increasing. Each round localCheckpoints the contracted edge
+    list (two consumers next round: degree agg + semi-join) and
+    releases the superseded checkpoint immediately — the same flat-plan
+    + eager-release pattern as pagerank above.
+    """
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_ckpt: DataFrame | None = None
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        alive = degrees(cur).filter(F.col("deg") >= k).select("v")
+        cur = (
+            cur.join(alive.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("v").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(blocking=False)
+        prev_ckpt = cur
+    return degrees(cur).select(F.col("v").alias("node"), "deg")
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
+    parts = [f"WITH {_succ_edge_cte()}, e0 AS (SELECT a, b FROM e)"]
+    for r in range(rounds):
+        parts.append(
+            f", d{r} AS (SELECT v, count(*) AS deg FROM ("
+            f"SELECT a AS v FROM e{r} UNION ALL SELECT b FROM e{r}) GROUP BY v)"
+            f", a{r} AS (SELECT v FROM d{r} WHERE deg >= {k})"
+            f", e{r + 1} AS (SELECT a, b FROM e{r} "
+            f"WHERE a IN (SELECT v FROM a{r}) AND b IN (SELECT v FROM a{r}))"
+        )
+    parts.append(
+        f" SELECT v AS node, count(*) AS deg FROM ("
+        f"SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        "GROUP BY v"
+    )
+    return "".join(parts)
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    doc=(
+        "Fixed-round k-core peeling (k=4, 3 rounds) over the derived "
+        "doc graph: per-round degree aggregate + two node-keyed "
+        "left_semi edge contractions, localCheckpointed flat plans, "
+        "monotonically shrinking edge list; emits surviving nodes with "
+        "residual degree."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_kcore(spark, sf_dir):
+    return kcore(_doc_succ_edges(spark, sf_dir))

@@ -155,8 +155,15 @@ CONTRACTS = {
     "q_degree_dist": (2.0, 3.5),     # two hash aggs, degree-bounded final
     "q_decay_score": (1.9, 3.5),     # one user-keyed agg + 1-row broadcast
     "q_temporal_split": (2.0, 3.5),  # 1-row min/max broadcast + map CASE
-    "q_event_transitions": (2.1, 3.5),  # one user-window + type-bounded agg
+    "q_event_transitions": (2.1, 4.5),  # one user-window + type-bounded agg;
+                                     # t1~0.3s floor makes the in-suite
+                                     # ratio noise-dominated (flaked at
+                                     # 3.6 in-suite, 2.1-2.2 isolated;
+                                     # quadratic would land ~20)
     "q_outlier_iqr": (1.5, 3.0),     # exact-quartile fences + map compare
+    "q_kcore": (1.7, 3.5),           # per-round degree agg + semi-join
+                                     # contractions, monotone edge list;
+                                     # x100 5.6 s (ratio 3.3)
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
