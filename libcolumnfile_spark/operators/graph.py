@@ -407,9 +407,23 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # every join side here is construction-UNBOUNDED (deg and the
+    # oriented list are O(|V|)/O(m)): pin them all shuffle_hash so no
+    # size estimate can ride them onto the broadcast path at scale
+    # (repo broadcast policy — same reasoning as containment/bloom)
     ed = (
-        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
-        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        e.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("da")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("db")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
     )
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
@@ -418,13 +432,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
     )
-    o1, o2 = o.alias("o1"), o.alias("o2")
+    o1, o2 = o.alias("o1"), o.alias("o2").hint("shuffle_hash")
     wedges = o1.join(
         o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w"))
     ).select(
         F.col("o1.w").alias("a"), F.col("o2.w").alias("b")
     )
-    tri = wedges.join(e, ["a", "b"]).agg(
+    tri = wedges.join(e.hint("shuffle_hash"), ["a", "b"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     sizes = deg.agg(
@@ -554,26 +568,35 @@ def kcore(
         .distinct()
     )
     prev_ckpt: DataFrame | None = None
-
-    def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("a").alias("v"))
-            .unionByName(e.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-
     for _ in range(rounds):
-        alive = degrees(cur).filter(F.col("deg") >= k).select("v")
-        cur = (
-            cur.join(alive.select(F.col("v").alias("a")), "a", "left_semi")
-            .join(alive.select(F.col("v").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        cur = kcore_round(cur, k).localCheckpoint(eager=True)
         if prev_ckpt is not None:
             prev_ckpt.unpersist(blocking=False)
         prev_ckpt = cur
-    return degrees(cur).select(F.col("v").alias("node"), "deg")
+    return _degrees(cur).select(F.col("v").alias("node"), "deg")
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def kcore_round(cur: DataFrame, k: int) -> DataFrame:
+    """ONE peel round as a lazy plan (factored out so plan contracts can
+    audit the round's physical shape before the eager localCheckpoint
+    in kcore() hides it). The alive node set is O(|V|) — construction-
+    UNBOUNDED — so both semi-joins are pinned shuffle_hash: no size
+    estimate may ride it onto the broadcast path at scale."""
+    alive = _degrees(cur).filter(F.col("deg") >= k).select("v")
+    return cur.join(
+        alive.select(F.col("v").alias("a")).hint("shuffle_hash"), "a", "left_semi"
+    ).join(
+        alive.select(F.col("v").alias("b")).hint("shuffle_hash"), "b", "left_semi"
+    )
 
 
 def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:

@@ -426,3 +426,37 @@ def test_sample_weighted_is_takeordered_no_exchange(spark):
     plan = plan_of(spark, "q_sample_weighted")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange (") == 0
+
+
+def test_triangle_count_joins_never_broadcast_unbounded_sides(spark):
+    """Triangle census at 100 TB, structurally: every hash-join side is
+    construction-UNBOUNDED (degree table O(|V|), oriented edge list
+    O(m), wedge list O(m^1.5)), so ALL of them must be shuffle joins —
+    the only broadcasts are the two 1-row stat aggregates (nested-loop
+    cross joins). A size estimate riding any of these onto the
+    broadcast path is the containment-style OOM at scale."""
+    plan = plan_of(spark, "q_triangle_count")
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 4
+    assert "BroadcastHashJoin" not in plan
+    # exactly the two 1-row aggregates (n_edges, n_triangles) broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_round_semi_joins_shuffle(spark):
+    """One k-core peel round (the lazy plan before kcore()'s eager
+    localCheckpoint hides it): both alive-set semi-joins must shuffle —
+    the alive set is O(|V|) and must never broadcast at scale."""
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.graph import _doc_succ_edges, kcore_round
+
+    e = _doc_succ_edges(spark, SF)
+    cur = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter("a <> b")
+        .distinct()
+    )
+    plan = plans.formatted_plan(kcore_round(cur, 4))
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
+    assert "BroadcastHashJoin" not in plan
