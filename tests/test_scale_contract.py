@@ -150,8 +150,10 @@ CONTRACTS = {
                                      # grows (more pairs pass min_count)
     "q_token_entropy": (2.2, 4.0),   # two hash aggs, (doc,tok) exchange
     "q_zipf_fit": (1.3, 3.0),        # vocab-bounded freq agg + head rank
-    "q_triangle_count": (3.7, 6.5),  # degree-oriented wedge join; x100
-                                     # 6.7 s on ~2M-edge graph (ratio 7.2)
+    "q_triangle_count": (2.5, 6.5),  # degree-oriented wedge join; 2.55
+                                     # re-measured after the shuffle_hash
+                                     # pins (3.74 pre-pin); x100 6.7 s on
+                                     # the ~2M-edge graph (ratio 7.2)
     "q_degree_dist": (2.0, 3.5),     # two hash aggs, degree-bounded final
     "q_decay_score": (1.9, 3.5),     # one user-keyed agg + 1-row broadcast
     "q_temporal_split": (2.0, 3.5),  # 1-row min/max broadcast + map CASE
