@@ -1899,3 +1899,55 @@ def q_skew_report(spark, sf_dir):
             "skew_factor",
         )
     )
+
+
+def class_balance(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """Label-balance report for a training table: per-label counts
+    reduced to one diagnostic row — distinct labels, total rows, the
+    largest label share, and the chi-square statistic against the
+    uniform distribution (the skew test that gates classifier training
+    data before sampling weights are computed).
+
+    One label-bounded hash aggregate, then single-row reductions: the
+    only exchange carries one row per distinct label per mapper.
+    """
+    per = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum("n").alias("n_rows"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    exp = F.col("n_rows").cast("double") / F.col("n_labels")
+    return (
+        joined.agg(
+            F.min("n_labels").alias("n_labels"),
+            F.min("n_rows").alias("n_rows"),
+            F.round(F.max(F.col("n") / F.col("n_rows")), 6).alias("max_share"),
+            F.round(
+                F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp), 4
+            ).alias("chi2_uniform"),
+        )
+    )
+
+
+@query(
+    "q_class_balance",
+    oracle=(
+        "WITH per AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label), "
+        "tot AS (SELECT count(*) AS n_labels, CAST(sum(n) AS BIGINT) AS n_rows FROM per) "
+        "SELECT min(n_labels) AS n_labels, min(n_rows) AS n_rows, "
+        "round(max(n / CAST(n_rows AS DOUBLE)), 6) AS max_share, "
+        "round(sum((n - n_rows / CAST(n_labels AS DOUBLE)) "
+        "* (n - n_rows / CAST(n_labels AS DOUBLE)) "
+        "/ (n_rows / CAST(n_labels AS DOUBLE))), 4) AS chi2_uniform "
+        "FROM per CROSS JOIN tot"
+    ),
+    doc=(
+        "Label-balance report (distinct labels, max share, chi-square "
+        "vs uniform) over the embeddings training table: one "
+        "label-bounded aggregate + single-row reductions."
+    ),
+    tags=("pipeline", "quality"),
+)
+def q_class_balance(spark, sf_dir):
+    return class_balance(T(spark, sf_dir, "embeddings"))

@@ -1974,3 +1974,57 @@ def zipf_fit(df: DataFrame, text_col: str = "text", head: int = 1000) -> DataFra
 )
 def q_zipf_fit(spark, sf_dir):
     return zipf_fit(_spread(T(spark, sf_dir, "documents")))
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    word (the standard tokenizer-efficiency eval — fertility far above
+    the corpus norm for a language flags a vocabulary that fragments
+    it, the signal behind per-language vocab allocation). One map-only
+    pass (two JVM regex counts per row) + one language-bounded hash
+    aggregate."""
+    t = F.col(text_col)
+    bpe = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+    return (
+        df.select(
+            "lang", token_count(t).alias("ws"), bpe.alias("bpe")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) "
+        "AS ws_tokens, "
+        "CAST(sum(length(regexp_extract_all(text, "
+        "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens, "
+        "round(CAST(sum(length(regexp_extract_all(text, "
+        "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) "
+        "/ sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE length(string_split_regex(trim(text), '\\s+')) END), 6) "
+        "AS fertility "
+        "FROM documents GROUP BY lang"
+    ),
+    doc=(
+        "Per-language tokenizer fertility (BPE-ish tokens per "
+        "whitespace word): map-only token counting + language-bounded "
+        "aggregate — the tokenizer-efficiency eval."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    return tokenizer_fertility(_spread(T(spark, sf_dir, "documents")))

@@ -158,6 +158,8 @@ CONTRACTS = {
     "q_decay_score": (1.9, 3.5),     # one user-keyed agg + 1-row broadcast
     "q_temporal_split": (2.0, 3.5),  # 1-row min/max broadcast + map CASE
     "q_outlier_iqr": (1.5, 3.0),     # exact-quartile fences + map compare
+    "q_tokenizer_fertility": (2.8, 5.0),  # map-only regex counts + lang agg
+    "q_class_balance": (1.2, 3.0),   # label-bounded agg + 1-row reduce
     "q_kcore": (1.7, 3.5),           # per-round degree agg + semi-join
                                      # contractions, monotone edge list;
                                      # x100 5.6 s (ratio 3.3)
