@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.session import release_checkpoint
 
 END_OF_WORD = "</w>"
 
@@ -237,8 +238,10 @@ def train_bpe(
         # truncation the logical plan grows 2^rounds nodes and analysis
         # itself OOMs the driver around 20 merges. Eager checkpoint
         # materializes (the per-round action) AND cuts lineage to a
-        # LogicalRDD; old rounds' blocks are released by the
-        # ContextCleaner as their frames go out of scope.
+        # LogicalRDD; superseded rounds' blocks are released eagerly
+        # below via session.release_checkpoint (Dataset.unpersist can't
+        # reach checkpoint blocks; at a 32k-merge run, waiting on the
+        # ContextCleaner means thousands of resident stale RDDs).
         syms = _initial_symbols(wc).select("cnt", "syms").localCheckpoint(eager=True)
         pc = _pair_counts(syms).localCheckpoint(eager=True)
     finally:
@@ -256,6 +259,7 @@ def train_bpe(
         merges.append((rank, left, right, int(top["pair_count"])))
 
         hp = _has_pair(left, right)
+        prev_pc, prev_syms = pc, syms
         frontier = syms.filter(hp)
         new_frontier = _apply_merge(frontier, left, right).persist()
 
@@ -284,6 +288,14 @@ def train_bpe(
             .localCheckpoint(eager=True)
         )
         new_frontier.unpersist()
+        # both new checkpoints materialized: round t's pc/syms blocks
+        # are unreachable by any future plan — release them now
+        release_checkpoint(prev_pc)
+        release_checkpoint(prev_syms)
+    # the merge table (a driver list) is the result; the final round's
+    # checkpoints are scratch state
+    release_checkpoint(pc)
+    release_checkpoint(syms)
     return merges
 
 

@@ -39,6 +39,13 @@ _PR_DAMPING = 0.85
 _PR_ITERS = 3
 
 
+# superseded-checkpoint release: Dataset.unpersist is a no-op for
+# checkpoint RDD blocks (see session.release_checkpoint's docstring);
+# iterative operators here release round t's blocks through the
+# JVM-side RDD handle once round t+1's checkpoint has materialized
+from libcolumnfile_spark.session import release_checkpoint as _release_checkpoint
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = _PR_DAMPING,
@@ -94,13 +101,14 @@ def pagerank(
     # stragglers at return); dropping them on the floor would leak
     # CacheManager entries past the query (bench's cache-hygiene guard)
     pending_tmps: list[DataFrame] = []
-    # superseded checkpoints are released EAGERLY: once round t+1's
-    # eager checkpoint materializes, round t's checkpointed blocks are
-    # unreachable from any future execution (localCheckpoint truncates
-    # lineage, and the returned plan reads only the LAST checkpoint) —
-    # leaving them for the ContextCleaner meant ~4 resident checkpoint
-    # RDDs per invocation, and a 4-invocation bench query transiently
-    # tripped the cache-hygiene bound while the cleaner drained
+    # superseded checkpoints are released EAGERLY via the JVM-side RDD
+    # handle (_release_checkpoint): once round t+1's eager checkpoint
+    # materializes, round t's checkpointed blocks are unreachable from
+    # any future execution (localCheckpoint truncates lineage, and the
+    # returned plan reads only the LAST checkpoint) — leaving them for
+    # the ContextCleaner meant ~4 resident checkpoint RDDs per
+    # invocation, and a 4-invocation bench query transiently tripped
+    # the cache-hygiene bound while the cleaner drained
     prev_ckpt: DataFrame | None = None
     for t in range(n_iter):
         ranks, round_tmp = pagerank_round(
@@ -116,7 +124,7 @@ def pagerank(
         if (t + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
             if prev_ckpt is not None:
-                prev_ckpt.unpersist(blocking=False)
+                _release_checkpoint(prev_ckpt)
             prev_ckpt = ranks
             # the checkpoint materialized every round since the last
             # one: their contribution caches are no longer reachable
@@ -128,7 +136,7 @@ def pagerank(
         # tail before releasing what it still references
         ranks = ranks.localCheckpoint(eager=True)
         if prev_ckpt is not None:
-            prev_ckpt.unpersist(blocking=False)
+            _release_checkpoint(prev_ckpt)
         prev_ckpt = ranks
         for tmp in pending_tmps:
             tmp.unpersist(blocking=False)
@@ -137,7 +145,7 @@ def pagerank(
     outd.unpersist(blocking=False)
     # the node-set checkpoint fed every round's plan; the final
     # checkpointed rank vector no longer references it
-    nodes.unpersist(blocking=False)
+    _release_checkpoint(nodes)
     return ranks.select("node", F.round("r", 6).alias("rank"))
 
 
@@ -571,7 +579,7 @@ def kcore(
     for _ in range(rounds):
         cur = kcore_round(cur, k).localCheckpoint(eager=True)
         if prev_ckpt is not None:
-            prev_ckpt.unpersist(blocking=False)
+            _release_checkpoint(prev_ckpt)
         prev_ckpt = cur
     return _degrees(cur).select(F.col("v").alias("node"), "deg")
 

@@ -189,6 +189,195 @@ def pq_topk(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Oracle-verified PQ mechanism (q_sim_pq_seeded): same encode + ADC
+# machinery as q_sim_pq, but over the FIXED seeded codebooks (Lloyd
+# iters=0), which makes every stage plain double arithmetic a DuckDB
+# oracle replicates end to end — the q_sim_ivf_seeded recipe
+# (similarity.py) applied to PQ. The Lloyd-trained variant q_sim_pq
+# keeps its rows-only check + recall property tests; this twin is the
+# driver-window representative so the hard gate carries a full hash
+# oracle for the PQ path (VERDICT r8 item 2).
+#
+# FP-parity contract with the oracle (the q_sim_ivf_seeded precedent):
+# - sub-space squared L2 accumulates POSITION-SEQUENTIALLY in float64:
+#   acc += (v[p]-c[p])^2 for p = 0..sub-1, exactly SQL's left-assoc
+#   (t1 + t2 + ... + t_sub) — bit-identical distances;
+# - argmin is strict-< first-min-wins, the oracle's
+#   CASE WHEN d = least(...) first-match;
+# - the ADC lookup table is computed ONCE driver-side and embedded as
+#   the same literal constants in both the kernel and the SQL, so the
+#   score sum (left-assoc over m terms) is bit-identical too.
+# ---------------------------------------------------------------------------
+
+_PQ_V_M = 8
+_PQ_V_KSUB = 16
+_PQ_V_SEED = 101
+
+
+def _pq_lut(codebooks: np.ndarray, query_vec: list[float]) -> list[list[float]]:
+    """(m, ksub) query-to-centroid dot products as PYTHON floats,
+    position-sequential fold — the shared constants of kernel + oracle."""
+    m, ksub, sub = codebooks.shape
+    lut: list[list[float]] = []
+    for i in range(m):
+        row = []
+        for c in range(ksub):
+            acc = 0.0
+            for p in range(sub):
+                acc += float(codebooks[i, c, p]) * float(query_vec[i * sub + p])
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_seeded_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = _PQ_V_M,
+    ksub: int = _PQ_V_KSUB,
+    seed: int = _PQ_V_SEED,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encode + ADC top-k over FIXED seeded codebooks. One map-only
+    Arrow kernel per vector (encode + score fused — the codes are never
+    shuffled), then TakeOrderedAndProject: zero shuffles on the query
+    path, identical to pq_topk's plan shape."""
+    # null embeddings can't be encoded (and a NULL distance would fall
+    # through the oracle's CASE to code ksub-1, scoring a phantom row):
+    # the operator's contract is null-free, filtered identically in SQL.
+    # The dim probe also runs on the FILTERED frame — len(NULL) crashes.
+    df = df.filter(F.col(vec_col).isNotNull())
+    dim = _vector_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb = _seeded_codebooks(dim, m, ksub, seed)
+    lut = np.array(_pq_lut(cb, query_vec))
+    cb_b, lut_b = cb, lut
+
+    @F.pandas_udf("codes_str string, adc_score double")
+    def enc_score(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame(
+                {
+                    "codes_str": pd.Series([], dtype=object),
+                    "adc_score": pd.Series([], dtype="float64"),
+                }
+            )
+        M = np.array(list(col), dtype=np.float64)
+        n = len(M)
+        codes = np.empty((n, m), dtype=np.int64)
+        score = np.zeros(n)
+        for i in range(m):
+            S = M[:, i * sub : (i + 1) * sub]
+            best_d = np.full(n, np.inf)
+            best_c = np.zeros(n, dtype=np.int64)
+            for c in range(ksub):
+                cent = cb_b[i, c]
+                acc = np.zeros(n)
+                # position-sequential: bit-identical to the oracle's
+                # left-assoc (t1 + ... + t_sub)
+                for p in range(sub):
+                    diff = S[:, p] - cent[p]
+                    acc += diff * diff
+                better = acc < best_d  # strict: first-min-wins
+                best_d = np.where(better, acc, best_d)
+                best_c = np.where(better, np.int64(c), best_c)
+            codes[:, i] = best_c
+            score += lut_b[i][best_c]
+        strs = ["-".join(str(int(x)) for x in row) for row in codes]
+        return pd.DataFrame({"codes_str": strs, "adc_score": score})
+
+    return (
+        df.select(F.col(id_col).alias("vec_id"), enc_score(F.col(vec_col)).alias("es"))
+        .select(
+            "vec_id",
+            F.col("es.codes_str").alias("codes_str"),
+            F.round(F.col("es.adc_score"), 6).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_seeded_oracle(k: int = 10) -> str:
+    from libcolumnfile_spark.operators.similarity import _QUERY_DIM, _QUERY_VEC
+
+    m, ksub = _PQ_V_M, _PQ_V_KSUB
+    sub = _QUERY_DIM // m
+    cb = _seeded_codebooks(_QUERY_DIM, m, ksub, _PQ_V_SEED)
+    lut = _pq_lut(cb, _QUERY_VEC)
+
+    d_exprs = []
+    for i in range(m):
+        for c in range(ksub):
+            terms = " + ".join(
+                f"(v[{i * sub + p + 1}] - {float(cb[i, c, p])!r}) * "
+                f"(v[{i * sub + p + 1}] - {float(cb[i, c, p])!r})"
+                for p in range(sub)
+            )
+            d_exprs.append(f"{terms} AS d{i}_{c}")
+    m_exprs = [
+        "least(" + ", ".join(f"d{i}_{c}" for c in range(ksub)) + f") AS m{i}"
+        for i in range(m)
+    ]
+    code_exprs = []
+    for i in range(m):
+        case = (
+            "CASE "
+            + " ".join(f"WHEN d{i}_{c} = m{i} THEN {c}" for c in range(ksub - 1))
+            + f" ELSE {ksub - 1} END"
+        )
+        code_exprs.append(f"CAST({case} AS INT) AS c{i}")
+    # CAST each lut literal: a bare decimal literal is DECIMAL in
+    # DuckDB, and a DECIMAL sum would change both dtype and rounding
+    lut_cases = [
+        "(CASE c{i} ".format(i=i)
+        + " ".join(
+            f"WHEN {c} THEN CAST({lut[i][c]!r} AS DOUBLE)" for c in range(ksub)
+        )
+        + " END)"
+        for i in range(m)
+    ]
+    codes_str = (
+        "concat_ws('-', "
+        + ", ".join(f"CAST(c{i} AS VARCHAR)" for i in range(m))
+        + ")"
+    )
+    return (
+        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"d AS (SELECT vec_id, {', '.join(d_exprs)} FROM b), "
+        f"mm AS (SELECT *, {', '.join(m_exprs)} FROM d), "
+        f"c AS (SELECT vec_id, {', '.join(code_exprs)} FROM mm) "
+        f"SELECT vec_id, {codes_str} AS codes_str, "
+        f"round({' + '.join(lut_cases)}, 6) AS adc_score "
+        f"FROM c ORDER BY adc_score DESC, vec_id LIMIT {k}"
+    )
+
+
+@query(
+    "q_sim_pq_seeded",
+    oracle=_pq_seeded_oracle(),
+    doc=(
+        "Oracle-verified PQ mechanism: fixed seeded codebooks, fused "
+        "encode+ADC Arrow kernel (map-only, zero query-path shuffles), "
+        "first-min-wins sub-space argmin, literal shared lookup table — "
+        "every stage replicated in the SQL oracle down to fold order "
+        "(the Lloyd-trained variant q_sim_pq keeps its rows-only check)."
+    ),
+    tags=("similarity", "ann", "pq"),
+)
+def q_sim_pq_seeded(spark, sf_dir):
+    from libcolumnfile_spark.operators.similarity import _QUERY_VEC
+
+    emb = T(spark, sf_dir, "embeddings")
+    return pq_seeded_topk(emb, _QUERY_VEC, k=10)
+
+
 @query(
     "q_sim_pq",
     # rows-only: Lloyd-trained codebooks are engine-specific state (like

@@ -1050,6 +1050,16 @@ def decay_score(
         .groupBy(F.col(user_col).alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # Tolerance argument for the hash oracle: sum(float) order
+            # differs across Spark partitioning and vs DuckDB, so two
+            # engines can disagree in the last ~ulp; round(4) absorbs
+            # that UNLESS a per-user sum lands within ~1e-13 of a
+            # 4-decimal rounding boundary (same latent-flake exposure as
+            # chi2_uniform in q_class_balance — accepted: per-user sums
+            # are O(100) terms of O(1) magnitude, boundary probability
+            # ~1e-10 per row, and the full audit has never flaked on
+            # it). If it ever does, canonicalize the fold order by
+            # sorting terms per user before summing.
             F.round(F.sum(decayed), 4).alias("decay_score"),
             F.max(ts_col).alias("last_ts"),
         )

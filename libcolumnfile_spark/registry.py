@@ -88,14 +88,21 @@ _PRIORITY = [
     "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_gopher_rules",
     "q_cooc_pmi", "q_rank_fusion", "q_classifier_filter",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
+    # (round 9: q_sim_pq_seeded supersedes the Lloyd-trained q_sim_pq —
+    # same encode+ADC mechanism over fixed seeded codebooks, which makes
+    # it FULLY oracle-able; q_sim_pq stays rows-only in the full audit)
     # and the self-tuned SRP pair generator (round 4), plus the
     # full-oracle minhash dedup twin — one rep each for the ANN,
     # pair-similarity, and fuzzy-dedup families
-    "q_sim_pq", "q_sim_pairs_auto", "q_dedup_minhash_verified",
+    "q_sim_pq_seeded", "q_sim_pairs_auto", "q_dedup_minhash_verified",
     # multimodal (REAL PNG/PPM/WAV decode round-trip, round 4)
     "q_media_decode",
-    # tokenizer construction (REAL distributed BPE trainer, round 4)
-    "q_bpe_train",
+    # embedding-compression audit (round 9: swapped in for q_bpe_train —
+    # BPE's iterative argmax segmentation is genuinely not
+    # SQL-expressible, so it was a permanent `err: no_oracle` row in the
+    # driver's hard gate; it rotates just past the window, still
+    # reference-equality property-tested and in every full audit)
+    "q_quantize_int8",
     # round-5 operators, rotated into the driver window (full-oracle):
     # count-min-sketch frequency, small-file compaction, streaming
     # near-dup suppression's batch face
@@ -127,6 +134,9 @@ _PRIORITY = [
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
     # q_roundtrip, q_rank_fusion, q_pagerank_docs); still in every full
     # audit
+    # round 9: the two declared-rows-only former window occupants sit
+    # FIRST past the window (strong reps, just not hash-oracle-able)
+    "q_sim_pq", "q_bpe_train",
     "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
     "q_join_semi", "q_funnel", "q_stats_agg", "q_scalar_str_date",
     "q_token_count",

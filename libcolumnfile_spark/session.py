@@ -95,3 +95,27 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, master: str | None = None) -> Sp
     )
     builder = configure(builder)
     return builder.getOrCreate()
+
+
+def release_checkpoint(df) -> None:
+    """Release a SUPERSEDED localCheckpoint's storage blocks NOW.
+
+    Dataset.unpersist() is a no-op for checkpoint blocks: it only drops
+    CacheManager entries, and a localCheckpointed Dataset's blocks live
+    on the internal RDD, not in the CacheManager (verified on PySpark
+    4.1.2: the RDD stays in ``getPersistentRDDs`` after a blocking
+    ``df.unpersist()``). The real handle is the LogicalRDD plan node's
+    RDD — reach it through the JVM plan and unpersist THAT. After this
+    call the DataFrame is unusable (lineage was truncated at checkpoint
+    time), so only ever call it on a checkpoint no future plan reads —
+    e.g. iteration t's state once iteration t+1's checkpoint has
+    materialized.
+
+    Best-effort: LogicalRDD's accessor is not a public API, so any py4j
+    surprise degrades to leaving the blocks for the ContextCleaner (the
+    pre-round-9 behavior) rather than failing the query.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - defensive against API drift
+        df.unpersist(blocking=False)

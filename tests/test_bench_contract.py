@@ -93,3 +93,28 @@ def test_cache_hygiene_detects_leaks(spark):
             df.unpersist(blocking=True)
     spark.catalog.clearCache()
     assert_cache_hygiene(spark, "clean-again")
+
+
+def test_probe_block_compacts_on_stdout():
+    """The contention-probe series/suspect lists go to the file dump;
+    stdout carries only the compact verdict (floor, drift, counts) so a
+    long sweep's probe series can't blow the 1800-char tail budget."""
+    payload = bench_payload(_fake_timings(10), 0.1)
+    payload["probe"] = {
+        "floor_sec": 0.08,
+        "series": [round(0.08 + i * 0.001, 4) for i in range(40)],
+        "max_drift": 1.49,
+        "suspect": [f"q_some_longish_query_name_{i:03d}" for i in range(40)],
+        "remeasured": ["q_some_longish_query_name_001"],
+    }
+    line = format_bench_line(payload)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["probe"] == {
+        "floor_sec": 0.08,
+        "max_drift": 1.49,
+        "suspect_n": 40,
+        "remeasured_n": 1,
+    }
+    # original payload untouched (the file dump keeps the full series)
+    assert len(payload["probe"]["series"]) == 40

@@ -844,6 +844,47 @@ class TestPq:
         out = REGISTRY["q_sim_pq"].spark_fn(spark, "/root/testdata/sf0.001").collect()
         assert len(out) == 10
 
+    def test_seeded_pq_matches_driver_reference(self, spark):
+        """q_sim_pq_seeded's fused encode+ADC kernel vs a pure-numpy
+        driver-side reference over the same seeded codebooks: identical
+        codes and scores for the top-k (the DuckDB oracle re-proves this
+        independently at the correctness gate; this pins the kernel
+        against plan/partitioning changes without needing DuckDB)."""
+        import numpy as np
+        from libcolumnfile_spark.operators import pq, similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = similarity._QUERY_VEC
+        got = pq.pq_seeded_topk(emb, q, k=10).collect()
+        assert len(got) == 10
+
+        rows = [
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+            for r in emb.collect()
+            if r["embedding"] is not None
+        ]
+        cb = pq._seeded_codebooks(64, pq._PQ_V_M, pq._PQ_V_KSUB, pq._PQ_V_SEED)
+        lut = pq._pq_lut(cb, q)
+        ref = []
+        for vid, v in rows:
+            score, codes = 0.0, []
+            for i in range(pq._PQ_V_M):
+                sub = 64 // pq._PQ_V_M
+                best_d, best_c = float("inf"), 0
+                for c in range(pq._PQ_V_KSUB):
+                    acc = 0.0
+                    for p in range(sub):
+                        d = v[i * sub + p] - cb[i, c, p]
+                        acc += d * d
+                    if acc < best_d:
+                        best_d, best_c = acc, c
+                codes.append(best_c)
+                score += lut[i][best_c]
+            ref.append((vid, "-".join(map(str, codes)), round(score, 6)))
+        ref.sort(key=lambda t: (-t[2], t[0]))
+        want = ref[:10]
+        assert [(r["vec_id"], r["codes_str"], r["adc_score"]) for r in got] == want
+
 
 class TestCorpusCleaning:
     def test_boilerplate_dropped_everywhere(self, spark):
