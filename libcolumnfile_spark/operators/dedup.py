@@ -1838,3 +1838,77 @@ def _containment_oracle(shingle_n: int = 3, threshold: float = 0.8) -> str:
 def q_dedup_containment(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return containment_pairs(d)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster profile: the corpus-health diagnostic read BEFORE
+# choosing a dedup strategy (a corpus whose duplication lives in a few
+# giant clusters wants cluster-representative sampling; one with a long
+# tail of pairs wants near-dup passes).
+# ---------------------------------------------------------------------------
+
+
+def dup_cluster_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Size distribution of exact-duplicate clusters.
+
+    Output: one row per observed cluster size — (cluster_size,
+    n_clusters, n_docs, redundant_docs) where redundant_docs counts the
+    rows exact dedup would remove at that size.
+
+    Scale design: ONE shuffle keyed by the 16-byte md5 of the content
+    (ids/text never shuffled — the hash aggregate is map-side partial),
+    then a histogram over cluster sizes whose cardinality is bounded by
+    the largest cluster (hundreds of distinct sizes at any corpus
+    scale). No joins, no driver state; the same plan at 100 TB is scan +
+    two bounded exchanges.
+    """
+    sizes = (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "redundant_docs"
+            ),
+        )
+    )
+
+
+@query(
+    "q_dup_cluster_stats",
+    # The fixture corpus has no exact duplicates (every md5 is unique,
+    # which would collapse the histogram to one trivial row), so the
+    # declared query profiles the corpus PLUS a deterministic duplicated
+    # subset (every doc_id % 7 == 0 appears twice) — the q_contamination
+    # pseudo-benchmark precedent: the derivation is synthetic and
+    # declared in the oracle; the OPERATOR is the real thing.
+    oracle=(
+        "WITH u AS (SELECT text FROM documents UNION ALL "
+        "SELECT text FROM documents WHERE doc_id % 7 = 0), "
+        "c AS (SELECT md5(text) AS h, count(*) AS cluster_size "
+        "FROM u GROUP BY 1) "
+        "SELECT cluster_size, count(*) AS n_clusters, "
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs, "
+        "CAST((cluster_size - 1) * count(*) AS BIGINT) AS redundant_docs "
+        "FROM c GROUP BY cluster_size"
+    ),
+    doc=(
+        "Exact-duplicate cluster-size histogram: n_clusters / n_docs / "
+        "redundant_docs per cluster size — one content-hash shuffle plus "
+        "a bounded histogram aggregate (corpus + deterministic "
+        "duplicated subset so multi-size clusters exist in the fixture)."
+    ),
+    tags=("dedup", "profile"),
+)
+def q_dup_cluster_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    u = d.select("text").unionAll(d.filter(F.col("doc_id") % 7 == 0).select("text"))
+    return dup_cluster_stats(u)

@@ -1951,3 +1951,94 @@ def class_balance(df: DataFrame, label_col: str = "label") -> DataFrame:
 )
 def q_class_balance(spark, sf_dir):
     return class_balance(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution matching: downsample-only acceptance resampling that
+# rebalances a corpus toward a target group mix (the move behind
+# "rebalance languages/domains before training"). Unlike the fixed-rate
+# stratified sample (q_sample_stratified), the rates here are COMPUTED
+# from the observed distribution: every group is thinned toward the
+# target share, anchored so the scarcest group keeps 100%.
+# ---------------------------------------------------------------------------
+
+
+def distribution_match(
+    df: DataFrame, group_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group acceptance summary for a uniform target mix.
+
+    With group counts n_g and a uniform target, the downsample-only
+    solution anchored at the scarcest group accepts min(n)/n_g of group
+    g. Acceptance is decided row-by-row by the engine-portable md5
+    bucket (hash_bucket, parts-per-million grain) against an INTEGER
+    threshold floor(1e6 * min(n) / n_g) — all-integer arithmetic, so
+    Spark and any other engine accept exactly the same rows forever
+    (the reproducibility bar q_sample_hash sets).
+
+    Output: (group, n_docs, thr_ppm, n_sampled) per group.
+
+    Scale design: one group-keyed count (map-side partial, group
+    cardinality bounded — languages/domains are thousands at most), the
+    1-row min broadcast back, and ONE scan of the corpus filtered by a
+    pure map predicate joined to the per-group threshold (broadcast —
+    the group table is construction-bounded). No row-scale shuffle: at
+    100 TB this is two scans' worth of work, and the second scan is the
+    sampling pass a real pipeline would fuse with its writer.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    mn = counts.agg(F.min("n_docs").alias("mn"))
+    # `div`, not `/`+floor: the float path would round differently from
+    # integer division once 1e6 * min(n) passes 2^53 (real-corpus group
+    # counts can), and the acceptance threshold must be engine-exact
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        "grp",
+        "n_docs",
+        F.expr("CAST((1000000 * mn) DIV n_docs AS BIGINT)").alias("thr_ppm"),
+    )
+    accepted = (
+        df.select(F.col(group_col).alias("grp"), F.col(id_col).alias("__id"))
+        .join(F.broadcast(thr.select("grp", "thr_ppm")), "grp")
+        .filter(hash_bucket(F.col("__id"), 1_000_000) < F.col("thr_ppm"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        thr.join(accepted, "grp", "left")
+        .select(
+            F.col("grp").alias("grp"),
+            "n_docs",
+            "thr_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+@query(
+    "q_distribution_match",
+    oracle=(
+        "WITH n AS (SELECT lang AS grp, count(*) AS n_docs FROM documents "
+        "GROUP BY 1), "
+        "m AS (SELECT min(n_docs) AS mn FROM n), "
+        "t AS (SELECT grp, n_docs, "
+        "CAST((1000000 * mn) // n_docs AS BIGINT) AS thr_ppm "
+        "FROM n CROSS JOIN m), "
+        "s AS (SELECT d.lang AS grp, count(*) AS n_sampled FROM documents d "
+        "JOIN t ON d.lang = t.grp WHERE "
+        f"{_bucket_sql('d.doc_id', 1_000_000)} < t.thr_ppm GROUP BY 1) "
+        "SELECT t.grp, t.n_docs, t.thr_ppm, "
+        "CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled "
+        "FROM t LEFT JOIN s ON t.grp = s.grp"
+    ),
+    doc=(
+        "Distribution-matching resampler: downsample-only acceptance "
+        "thresholds (ppm grain, all-integer arithmetic) that rebalance "
+        "the corpus to a uniform language mix, anchored at the scarcest "
+        "language; per-language before/after counts."
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_distribution_match(spark, sf_dir):
+    return distribution_match(T(spark, sf_dir, "documents"))

@@ -1644,3 +1644,99 @@ _QUANT_ORACLE = (
 )
 def q_quantize_int8(spark, sf_dir):
     return quantize_int8_stats(_spread(T(spark, sf_dir, "embeddings")))
+
+
+# ---------------------------------------------------------------------------
+# Per-group embedding drift: how far each subcorpus' centroid sits from
+# the corpus centroid (cosine). The distribution-shift monitor a
+# training pipeline runs per language/domain/snapshot before mixing —
+# a group whose centroid drifts is a group whose content changed.
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift(
+    emb: DataFrame,
+    docs: DataFrame,
+    group_col: str = "lang",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group, n_vecs, cos_to_global): cosine between each group's mean
+    embedding and the corpus mean embedding.
+
+    Scale design: ONE exchange keyed (group, dim) with map-side partial
+    sums — the only row-scale work; everything downstream is
+    groups x dim rows (the global per-dim sums derive from the
+    PER-GROUP sums, not a second corpus pass). The final cosine is a
+    64-term aggregate per group. At 100 TB this is a scan plus bounded
+    aggregates; nothing broadcast is row-scale.
+
+    FP tolerance: double sums are fold-order-dependent across
+    partitionings and engines; the oracle replicates the same two-level
+    sum structure and round(6) on the final cosine absorbs the ~1e-15
+    relative divergence (the q_decay_score tolerance argument).
+    """
+    e = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .join(
+            docs.select(F.col("doc_id").alias("vec_id"), F.col(group_col).alias("grp")),
+            "vec_id",
+        )
+        .select(
+            "grp", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        .select("grp", "pos", F.col("val").cast("double").alias("val"))
+    )
+    per = e.groupBy("grp", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = per.groupBy("pos").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    m = per.join(glob, "pos").select(
+        "grp",
+        "n",
+        (F.col("s") / F.col("n")).alias("lm"),
+        (F.col("gs") / F.col("gn")).alias("gm"),
+    )
+    return m.groupBy("grp").agg(
+        F.max("n").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("lm") * F.col("gm"))
+            / (
+                F.sqrt(F.sum(F.col("lm") * F.col("lm")))
+                * F.sqrt(F.sum(F.col("gm") * F.col("gm")))
+            ),
+            6,
+        ).alias("cos_to_global"),
+    )
+
+
+@query(
+    "q_embedding_drift",
+    oracle=(
+        "WITH e AS (SELECT d.lang AS grp, CAST(em.embedding AS DOUBLE[]) AS v "
+        "FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id "
+        "WHERE em.embedding IS NOT NULL), "
+        "x AS (SELECT grp, unnest(generate_series(1, len(v))) AS pos, v FROM e), "
+        "p AS (SELECT grp, pos, sum(v[pos]) AS s, count(*) AS n "
+        "FROM x GROUP BY 1, 2), "
+        "g AS (SELECT pos, sum(s) AS gs, CAST(sum(n) AS BIGINT) AS gn "
+        "FROM p GROUP BY 1), "
+        "m AS (SELECT p.grp, p.n, p.s / p.n AS lm, g.gs / g.gn AS gm "
+        "FROM p JOIN g ON p.pos = g.pos) "
+        "SELECT grp, CAST(max(n) AS BIGINT) AS n_vecs, "
+        "round(sum(lm * gm) / (sqrt(sum(lm * lm)) * sqrt(sum(gm * gm))), 6) "
+        "AS cos_to_global FROM m GROUP BY grp"
+    ),
+    doc=(
+        "Per-language embedding-centroid drift vs the corpus centroid "
+        "(cosine): one (group, dim)-keyed exchange with map-side partial "
+        "sums; global sums derived from group sums, no second corpus "
+        "pass."
+    ),
+    tags=("similarity", "pipeline", "quality"),
+)
+def q_embedding_drift(spark, sf_dir):
+    return embedding_drift(
+        T(spark, sf_dir, "embeddings"), T(spark, sf_dir, "documents")
+    )

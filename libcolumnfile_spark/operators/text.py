@@ -2028,3 +2028,99 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(_spread(T(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: what fraction of each document's n-grams appear
+# NOWHERE else in the corpus. The content-originality signal dual to
+# contamination (overlap vs a benchmark) and repetition (overlap with
+# itself): low-novelty documents are templated/syndicated content even
+# when no single near-duplicate partner exists.
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): per-document count of
+    DISTINCT whitespace n-grams, how many occur in no other document,
+    and their ratio.
+
+    Scale design: grams reduce to 16-byte md5 keys before any exchange
+    (the gram TEXT never shuffles). ONE shuffle keyed by gram hash
+    computes corpus doc-frequency with map-side partials; the per-doc
+    join back is keyed by the same hash, so at 100 TB the work is
+    O(total tokens) exchange bytes with no pair blowup — the same class
+    as the winnowing fingerprint and contamination screens. Within-doc
+    gram dedup happens on the STRING form before hashing (a 128-bit
+    within-doc collision between distinct grams is the only thing that
+    could diverge the counts; md5 makes that negligible, and the oracle
+    hashes identically).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, n), " "
+                    ),
+                )
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.md5(F.col("gram")).alias("h"))
+    docfreq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(docfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform(list_distinct("
+        "list_transform(generate_series(1, len(toks) - 4), "
+        "i -> array_to_string(toks[i:i+4], ' '))), s -> md5(s))) AS h "
+        "FROM t WHERE len(toks) >= 5), "
+        "f AS (SELECT h, count(*) AS df FROM g GROUP BY 1) "
+        "SELECT g.doc_id, count(*) AS n_grams, "
+        "CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_novel, "
+        "round(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS novelty "
+        "FROM g JOIN f ON g.h = f.h GROUP BY g.doc_id"
+    ),
+    doc=(
+        "Per-document 5-gram novelty vs the rest of the corpus: distinct "
+        "grams hashed to 16-byte keys, one gram-keyed doc-frequency "
+        "shuffle, hash-keyed join back — O(tokens) exchange, no pair "
+        "blowup."
+    ),
+    tags=("text", "dedup", "quality"),
+)
+def q_ngram_novelty(spark, sf_dir):
+    return ngram_novelty(T(spark, sf_dir, "documents"))

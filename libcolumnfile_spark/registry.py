@@ -42,7 +42,10 @@ _PRIORITY = [
     "q_scan", "q_project", "q_filter", "q_cast",
     # set ops / sort / topk (q_intersect demoted past the window —
     # q_union_all keeps the set-op slot — for the round-6/7 rotation)
-    "q_union_all", "q_sort", "q_topk",
+    # (round 9 demotes q_topk just past the window: q_sort keeps the
+    # order-by slot and TakeOrdered is exercised by every in-window
+    # top-k — q_sim_pq_seeded, q_rank_fusion)
+    "q_union_all", "q_sort",
     # aggregation surface (q_minmax_by/q_histogram/q_rollup demoted just
     # past the window; q_group_agg/q_percentile hold the slots — round 8
     # rotates q_stats_agg just past the window too, freeing a slot for
@@ -85,8 +88,13 @@ _PRIORITY = [
     # accounting path is exercised in-window by q_vocab_coverage and
     # q_bpe_train; the slot goes to the PMI collocation miner, the new
     # bigram corpus-statistics family's rep)
-    "q_text_stats", "q_fingerprint_winnow", "q_lang_id", "q_gopher_rules",
-    "q_cooc_pmi", "q_rank_fusion", "q_classifier_filter",
+    # (round 9: q_fingerprint_winnow and q_classifier_filter rotate just
+    # past the window — winnowing stays exercised in-window by
+    # q_dedup_span, the quality family keeps q_gopher_rules and
+    # q_perplexity_split; the slots go to the new n-gram novelty and
+    # embedding-drift quality signals)
+    "q_text_stats", "q_lang_id", "q_gopher_rules",
+    "q_cooc_pmi", "q_rank_fusion", "q_ngram_novelty", "q_embedding_drift",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # (round 9: q_sim_pq_seeded supersedes the Lloyd-trained q_sim_pq —
     # same encode+ADC mechanism over fixed seeded codebooks, which makes
@@ -110,7 +118,11 @@ _PRIORITY = [
     # round-5 additions: SemDeDup-style semantic dedup (full-oracle,
     # seeded-quantizer clustering + within-cluster dominance) and the
     # per-domain frequency cap (full-oracle, two-phase salted selection)
-    "q_semdedup", "q_domain_cap",
+    # (round 9: q_semdedup rotates just past the window — the SRP/seeded
+    # embedding machinery stays in-window via q_sim_pairs_auto and
+    # q_sim_pq_seeded; the slot goes to the dup-cluster profile, and the
+    # new distribution-matching resampler joins the sampling family)
+    "q_dup_cluster_stats", "q_distribution_match", "q_domain_cap",
     # round-6/8 rotation: the CCNet perplexity split keeps its slot;
     # round 8 swaps chunking (pure fan-out, covered by pytest + full
     # audit) for vocabulary-coverage analysis (tokenizer OOV eval)
@@ -135,8 +147,10 @@ _PRIORITY = [
     # q_roundtrip, q_rank_fusion, q_pagerank_docs); still in every full
     # audit
     # round 9: the two declared-rows-only former window occupants sit
-    # FIRST past the window (strong reps, just not hash-oracle-able)
+    # FIRST past the window (strong reps, just not hash-oracle-able),
+    # followed by the four oracled queries the round-9 rotation demoted
     "q_sim_pq", "q_bpe_train",
+    "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",
     "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
     "q_join_semi", "q_funnel", "q_stats_agg", "q_scalar_str_date",
     "q_token_count",

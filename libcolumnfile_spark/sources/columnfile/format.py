@@ -82,11 +82,22 @@ def parse_segment_header(
     )
 
 
-def scan_segments(path: str) -> list[SegmentMeta]:
+def scan_segments(path: str, partial_ok: bool = False) -> list[SegmentMeta]:
     """Walk a file's segment headers without touching blob data (the
     header tells us each blob's size, so we seek past — the same
     coalesced-seek trick as the reference's column skip,
-    src/columnfile-reader.cc:156-196, applied at whole-segment scale)."""
+    src/columnfile-reader.cc:156-196, applied at whole-segment scale).
+
+    ``partial_ok=True`` is the STREAMING-tail contract (reference O23:
+    the writer appends a whole segment then pubsyncs, so a reader
+    racing an in-flight append sees a complete-segment prefix plus a
+    torn tail): any malformed data at the CURRENT scan position stops
+    the walk and returns the complete prefix instead of raising — the
+    tail is in-flight, not corrupt, and re-scanning after the writer's
+    next sync picks it up. Batch readers keep the strict default
+    (``partial_ok=False``): a torn tail there IS corruption and must
+    raise (O26 fuzz-safety pins that). A magic-header mismatch raises
+    in both modes — the file is fundamentally not a columnfile."""
     out: list[SegmentMeta] = []
     file_size = fs_size(path)
     with fs_open_input(path) as f:
@@ -95,21 +106,30 @@ def scan_segments(path: str) -> list[SegmentMeta]:
             raise ColumnFileFormatError("magic header mismatch")
         pos = 4
         while pos < file_size:
-            f.seek(pos)
-            word = f.read(4)
-            if len(word) == 0:
-                break
-            if len(word) < 4:
-                raise ColumnFileFormatError("short read")
-            header_size = int.from_bytes(word, "big")
-            if pos + 4 + header_size > file_size:
-                raise ColumnFileFormatError("corrupt input: header exceeds file")
-            header = f.read(header_size)
-            if len(header) != header_size:
-                raise ColumnFileFormatError("short read")
-            seg = parse_segment_header(header, pos, pos + 4 + header_size)
-            if seg.end_offset > file_size:
-                raise ColumnFileFormatError("corrupt input: segment exceeds file")
+            try:
+                f.seek(pos)
+                word = f.read(4)
+                if len(word) == 0:
+                    break
+                if len(word) < 4:
+                    raise ColumnFileFormatError("short read")
+                header_size = int.from_bytes(word, "big")
+                if pos + 4 + header_size > file_size:
+                    raise ColumnFileFormatError(
+                        "corrupt input: header exceeds file"
+                    )
+                header = f.read(header_size)
+                if len(header) != header_size:
+                    raise ColumnFileFormatError("short read")
+                seg = parse_segment_header(header, pos, pos + 4 + header_size)
+                if seg.end_offset > file_size:
+                    raise ColumnFileFormatError(
+                        "corrupt input: segment exceeds file"
+                    )
+            except ColumnFileFormatError:
+                if partial_ok:
+                    break  # in-flight tail: the complete prefix stands
+                raise
             out.append(seg)
             pos = seg.end_offset
     return out

@@ -209,6 +209,12 @@ def q_columnfile_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RT_CODECS = ("none", "snappy", "lz4", "lzma", "zlib")
+# per-process invocation counter driving the rotating force-rewrite in
+# q_roundtrip (the declared writer query must hit the native write path
+# on every run, including warm-cache ones)
+import itertools as _itertools
+
+_RT_ROTATE = _itertools.count()
 
 
 def _roundtrip_oracle() -> str:
@@ -231,6 +237,11 @@ def _roundtrip_oracle() -> str:
 @query(
     "q_roundtrip",
     oracle=_roundtrip_oracle(),
+    # plan_cache OFF: the declared O1 (writer) query's body performs the
+    # rotating force-rewrite below as an inline driver action — a
+    # memoized plan would skip the write on every warm re-invocation
+    # (exactly the round-8 finding this rotation exists to fix)
+    plan_cache=False,
     doc=(
         "Write/read roundtrip of the native columnfile format under ALL "
         "five block codecs (reference O1/O18, columnfile-writer.cc + "
@@ -268,10 +279,19 @@ def q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.lit(p),
     )
+    # The declared O1 (writer) query must exercise the native WRITE path
+    # every invocation, not only on a cold cache: one codec per call is
+    # force-rewritten on a rotating schedule (round-robin over a
+    # module-level counter), so a warm-cache timed/oracled run still
+    # drives encode -> compress -> manifest for one codec while the
+    # other four amortize as cached fixtures. The RESULT is invariant to
+    # which codec gets rewritten (same rows, same checksums), so the
+    # oracle comparison is unaffected.
+    rewrite = _RT_CODECS[next(_RT_ROTATE) % len(_RT_CODECS)]
     out = None
     for codec in _RT_CODECS:
         path = cache_path("colcache", key, f"documents_rt_{codec}")
-        if not fs_exists(fs_join(path, MANIFEST_FILE)):
+        if codec == rewrite or not fs_exists(fs_join(path, MANIFEST_FILE)):
             d.write.format("columnfile").option("compression", codec).mode(
                 "overwrite"
             ).save(path)

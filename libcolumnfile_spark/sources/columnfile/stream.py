@@ -77,9 +77,14 @@ class ColumnFileStreamReader(DataSourceStreamReader):
         files = {}
         for f in _complete_files(self.path):
             try:
-                segs = scan_segments(f)
+                # partial_ok: a writer's in-flight append leaves a torn
+                # tail; the COMPLETE-segment prefix is still consumable
+                # now (skipping the whole file would starve a file whose
+                # writer always has a segment in flight). The torn tail
+                # is picked up once the writer's next sync completes it.
+                segs = scan_segments(f, partial_ok=True)
             except Exception:
-                continue  # torn tail or mid-write file: pick it up next batch
+                continue  # not a columnfile yet (mid-create): next batch
             if segs:
                 files[posixpath.basename(f) if "://" in f else os.path.basename(f)] = segs[-1].end_offset
         return {"files": files}
@@ -92,9 +97,13 @@ class ColumnFileStreamReader(DataSourceStreamReader):
             from_byte = start_files.get(name, 0)
             if end_byte <= from_byte:
                 continue
+            # partial_ok here too: the file can grow (and tear) between
+            # latestOffset and this call; the <= end_byte filter already
+            # pins exactly-once, the tolerant scan just keeps a racing
+            # append from failing the batch
             segs = [
                 (s.offset, -1)
-                for s in scan_segments(full)
+                for s in scan_segments(full, partial_ok=True)
                 if s.offset >= max(from_byte, 4) and s.end_offset <= end_byte
             ]
             if segs:

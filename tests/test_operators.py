@@ -1481,3 +1481,57 @@ class TestRandomProjection:
         for j in range(out_dim):
             plane = deterministic_query_vector(dim, seed=_PROJ_SEED * 1000 + j)
             assert got[j] == round(plane[hot] * scale, 6)
+
+
+class TestRound9Profiling:
+    def test_dup_cluster_stats_counts(self, spark):
+        from libcolumnfile_spark.operators.dedup import dup_cluster_stats
+
+        rows = (
+            [(i, "unique text %d" % i) for i in range(6)]
+            + [(10 + i, "twice") for i in range(2)]
+            + [(20 + i, "thrice") for i in range(3)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["cluster_size"]: r for r in dup_cluster_stats(df).collect()}
+        assert out[1]["n_clusters"] == 6 and out[1]["redundant_docs"] == 0
+        assert out[2]["n_clusters"] == 1 and out[2]["redundant_docs"] == 1
+        assert out[3]["n_clusters"] == 1 and out[3]["redundant_docs"] == 2
+        assert sum(r["n_docs"] for r in out.values()) == 11
+
+    def test_ngram_novelty_shared_vs_unique(self, spark):
+        from libcolumnfile_spark.operators.text import ngram_novelty
+
+        shared = "alpha beta gamma delta epsilon"  # one 5-gram, in both docs
+        rows = [
+            (1, shared + " zeta eta theta iota kappa"),
+            (2, shared),
+            (3, "mu nu xi omicron pi rho"),
+            (4, "too short"),  # < 5 tokens: excluded
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+        assert set(out) == {1, 2, 3}
+        # doc 2 IS the shared gram: 1 gram, 0 novel
+        assert out[2]["n_grams"] == 1 and out[2]["n_novel"] == 0
+        # doc 3 is fully novel
+        assert out[3]["novelty"] == 1.0
+        # doc 1: 6 grams, only the first (shared with doc 2) not novel
+        assert out[1]["n_grams"] == 6 and out[1]["n_novel"] == 5
+
+    def test_embedding_drift_identical_groups_cos_one(self, spark):
+        from libcolumnfile_spark.operators.similarity import embedding_drift
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0]) for i in range(4)],
+            ["vec_id", "embedding"],
+        )
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 2 else "fr") for i in range(4)],
+            ["doc_id", "lang"],
+        )
+        out = {r["grp"]: r for r in embedding_drift(emb, docs).collect()}
+        # every vector identical: both group centroids == global centroid
+        assert out["en"]["cos_to_global"] == 1.0
+        assert out["fr"]["cos_to_global"] == 1.0
+        assert out["en"]["n_vecs"] == 2

@@ -661,3 +661,36 @@ class TestSCD2Merge:
             (1, "b", 5, None),
             (2, None, 0, None),
         ]
+
+
+class TestDistributionMatch:
+    def test_uniform_target_thresholds_and_counts(self, spark):
+        """Scarcest group keeps 100% (thr = 1e6); a group with k x min
+        count gets thr = 1e6/k; accepted counts match a driver-side
+        replay of the same md5 bucketing."""
+        from libcolumnfile_spark.operators.pipeline import distribution_match
+        import hashlib
+
+        rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out = {r["grp"]: r for r in distribution_match(df).collect()}
+        assert out["a"]["thr_ppm"] == 1_000_000 and out["a"]["n_sampled"] == 10
+        assert out["b"]["thr_ppm"] == 250_000
+
+        def bucket(doc_id):
+            return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1_000_000
+
+        want_b = sum(1 for i in range(40) if bucket(100 + i) < 250_000)
+        assert out["b"]["n_sampled"] == want_b
+
+    def test_empty_group_after_sampling_reports_zero(self, spark):
+        from libcolumnfile_spark.operators.pipeline import distribution_match
+
+        # one group so tiny its members may all be rejected in another
+        # group's thinning — the LEFT join must still report it with 0
+        rows = [(1, "a")] + [(10 + i, "b") for i in range(1000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out = {r["grp"]: r for r in distribution_match(df).collect()}
+        assert set(out) == {"a", "b"}
+        assert out["b"]["thr_ppm"] == 1_000
+        assert out["b"]["n_sampled"] >= 0  # present even if zero

@@ -163,6 +163,12 @@ CONTRACTS = {
     "q_kcore": (1.7, 3.5),           # per-round degree agg + semi-join
                                      # contractions, monotone edge list;
                                      # x100 5.6 s (ratio 3.3)
+    # round-9 operators (isolated measurements 2026-08-16, fresh JVM
+    # per query — tools/isolated_ratio.py)
+    "q_dup_cluster_stats": (1.4, 3.0),   # content-hash agg + histogram
+    "q_distribution_match": (0.9, 2.5),  # group counts + map filter pass
+    "q_embedding_drift": (1.1, 3.0),     # (group,dim) partial-sum exchange
+    "q_ngram_novelty": (1.8, 3.5),       # gram-df shuffle + hash join back
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal

@@ -717,3 +717,102 @@ def test_columnfile_tailed_segments_watermark_equals_batch(spark, tmp_path):
             b["n_events"],
             b["total_value"],
         ), r["window_start"]
+
+
+def test_columnfile_stream_torn_tail_failure_injection(spark, tmp_path):
+    """O23 failure injection (round-9 VERDICT item 6): a writer crash /
+    in-flight append leaves a PARTIAL segment (cut mid-blob) at the tail
+    of a tailed file. Contract: (a) the stream neither crashes nor emits
+    any row from the torn tail — offsets stop at the end of the last
+    COMPLETE segment; (b) once the segment is completed, the next run
+    delivers exactly the new rows (exactly-once overall); (c)
+    scan_segments keeps strict batch semantics (raises) while the
+    partial_ok streaming mode returns the complete prefix."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    register(spark)
+    from pyspark.sql.types import _parse_datatype_string
+
+    from libcolumnfile_spark.sources.columnfile.format import (
+        ColumnFileFormatError,
+        ColumnFileWriter,
+        scan_segments,
+    )
+    from libcolumnfile_spark.sources.columnfile.typed import encoder_for
+
+    schema = _parse_datatype_string(EVENTS_DDL)
+    encs = [encoder_for(f.dataType) for f in schema.fields]
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write_file(path, ids):
+        w = ColumnFileWriter(path, compression="lz4")
+        for eid in ids:
+            vals = (eid, base + dt.timedelta(minutes=eid), eid % 3, "click",
+                    eid * 0.5, None)
+            for c, v in enumerate(vals):
+                if v is None:
+                    w.put_null(c)
+                else:
+                    w.put(c, encs[c](v))
+            w.add_rows(1)
+        assert w.flush() is not None
+        w.finalize()
+
+    grow = str(tmp_path / "grow.col")
+    donor = str(tmp_path / "donor.col")
+    write_file(grow, [0, 1, 2])
+    write_file(donor, [3, 4, 5])
+    with open(donor, "rb") as f:
+        donor_seg = f.read()[4:]  # strip magic: one complete segment
+    assert len(donor_seg) > 20
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("columnfile").schema(EVENTS_DDL).load(grow)
+        )
+        sq = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_stream(sq)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 3
+
+    # inject the torn tail: all but the last 10 bytes of the donor
+    # segment (cut lands mid-blob — the header is tens of bytes in)
+    with open(grow, "ab") as f:
+        f.write(donor_seg[:-10])
+
+    # (c) strict batch scan raises on the torn tail; streaming-mode scan
+    # returns exactly the one complete segment
+    with _pytest.raises(ColumnFileFormatError):
+        scan_segments(grow)
+    segs = scan_segments(grow, partial_ok=True)
+    assert len(segs) == 1
+
+    # (a) the stream survives and emits nothing from the torn tail
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert sorted(r["event_id"] for r in out.collect()) == [0, 1, 2]
+
+    # complete the segment: append the missing 10 bytes
+    with open(grow, "ab") as f:
+        f.write(donor_seg[-10:])
+    assert len(scan_segments(grow)) == 2  # strict scan happy again
+
+    # (b) exactly-once delivery of exactly the completed segment's rows
+    run_once()
+    out = spark.read.parquet(sink)
+    assert sorted(r["event_id"] for r in out.collect()) == [0, 1, 2, 3, 4, 5]
