@@ -618,19 +618,81 @@ def minhash_exact_dedup(
         "id", F.concat_ws(",", *[f"_s{i}" for i in range(n_hashes)]).alias("sig_key")
     )
     s = g.join(sig, "id")
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.sig_key") == F.col("b.sig_key")) & (F.col("a.id") < F.col("b.id")),
+    # Gram-set collapse before the pair stage (round 9 — the
+    # q_dedup_containment recipe): docs with IDENTICAL gram sets
+    # (replicas, mirrors, boilerplate clones) collapse to one
+    # representative keyed by the md5 of the sorted gram set. The
+    # jaccard verify then runs once per DISTINCT-set pair (identical
+    # sets give identical jaccard against any third set), and member
+    # pairs expand through id-only joins: same-set pairs are jaccard
+    # 1.0 by construction, cross-set pairs inherit the rep-level value.
+    # Without this, a duplication-heavy corpus (the x100 probe
+    # replicates every doc 100x) pays C(dup,2) array-intersect verifies
+    # per clone group — measured 268 s at x100 vs ~4 s collapsed; the
+    # output rows are the same required pairs either way, but they must
+    # cost an id-join, not a gram-array verify. Every join is pinned
+    # shuffle_hash: no side is construction-bounded and post-join size
+    # estimates riding a broadcast is the exact failure containment hit.
+    gkey = F.md5(F.concat_ws("\x1f", F.sort_array(F.col("grams"))))
+    s = s.withColumn("gkey", gkey)
+    members = s.select("id", "sig_key", "gkey")
+    reps = s.groupBy("sig_key", "gkey").agg(F.min_by("grams", "id").alias("grams"))
+    ra = reps.select(
+        F.col("sig_key"), F.col("gkey").alias("ga"), F.col("grams").alias("grams_a")
+    )
+    rb = reps.select(
+        F.col("sig_key"), F.col("gkey").alias("gb"), F.col("grams").alias("grams_b")
+    )
+    rep_pairs = (
+        ra.hint("shuffle_hash")
+        .join(
+            rb.hint("shuffle_hash"),
+            (ra["sig_key"] == rb["sig_key"]) & (F.col("ga") < F.col("gb")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jaccard(F.col("a.grams"), F.col("b.grams")), 4).alias("jaccard_sim"),
+            ra["sig_key"].alias("sig_key"),
+            "ga",
+            "gb",
+            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias(
+                "jaccard_sim"
+            ),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    ma = members.select(
+        F.col("sig_key"), F.col("gkey").alias("ga"), F.col("id").alias("ida")
+    )
+    mb = members.select(
+        F.col("sig_key"), F.col("gkey").alias("gb"), F.col("id").alias("idb")
+    )
+    cross = (
+        rep_pairs.hint("shuffle_hash")
+        .join(ma.hint("shuffle_hash"), ["sig_key", "ga"])
+        .join(mb.hint("shuffle_hash"), ["sig_key", "gb"])
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "jaccard_sim",
+        )
+    )
+    # identical gram sets imply identical signatures, so the sig_key
+    # predicate is redundant on this arm; jaccard of two equal nonempty
+    # sets is exactly 1.0, which any threshold <= 1 admits
+    x, y = members.alias("x"), members.alias("y")
+    same = (
+        x.hint("shuffle_hash")
+        .join(
+            y.hint("shuffle_hash"),
+            (F.col("x.gkey") == F.col("y.gkey")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard_sim"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(same)
 
 
 def _minhash_verified_oracle(

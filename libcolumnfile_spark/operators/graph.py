@@ -639,3 +639,164 @@ def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
 )
 def q_kcore(spark, sf_dir):
     return kcore(_doc_succ_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg): the second classic link-analysis
+# score next to PageRank — authorities are pointed AT by good hubs,
+# hubs point TO good authorities. On a corpus-derived link graph the
+# authority score separates heavily-referenced canonical pages from the
+# aggregator/hub pages that link them, a different quality prior than
+# PageRank's random surfer.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = _HITS_ITERS,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Fixed-iteration weighted HITS with L1 normalization per half-step
+    (deterministic, hence SQL-oracle-able — the production loop would
+    iterate to a convergence test, changing only the stopping rule).
+
+    a_{t+1}(v) ∝ sum_{u->v} h_t(u) * w(u,v);  sum(a) = 1
+    h_{t+1}(u) ∝ sum_{u->v} a_{t+1}(v) * w(u,v);  sum(h) = 1
+
+    Returns (node, hub, auth) over ALL nodes, rounded to 6 places.
+
+    Per-round plan: two node-keyed join+aggregate exchanges (the
+    pagerank shape, twice) and two 1-row L1-mass broadcasts — nothing
+    driver-side, nothing row-scale broadcast. The hub vector
+    localCheckpoints each round (it feeds the next round's join) and
+    superseded checkpoints release eagerly via the JVM RDD handle.
+    """
+    e = edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).agg(
+        F.sum(weight_col).cast("double").alias("w")
+    )
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = float(nodes.count())
+    h = nodes.withColumn("h", F.lit(1.0 / nn))
+    auth = None
+    prev_h: DataFrame | None = None
+    prev_auth: DataFrame | None = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("h") * F.col("w")).alias("ar"))
+        )
+        asum = a_raw.agg(F.sum("ar").alias("am"))
+        # auth checkpoints EAGERLY before the hub half-step: it feeds
+        # both h_raw and (in the final round) the output join, and a
+        # lazy auth would still reference round t's h checkpoint after
+        # that checkpoint is released below (observed as
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when the output executed)
+        auth = (
+            a_raw.crossJoin(F.broadcast(asum))
+            .select("node", (F.col("ar") / F.col("am")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        if prev_auth is not None:
+            # round t-1's auth: h_t checkpointed, nothing references it
+            _release_checkpoint(prev_auth)
+        prev_auth = auth
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("a") * F.col("w")).alias("hr"))
+        )
+        hsum = h_raw.agg(F.sum("hr").alias("hm"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "node",
+                (F.coalesce(F.col("hr"), F.lit(0.0)) / F.col("hm")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_h is not None:
+            _release_checkpoint(prev_h)
+        prev_h = h
+    out = (
+        h.join(auth, "node", "left")
+        .select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6).alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # the output is checkpointed: every intermediate checkpoint is now
+    # unreachable from any future plan
+    _release_checkpoint(h)
+    _release_checkpoint(auth)
+    e.unpersist(blocking=False)
+    _release_checkpoint(nodes)
+    return out
+
+
+def _hits_oracle(edge_cte: str | None = None, n_iter: int = _HITS_ITERS) -> str:
+    """Unrolled HITS rounds as chained CTEs — same edge derivation, same
+    L1 half-step normalization, same math as hits()."""
+    ctes = [
+        edge_cte or _host_edge_cte(),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / nn AS h FROM nodes, n)",
+    ]
+    for t in range(n_iter):
+        prev, cur = f"h{t}", f"h{t + 1}"
+        ctes.append(
+            f"ar{t} AS (SELECT e.dst AS node, sum({prev}.h * e.w) AS ar "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY e.dst)"
+        )
+        ctes.append(f"am{t} AS (SELECT sum(ar) AS am FROM ar{t})")
+        ctes.append(
+            f"a{t} AS (SELECT node, ar / am AS a FROM ar{t} CROSS JOIN am{t})"
+        )
+        ctes.append(
+            f"hr{t} AS (SELECT e.src AS node, sum(a{t}.a * e.w) AS hr "
+            f"FROM e JOIN a{t} ON e.dst = a{t}.node GROUP BY e.src)"
+        )
+        ctes.append(f"hm{t} AS (SELECT sum(hr) AS hm FROM hr{t})")
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"COALESCE(hr{t}.hr, 0) / hm{t}.hm AS h "
+            f"FROM nodes CROSS JOIN hm{t} "
+            f"LEFT JOIN hr{t} ON nodes.node = hr{t}.node)"
+        )
+    last = n_iter - 1
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT h{n_iter}.node, round(h{n_iter}.h, 6) AS hub, "
+        f"round(COALESCE(a{last}.a, 0), 6) AS auth "
+        f"FROM h{n_iter} LEFT JOIN a{last} ON h{n_iter}.node = a{last}.node"
+    )
+
+
+@query(
+    "q_hits",
+    oracle=_hits_oracle(),
+    doc=(
+        "Fixed-iteration weighted HITS hubs/authorities over the derived "
+        "host graph (L1-normalized half-steps): two node-keyed "
+        "join+aggregate exchanges and two 1-row mass broadcasts per "
+        "round — PageRank's plan shape, applied to the hub/authority "
+        "mutual recursion."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_hits(spark, sf_dir):
+    return hits(_doc_host_edges(spark, sf_dir))

@@ -2124,3 +2124,202 @@ def ngram_novelty(
 )
 def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the eval face of q_lang_id. A labeled
+# corpus (the fixture's lang column) scored by the detector yields the
+# (actual, predicted) contingency table + per-actual-language fractions
+# — the precision/recall surface a pipeline reads before trusting the
+# detector's routing decisions.
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, lang_guess, n_docs, frac): contingency counts of actual
+    label vs detector guess, with frac = row-normalized share of the
+    actual language (the diagonal's frac IS per-language recall).
+
+    Scale design: the detector is the existing map-only staged
+    projection (lang_id_frame); the contingency aggregate is keyed by
+    (lang, lang_guess) — cardinality languages^2, trivially bounded —
+    and the row totals derive from the CONTINGENCY counts (a second
+    aggregate over languages^2 rows), never a second corpus pass.
+    """
+    conf = (
+        lang_id_frame(df, text_col)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = conf.groupBy("lang").agg(F.sum("n_docs").alias("__tot"))
+    return (
+        conf.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("__tot").cast("double"), 6
+            ).alias("frac"),
+        )
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    """Wraps the generated q_lang_id detector SQL (same marker tables,
+    same integer occurrence arithmetic) in the contingency aggregate."""
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = [
+            f"CAST((length(pd) - length(replace(pd, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in markers
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS score_{lang}")
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return (
+        "WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pd "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM p), "
+        f"g AS (SELECT lang, {case} AS lang_guess FROM s), "
+        "c AS (SELECT lang, lang_guess, count(*) AS n_docs FROM g "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM c "
+        "GROUP BY 1) "
+        "SELECT c.lang, c.lang_guess, c.n_docs, "
+        "round(c.n_docs / CAST(t.tot AS DOUBLE), 6) AS frac "
+        "FROM c JOIN t ON c.lang = t.lang"
+    )
+
+
+@query(
+    "q_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    doc=(
+        "Language-ID confusion matrix over the labeled corpus: map-only "
+        "detector + languages^2-bounded contingency aggregate; the "
+        "diagonal frac is per-language recall."
+    ),
+    tags=("text", "quality", "eval"),
+)
+def q_langid_confusion(spark, sf_dir):
+    return langid_confusion(_spread(T(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source: smoothed log-odds ratio of each token's
+# in-source vs rest-of-corpus rate (the Monroe/Colaresi/Quinn
+# "fightin' words" statistic with a flat +0.5 prior). The corpus
+# profiler behind "what is domain X actually about" — reads the same
+# token counts TF-IDF does but contrasts source-vs-rest instead of
+# doc-vs-corpus.
+# ---------------------------------------------------------------------------
+
+
+def topic_words(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    topk: int = 5,
+    min_count: int = 5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(source, token, n_in_source, delta, rnk): top-k tokens per group
+    by smoothed log-odds vs the rest of the corpus.
+
+    Scale design: ONE (group, token)-keyed count is the only row-scale
+    exchange; per-group totals, per-token totals, and the corpus total
+    all DERIVE from it (vocabulary- and group-bounded aggregates, no
+    second corpus pass). The per-token join back is vocabulary-bounded;
+    the 1-row corpus total broadcasts. Ranking windows partition by
+    group over vocabulary-bounded rows. FP parity: delta is rounded to
+    6 BEFORE ranking, so the (delta, token) order both engines rank on
+    is identical despite last-ulp ln() differences.
+    """
+    tk = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    c = tk.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("cws"))
+    s = c.groupBy("grp").agg(F.sum("cws").alias("cs"))
+    w = c.groupBy("tok").agg(F.sum("cws").alias("cw"))
+    g = s.agg(F.sum("cs").alias("ctot"))
+    a = F.lit(alpha)
+    d = (
+        c.filter(F.col("cws") >= min_count)
+        .join(F.broadcast(s), "grp")
+        .join(w, "tok")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "grp",
+            "tok",
+            "cws",
+            F.round(
+                F.log((F.col("cws") + a) / (F.col("cs") - F.col("cws") + a))
+                - F.log(
+                    (F.col("cw") - F.col("cws") + a)
+                    / (
+                        F.col("ctot")
+                        - F.col("cs")
+                        - (F.col("cw") - F.col("cws"))
+                        + a
+                    )
+                ),
+                6,
+            ).alias("delta"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("delta"), F.asc("tok"))
+    )
+    return (
+        d.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("grp").alias("source"),
+            F.col("tok").alias("token"),
+            F.col("cws").alias("n_in_source"),
+            "delta",
+            "rnk",
+        )
+    )
+
+
+@query(
+    "q_topic_words",
+    oracle=(
+        "WITH tk AS (SELECT source AS grp, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT grp, tok, count(*) AS cws FROM tk GROUP BY 1, 2), "
+        "s AS (SELECT grp, CAST(sum(cws) AS BIGINT) AS cs FROM c GROUP BY 1), "
+        "w AS (SELECT tok, CAST(sum(cws) AS BIGINT) AS cw FROM c GROUP BY 1), "
+        "g AS (SELECT CAST(sum(cs) AS BIGINT) AS ctot FROM s), "
+        "d AS (SELECT c.grp, c.tok, c.cws, "
+        "round(ln((c.cws + 0.5) / (s.cs - c.cws + 0.5)) "
+        "- ln((w.cw - c.cws + 0.5) / "
+        "(g.ctot - s.cs - (w.cw - c.cws) + 0.5)), 6) AS delta "
+        "FROM c JOIN s ON c.grp = s.grp JOIN w ON c.tok = w.tok "
+        "CROSS JOIN g WHERE c.cws >= 5), "
+        "r AS (SELECT *, row_number() OVER "
+        "(PARTITION BY grp ORDER BY delta DESC, tok) AS rnk FROM d) "
+        "SELECT grp AS source, tok AS token, cws AS n_in_source, delta, "
+        "CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5"
+    ),
+    doc=(
+        "Top-5 distinctive tokens per source by smoothed log-odds vs the "
+        "rest of the corpus (fightin'-words statistic, +0.5 prior): one "
+        "(source, token) count exchange, all totals derived from it, "
+        "delta rounded before ranking for cross-engine order parity."
+    ),
+    tags=("text", "profile"),
+)
+def q_topic_words(spark, sf_dir):
+    return topic_words(T(spark, sf_dir, "documents"))

@@ -151,6 +151,11 @@ _PRIORITY = [
     # followed by the four oracled queries the round-9 rotation demoted
     "q_sim_pq", "q_bpe_train",
     "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",
+    # round-9 session additions placed just past the window (their
+    # families hold in-window reps: graph = pagerank_docs/triangle,
+    # text/quality = ngram_novelty/gopher, eval = ann_recall) — all
+    # full-oracle, all in every audit
+    "q_hits", "q_langid_confusion", "q_topic_words",
     "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
     "q_join_semi", "q_funnel", "q_stats_agg", "q_scalar_str_date",
     "q_token_count",

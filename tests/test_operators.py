@@ -1535,3 +1535,76 @@ class TestRound9Profiling:
         assert out["en"]["cos_to_global"] == 1.0
         assert out["fr"]["cos_to_global"] == 1.0
         assert out["en"]["n_vecs"] == 2
+
+
+class TestRound9Analytics:
+    def test_minhash_collapse_same_and_cross_pairs(self, spark):
+        """Gram-set collapse must not change the emitted pair set:
+        exact clones pair at jaccard 1.0 (the cheap identity arm), and
+        near-dups with DIFFERENT gram sets still go through the real
+        verify with the member-level jaccard value."""
+        from libcolumnfile_spark.operators.dedup import minhash_exact_dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base),
+            (2, base),                     # exact clone of 1
+            (3, base + " iota"),           # near-dup, different gram set
+            (4, "one two three four five six seven eight nine"),  # unrelated
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard_sim"]
+            for r in minhash_exact_dedup(df, threshold=0.0).collect()
+        }
+        assert out[(1, 2)] == 1.0  # identity arm
+        # cross-set arm: (1,3) and (2,3) only exist if their SIGNATURES
+        # match (one band over the whole signature); whatever subset
+        # appears must carry the true member-level jaccard, and both
+        # clones must agree with each other
+        if (1, 3) in out or (2, 3) in out:
+            assert out.get((1, 3)) == out.get((2, 3))
+            assert 0 < out[(1, 3)] < 1.0
+        assert (1, 4) not in out and (2, 4) not in out
+
+    def test_hits_mutual_reinforcement(self, spark):
+        """A node pointed at by every hub must out-score authorities with
+        a single in-edge; scores L1-normalize; pure hubs have auth 0."""
+        from libcolumnfile_spark.operators.graph import hits
+
+        edges = [
+            ("h1", "star", 1), ("h2", "star", 1), ("h3", "star", 1),
+            ("h1", "minor", 1),
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        out = {r["node"]: r for r in hits(df).collect()}
+        assert out["star"]["auth"] > out["minor"]["auth"] > 0
+        assert out["star"]["hub"] == 0.0 and out["h2"]["auth"] == 0.0
+        assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-4
+        assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-4
+        # h1 points at both authorities: strictly the best hub
+        assert out["h1"]["hub"] > out["h2"]["hub"]
+
+    def test_topic_words_distinctive_terms(self, spark):
+        from libcolumnfile_spark.operators.text import topic_words
+
+        rows = [(i, "srcA", "common filler tokens apple apple apple apple apple") for i in range(3)]
+        rows += [(10 + i, "srcB", "common filler tokens banana banana banana banana banana") for i in range(3)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = topic_words(df, topk=1, min_count=3).collect()
+        top = {r["source"]: r["token"] for r in out}
+        assert top == {"srcA": "apple", "srcB": "banana"}
+        assert all(r["rnk"] == 1 for r in out)
+
+    def test_langid_confusion_diagonal_recall(self, spark):
+        from libcolumnfile_spark.operators.text import langid_confusion
+
+        rows = [
+            (1, "en", "the quick brown fox and the lazy dog with a the and"),
+            (2, "en", "xyzzy qwerty plugh"),  # no markers -> und
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        out = {(r["lang"], r["lang_guess"]): r for r in langid_confusion(df).collect()}
+        assert out[("en", "en")]["n_docs"] == 1
+        assert out[("en", "und")]["n_docs"] == 1
+        assert out[("en", "en")]["frac"] == 0.5

@@ -169,6 +169,14 @@ CONTRACTS = {
     "q_distribution_match": (0.9, 2.5),  # group counts + map filter pass
     "q_embedding_drift": (1.1, 3.0),     # (group,dim) partial-sum exchange
     "q_ngram_novelty": (1.8, 3.5),       # gram-df shuffle + hash join back
+    "q_langid_confusion": (1.5, 3.0),    # map detector + langs^2 agg
+    "q_topic_words": (1.5, 3.0),         # (src,tok) count + derived totals
+    "q_hits": (1.6, 3.5),                # 2 node-keyed joins/round, L1 masses
+    # gram-set collapse (round 9): verify pairs run between DISTINCT
+    # sets; the x10 replicas' C(10,2) clone pairs expand through
+    # id-only joins (x100: 33 s output-bound at ~2.5M required pairs,
+    # was 268 s with per-pair array verifies)
+    "q_dedup_minhash_verified": (3.0, 5.0),
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
