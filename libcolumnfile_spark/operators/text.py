@@ -2323,3 +2323,130 @@ def topic_words(
 )
 def q_topic_words(spark, sf_dir):
     return topic_words(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs: document similarity through the INVERTED
+# index instead of dense embeddings — the classic sparse-vector dual of
+# q_sim_pairs/q_dedup_embedding. Pairs are generated ONLY through
+# shared informative tokens (a df cap drops stop-tokens, which
+# contribute negligible cosine mass but quadratic pair fan-out), so
+# candidate volume is sum over kept tokens of C(df, 2) — the
+# blocking-bounded regime every dedup operator here lives in.
+# ---------------------------------------------------------------------------
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 50,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine): TF-IDF cosine of every doc pair sharing
+    at least one token with document frequency <= df_cap, at cosine >=
+    threshold. NORMS use the full vocabulary (the score is the true
+    TF-IDF cosine restricted to informative-token dot mass); only pair
+    GENERATION is df-capped.
+
+    Scale design: term weights come from one (doc, token) count plus a
+    vocabulary-bounded df aggregate joined back on the token key; norms
+    are one doc-keyed aggregate. The pair stage shuffles postings on
+    the token key — fan-out per token is C(df<=cap, 2), so the
+    quadratic term is capped by construction and the cap is the recall/
+    cost knob (same role as LSH band width). The dot aggregate is
+    keyed by the (a, b) pair — its cardinality IS the candidate
+    volume, already blocking-bounded. FP: dot/norm sums are fold-order
+    dependent; round(6) on the final cosine absorbs the ~1e-15
+    divergence (the decay_score tolerance argument).
+    """
+    tk = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    tf = tk.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("nd"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the df table is vocabulary-sized — NOT construction-bounded at
+    # 100 TB (Heaps' law keeps minting tokens) — so the join back onto
+    # term counts is pinned shuffle_hash; Catalyst's fixture-scale size
+    # estimate would happily broadcast it and die at scale
+    w = (
+        tf.join(dfreq.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "tok",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("nd").cast("double") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    kept = w.filter(F.col("df") <= df_cap).select("id", "tok", "w")
+    a = kept.select(
+        F.col("tok"), F.col("id").alias("ida"), F.col("w").alias("wa")
+    )
+    b = kept.select(
+        F.col("tok"), F.col("id").alias("idb"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), "tok")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("ida"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("idb"), F.col("nrm").alias("nb"))
+    return (
+        dots.hint("shuffle_hash")
+        .join(na.hint("shuffle_hash"), "ida")
+        .join(nb.hint("shuffle_hash"), "idb")
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+@query(
+    "q_sparse_sim",
+    oracle=(
+        "WITH tk AS (SELECT doc_id AS id, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT id, tok, count(*) AS tf FROM tk GROUP BY 1, 2), "
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd "
+        "FROM documents), "
+        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), "
+        "w AS (SELECT tf.id, tf.tok, dfq.df, "
+        "tf.tf * ln(nd.nd / dfq.df) AS w "
+        "FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd), "
+        "nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1), "
+        "kept AS (SELECT id, tok, w FROM w WHERE df <= 50), "
+        "dots AS (SELECT a.id AS ida, b.id AS idb, sum(a.w * b.w) AS dot "
+        "FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id "
+        "GROUP BY 1, 2) "
+        "SELECT dots.ida AS doc_a, dots.idb AS doc_b, "
+        "round(dots.dot / (na.nrm * nb.nrm), 6) AS cosine "
+        "FROM dots JOIN nrm na ON dots.ida = na.id "
+        "JOIN nrm nb ON dots.idb = nb.id "
+        "WHERE round(dots.dot / (na.nrm * nb.nrm), 6) >= 0.35"
+    ),
+    doc=(
+        "Sparse TF-IDF cosine document pairs through the inverted index "
+        "(df-capped postings join bounds the quadratic term; norms over "
+        "the full vocabulary): the sparse dual of the dense embedding "
+        "pair generators."
+    ),
+    tags=("text", "similarity", "dedup"),
+)
+def q_sparse_sim(spark, sf_dir):
+    return sparse_cosine_pairs(T(spark, sf_dir, "documents"))

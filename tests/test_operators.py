@@ -1608,3 +1608,51 @@ class TestRound9Analytics:
         assert out[("en", "en")]["n_docs"] == 1
         assert out[("en", "und")]["n_docs"] == 1
         assert out[("en", "en")]["frac"] == 0.5
+
+
+class TestSparseSim:
+    def test_cosine_matches_dense_reference(self, spark):
+        """sparse_cosine_pairs vs a driver-side dense TF-IDF cosine over
+        the same tokenization: identical pair set and values (df_cap set
+        above every df so capping doesn't hide pairs)."""
+        import math
+        from collections import Counter
+
+        from libcolumnfile_spark.operators.text import sparse_cosine_pairs
+
+        rows = [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana durian"),
+            (3, "elderberry fig grape"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in sparse_cosine_pairs(df, df_cap=100, threshold=0.0).collect()
+        }
+
+        docs = {i: Counter(t.split()) for i, t in rows}
+        n = len(rows)
+        dfreq = Counter(tok for c in docs.values() for tok in c)
+        vecs = {
+            i: {t: tf * math.log(n / dfreq[t]) for t, tf in c.items()}
+            for i, c in docs.items()
+        }
+        def cos(a, b):
+            dot = sum(va * vecs[b].get(t, 0.0) for t, va in vecs[a].items())
+            na = math.sqrt(sum(v * v for v in vecs[a].values()))
+            nb = math.sqrt(sum(v * v for v in vecs[b].values()))
+            return round(dot / (na * nb), 6)
+
+        # only pairs sharing a token appear (docs 1,2 share; 3 is disjoint)
+        assert set(got) == {(1, 2)}
+        assert abs(got[(1, 2)] - cos(1, 2)) < 2e-6
+
+    def test_df_cap_drops_stop_token_pairs(self, spark):
+        from libcolumnfile_spark.operators.text import sparse_cosine_pairs
+
+        # "the" appears in all docs; with df_cap=2 it can't generate pairs
+        rows = [(i, f"the unique{i} word{i}") for i in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = sparse_cosine_pairs(df, df_cap=2, threshold=0.0).collect()
+        assert out == []

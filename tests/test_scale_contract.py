@@ -172,6 +172,8 @@ CONTRACTS = {
     "q_langid_confusion": (1.5, 3.0),    # map detector + langs^2 agg
     "q_topic_words": (1.5, 3.0),         # (src,tok) count + derived totals
     "q_hits": (1.6, 3.5),                # 2 node-keyed joins/round, L1 masses
+    "q_sparse_sim": (1.3, 3.0),          # df-capped postings join; tok +
+                                         # pair-keyed partial-sum exchanges
     # gram-set collapse (round 9): verify pairs run between DISTINCT
     # sets; the x10 replicas' C(10,2) clone pairs expand through
     # id-only joins (x100: 33 s output-bound at ~2.5M required pairs,
