@@ -156,6 +156,7 @@ _PRIORITY = [
     # text/quality = ngram_novelty/gopher, eval = ann_recall) — all
     # full-oracle, all in every audit
     "q_hits", "q_langid_confusion", "q_topic_words", "q_sparse_sim",
+    "q_binary_ingest",
     "q_pagerank", "q_columnfile_nested", "q_bm25_topk", "q_chunk_overlap",
     "q_join_semi", "q_funnel", "q_stats_agg", "q_scalar_str_date",
     "q_token_count",

@@ -225,3 +225,83 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: Spark's standard ingest path for raw multimodal
+# corpora (image/audio dumps as one file per asset). The fixture has no
+# binary dump, so a deterministic one is derived from documents — each
+# doc becomes one file whose bytes are the utf-8 of
+# "DOC|<doc_id>|<text>" — and the oracle recomputes the same md5/length
+# from the same construction in SQL, so the SOURCE (path/length/content
+# schema, per-file partitioning) is what's actually under test; the
+# codec layer has its own queries (q_media_decode).
+# ---------------------------------------------------------------------------
+
+_BIN_N_DOCS = 64
+
+
+def _binary_fixture(spark: SparkSession, sf_dir: str) -> str:
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = cache_path("stockcache", key, "documents_bin")
+    if not cache_has("stockcache", key, "documents_bin", "_DONE"):
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BIN_N_DOCS)
+            .select("doc_id", "text")
+        )
+
+        # one file per row, written from the executors (foreachPartition
+        # — the fixture conversion is itself distributed, like every
+        # other stockcache conversion; local-fs only, same contract as
+        # the csv/json caches)
+        def write_part(it):
+            for r in it:
+                p = os.path.join(path, f"{r['doc_id']:06d}.bin")
+                tmp = p + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(f"DOC|{r['doc_id']}|{r['text']}".encode("utf-8"))
+                os.replace(tmp, p)
+
+        rows.foreachPartition(write_part)
+        with open(os.path.join(path, "_DONE"), "w") as f:
+            f.write("ok")
+    return path
+
+
+@query(
+    "q_binary_ingest",
+    oracle=(
+        f"SELECT doc_id, strlen('DOC|' || CAST(doc_id AS VARCHAR) || '|' "
+        f"|| text) AS n_bytes, "
+        "md5('DOC|' || CAST(doc_id AS VARCHAR) || '|' || text) AS "
+        f"content_md5 FROM documents WHERE doc_id < {_BIN_N_DOCS}"
+    ),
+    # plan_cache off: the memo would freeze the one-time fixture check
+    # into a plan built before the files existed on a cold cache
+    plan_cache=False,
+    doc=(
+        "Raw-asset ingest through Spark's binaryFile source (one file "
+        "per document, path/length/content schema): doc id parsed from "
+        "the file path, byte length and content md5 verified against "
+        "the same deterministic construction in SQL."
+    ),
+    tags=("source", "multimodal"),
+)
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _binary_fixture(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
