@@ -1974,3 +1974,63 @@ def q_dup_cluster_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     u = d.select("text").unionAll(d.filter(F.col("doc_id") % 7 == 0).select("text"))
     return dup_cluster_stats(u)
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication: instead of DROPPING duplicates (exact_dedup's
+# min-id survivor), every document keeps a sampling weight 1/n over its
+# exact-content cluster, so the EXPECTED contribution of each distinct
+# content to training is one document ("SoftDeDup" reweighting). The
+# hard-dedup decision becomes a knob downstream (threshold the weight)
+# and no information is destroyed at the pipeline stage.
+# ---------------------------------------------------------------------------
+
+
+def soft_dedup_weights(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """(id, cluster_size, weight=1/cluster_size) for every row, keyed
+    by the md5 of the content columns — exact_dedup's grouping with
+    per-member reweighting instead of survivor selection.
+
+    Scale design: one 16-byte-key count aggregate (map-side partial)
+    and one hash-keyed join back to the id projection — the shuffle
+    carries (hash, id) pairs, never document bodies, and the count
+    table is distinct-content-sized. The join side is pinned
+    shuffle_hash: the count table is ~corpus-sized (most content is
+    unique), so a stats-estimated broadcast would die at real scale.
+    No window: count() OVER (PARTITION BY hash) sorts the full corpus
+    for a per-key constant.
+    """
+    content_hash = F.md5(F.concat_ws(" ", *content_cols))
+    keyed = df.select(F.col(id_col), content_hash.alias("__h"))
+    counts = keyed.groupBy("__h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        keyed.join(counts.hint("shuffle_hash"), "__h")
+        .select(
+            id_col,
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+    )
+
+
+@query(
+    "q_dedup_soft",
+    oracle=(
+        "WITH k AS (SELECT doc_id, md5(text) AS h FROM documents), "
+        "c AS (SELECT h, count(*) AS cluster_size FROM k GROUP BY h) "
+        "SELECT k.doc_id, c.cluster_size, "
+        "round(1.0 / c.cluster_size, 6) AS weight "
+        "FROM k JOIN c USING (h)"
+    ),
+    doc=(
+        "Soft dedup: per-document sampling weight 1/cluster_size over "
+        "exact-content clusters — reweighting instead of dropping, so "
+        "each distinct content contributes one expected document."
+    ),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_soft(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return soft_dedup_weights(d, ["text"], "doc_id")

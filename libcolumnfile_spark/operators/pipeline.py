@@ -2042,3 +2042,120 @@ def distribution_match(
 )
 def q_distribution_match(spark, sf_dir):
     return distribution_match(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply: reconstruct the current table state from a base
+# snapshot plus an ordered insert/update/delete changelog — the batch
+# face of change-data-capture ingestion (Debezium/Delta-CDF-style
+# feeds), and the missing sibling of upsert_merge (latest-wins, no
+# deletes) and scd2_merge (history-keeping). Deletes make it a distinct
+# operator: the winning op per key decides PRESENCE, not just values.
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an I/U/D changelog to a snapshot: the highest-``seq`` op
+    per key wins; a winning 'D' removes the key, a winning 'I'/'U'
+    contributes its values. The snapshot participates as seq=0 inserts,
+    so unchanged keys survive and a delete-then-reinsert sequence
+    (D at seq s, I at seq s' > s) correctly resurrects the key.
+
+    ``changelog`` must carry the snapshot's value columns plus
+    (``op_col``, ``seq_col``); ``seq`` must be unique per key (CDC log
+    offsets are), which makes the winner deterministic.
+
+    Scale design: ONE union scan, a key-keyed max aggregate (map-side
+    partial — the shuffle carries (key, seq) pairs, never row bodies),
+    and one join back on (key, seq) to fetch the winning row's values.
+    No window sort: the agg+join shape keeps every exchange
+    partial-aggregable and lets AQE size the join, where row_number
+    over (key ORDER BY seq DESC) would force a full sort of the log.
+    At 100 TB the log join is the irreducible shuffle; everything else
+    is map-side.
+    """
+    value_cols = [c for c in snapshot.columns if c != key_col]
+    log = snapshot.select(
+        F.col(key_col),
+        F.lit("I").alias(op_col),
+        F.lit(0).cast("int").alias(seq_col),
+        *[F.col(c) for c in value_cols],
+    ).unionByName(
+        changelog.select(key_col, op_col, seq_col, *value_cols)
+    )
+    mx = log.groupBy(key_col).agg(F.max(seq_col).alias(seq_col))
+    return (
+        log.join(mx, [key_col, seq_col])
+        .filter(F.col(op_col) != "D")
+        .select(key_col, F.col(op_col).alias("last_op"), *value_cols)
+    )
+
+
+@query(
+    "q_cdc_apply",
+    oracle=(
+        "WITH log AS ("
+        "SELECT o_orderkey, 'I' AS op, 0 AS seq, "
+        "o_totalprice AS price, o_orderstatus AS status "
+        "FROM orders WHERE o_orderkey % 7 <> 0 "
+        "UNION ALL SELECT o_orderkey, 'U', 1, o_totalprice + 10.0, "
+        "o_orderstatus FROM orders WHERE o_orderkey % 3 = 0 "
+        "UNION ALL SELECT o_orderkey, 'D', 2, NULL, NULL "
+        "FROM orders WHERE o_orderkey % 5 = 0 "
+        "UNION ALL SELECT o_orderkey, 'I', 3, o_totalprice, "
+        "o_orderstatus FROM orders WHERE o_orderkey % 7 = 0), "
+        "mx AS (SELECT o_orderkey, max(seq) AS seq FROM log GROUP BY 1) "
+        "SELECT l.o_orderkey, l.op AS last_op, "
+        "l.price AS o_totalprice, l.status AS o_orderstatus "
+        "FROM log l JOIN mx USING (o_orderkey, seq) WHERE l.op <> 'D'"
+    ),
+    doc=(
+        "CDC changelog apply over orders: base snapshot (keys not "
+        "divisible by 7) + a 3-step derived changelog (U: +10.0 price "
+        "for keys %3=0; D: keys %5=0; late I: keys %7=0, exercising "
+        "delete-then-reinsert) collapsed to current state by "
+        "highest-seq-wins with delete semantics."
+    ),
+    tags=("pipeline", "versioning"),
+)
+def q_cdc_apply(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    snap = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).cast("int").alias("seq"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(2).cast("int").alias("seq"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        F.lit(3).cast("int").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    changelog = upd.unionByName(dels).unionByName(ins)
+    return cdc_apply(snap, changelog, "o_orderkey").select(
+        "o_orderkey",
+        "last_op",
+        F.col("price").alias("o_totalprice"),
+        F.col("status").alias("o_orderstatus"),
+    )

@@ -1287,3 +1287,101 @@ def iqr_outlier_report(
 )
 def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outlier_report(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: credit each conversion event to the most
+# recent preceding touch event (within a lookback horizon) in the
+# user's stream — the standard marketing/product analytics operator,
+# and the missing sibling of funnel (ordered-stage matching) and
+# transitions (adjacent-pair statistics): attribution pairs each
+# conversion with a NON-adjacent, type-filtered predecessor.
+# ---------------------------------------------------------------------------
+
+
+def attribution_last_touch(
+    df: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conv_type: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-channel conversion credit: for every ``conv_type`` event,
+    the last preceding ``touch_types`` event in the same user's stream
+    gets the credit iff it happened within ``lookback_days``; stale or
+    absent touches fall into the 'none' bucket. Returns
+    (channel, n_conversions, revenue).
+
+    Scale design: ONE user-keyed window sort carries both running
+    last-touch columns (type and timestamp share the frame, so
+    Catalyst plans a single Window over one exchange), then a
+    channel-keyed aggregate bounded by the touch-type cardinality.
+    No self-join: the naive formulation (conversions x touches,
+    filter to latest) shuffles a pair blowup; the running-window form
+    is O(events log events/user) and the (ts, id) order is total, so
+    the credited touch is deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    lt_type = F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w)
+    lt_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    conv = (
+        df.select(
+            F.col(type_col),
+            F.col(ts_col),
+            F.col(value_col),
+            lt_type.alias("__lt_type"),
+            lt_ts.alias("__lt_ts"),
+        )
+        .filter(F.col(type_col) == conv_type)
+    )
+    fresh = F.col("__lt_ts").isNotNull() & (
+        F.col("__lt_ts")
+        >= F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+    )
+    channel = F.when(fresh, F.col("__lt_type")).otherwise(F.lit("none"))
+    return conv.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(value_col), 4).alias("revenue"),
+    )
+
+
+@query(
+    "q_attribution",
+    oracle=(
+        "WITH s AS (SELECT event_type, ts, value, "
+        "last_value(CASE WHEN event_type IN ('click', 'view') "
+        "THEN event_type END IGNORE NULLS) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_type, "
+        "last_value(CASE WHEN event_type IN ('click', 'view') "
+        "THEN ts END IGNORE NULLS) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_ts "
+        "FROM events) "
+        "SELECT CASE WHEN lt_ts IS NOT NULL "
+        "AND lt_ts >= ts - INTERVAL 7 DAY THEN lt_type "
+        "ELSE 'none' END AS channel, "
+        "count(*) AS n_conversions, round(sum(value), 4) AS revenue "
+        "FROM s WHERE event_type = 'purchase' GROUP BY 1"
+    ),
+    doc=(
+        "Last-touch attribution: each purchase credited to the user's "
+        "most recent click/view within 7 days (running ignore-nulls "
+        "window, no conversion-x-touch self-join); per-channel "
+        "conversion counts and revenue."
+    ),
+    tags=("events", "window", "pipeline"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_last_touch(T(spark, sf_dir, "events"))

@@ -2450,3 +2450,102 @@ def sparse_cosine_pairs(
 )
 def q_sparse_sim(spark, sf_dir):
     return sparse_cosine_pairs(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: Jensen-Shannon divergence contributions between the
+# unigram distributions of two corpus slices — the monitoring operator
+# a training pipeline runs between ingestion batches ("did this crawl
+# shift the token distribution, and which tokens moved?"). Reported
+# per-token so the drift is ACTIONABLE (which vocabulary moved), not
+# just a scalar alarm.
+# ---------------------------------------------------------------------------
+
+
+def corpus_drift(
+    df: DataFrame,
+    slice_expr: Column,
+    text_col: str = "text",
+    top_k: int = 100,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Top-``top_k`` tokens by Jensen-Shannon divergence contribution
+    between slice 0 and slice 1 of the corpus (``slice_expr`` must
+    evaluate to 0/1). Token probabilities are Lidstone-smoothed
+    (``alpha`` over the union vocabulary) so tokens absent from one
+    slice stay finite. Returns (token, cnt_a, cnt_b, js_contrib),
+    js_contrib rounded to 9 places (the smoothed probabilities are
+    exact integer-derived doubles, so cross-engine differences are
+    ~1 ulp of libm's log — far below the 1e-9 grain).
+
+    Scale design: one token-keyed count aggregate with map-side
+    partials (the only corpus-sized shuffle, same class as q_tfidf's),
+    a 1-row totals broadcast, a vocabulary-sized map for the JS terms,
+    and TakeOrdered for the top-k — no sort of the full vocabulary.
+    """
+    toks = df.select(
+        slice_expr.cast("int").alias("sl"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("sl") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("sl") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    s = c.agg(
+        F.sum("cnt_a").alias("tot_a"),
+        F.sum("cnt_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    x = c.crossJoin(F.broadcast(s)).select(
+        F.col("tok").alias("token"),
+        "cnt_a",
+        "cnt_b",
+        ((F.col("cnt_a") + a) / (F.col("tot_a") + a * F.col("v"))).alias("p"),
+        ((F.col("cnt_b") + a) / (F.col("tot_b") + a * F.col("v"))).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = F.round(
+        0.5 * F.col("p") * F.log(F.col("p") / m)
+        + 0.5 * F.col("q") * F.log(F.col("q") / m),
+        9,
+    )
+    return (
+        x.select("token", "cnt_a", "cnt_b", contrib.alias("js_contrib"))
+        .orderBy(F.desc("js_contrib"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+@query(
+    "q_corpus_drift",
+    oracle=(
+        "WITH t AS (SELECT doc_id % 2 AS sl, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT tok, "
+        "CAST(sum(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a, "
+        "CAST(sum(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b "
+        "FROM t GROUP BY tok), "
+        "s AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a, "
+        "CAST(sum(cnt_b) AS BIGINT) AS tot_b, count(*) AS v FROM c), "
+        "x AS (SELECT tok AS token, cnt_a, cnt_b, "
+        "(cnt_a + 0.5) / (tot_a + 0.5 * v) AS p, "
+        "(cnt_b + 0.5) / (tot_b + 0.5 * v) AS q "
+        "FROM c CROSS JOIN s) "
+        "SELECT token, cnt_a, cnt_b, "
+        "round(0.5 * p * ln(p / ((p + q) / 2)) "
+        "+ 0.5 * q * ln(q / ((p + q) / 2)), 9) AS js_contrib "
+        "FROM x ORDER BY js_contrib DESC, token ASC LIMIT 100"
+    ),
+    doc=(
+        "Corpus drift monitor: top-100 tokens by Jensen-Shannon "
+        "divergence contribution between the even- and odd-doc_id "
+        "corpus slices (Lidstone-smoothed unigram distributions; one "
+        "token-keyed aggregate + 1-row totals broadcast + TakeOrdered)."
+    ),
+    tags=("text", "quality", "pipeline"),
+)
+def q_corpus_drift(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return corpus_drift(d, F.col("doc_id") % 2)
