@@ -800,3 +800,112 @@ def _hits_oracle(edge_cte: str | None = None, n_iter: int = _HITS_ITERS) -> str:
 )
 def q_hits(spark, sf_dir):
     return hits(_doc_host_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous min-label, fixed rounds): community
+# structure for the dedup/clustering pipeline — after k rounds every
+# node carries the smallest node-id within k hops, so connected regions
+# coalesce toward per-component labels. The FIXED round count keeps it
+# deterministic (hence SQL-oracle-able, same contract as pagerank's
+# fixed n_iter); the production variant iterates to fixpoint, which
+# changes only the stopping rule. Unlike q_dedup_cc (driver union-find
+# under a count gate + alternating-star beyond), this is the pure
+# bulk-synchronous form: every round is one edge-to-label join + one
+# node-keyed min aggregate, the Pregel step as vanilla DataFrame ops.
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-round synchronous min-label propagation over the undirected
+    (symmetrized, self-loop-free) edge set. Returns (node, community)
+    where community is the min node-id reachable within ``n_iter`` hops.
+
+    Per-round plan: one node-keyed shuffle joining neighbor labels to
+    edges, one node-keyed join for the node's own label, one min
+    aggregate (map-side partial). Both join sides are pinned
+    shuffle_hash — the label vector is |V|-sized, so a stats-estimated
+    broadcast would die at real scale (the q_triangle_count
+    precedent). The label vector localCheckpoints every round (it
+    feeds the next round twice) and superseded checkpoints release
+    eagerly through the JVM RDD handle, so resident state is one
+    |V|-row frame regardless of n_iter.
+    """
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (
+        raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_ckpt = labels
+    for _ in range(n_iter):
+        nb = e.join(
+            labels.select(F.col("node").alias("b"), F.col("lbl").alias("nbl")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
+        new = (
+            nb.select(F.col("a").alias("node"), "nbl")
+            .join(labels.hint("shuffle_hash"), "node")
+            .groupBy("node")
+            .agg(F.min(F.least(F.col("lbl"), F.col("nbl"))).alias("lbl"))
+        )
+        labels = new.localCheckpoint(eager=True)
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = labels
+    e.unpersist(blocking=False)
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _label_prop_oracle(n_iter: int = 4) -> str:
+    p = (1 << 31) - 1
+    h = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {p}"
+    ctes = [
+        "raw AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS src, "
+        "'d' || CAST(doc_id // 2 AS VARCHAR) AS dst FROM documents "
+        "UNION ALL SELECT 'd' || CAST(doc_id AS VARCHAR), "
+        f"'d' || CAST({h} AS VARCHAR) FROM documents)",
+        "e AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b "
+        "FROM raw UNION ALL SELECT dst, src FROM raw) WHERE a <> b)",
+        "l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e)",
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            f"l{t + 1} AS (SELECT e.a AS node, "
+            f"min(least(l.lbl, nb.lbl)) AS lbl "
+            f"FROM e JOIN l{t} l ON l.node = e.a "
+            f"JOIN l{t} nb ON nb.node = e.b GROUP BY e.a)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, lbl AS community FROM l{n_iter}"
+    )
+
+
+@query(
+    "q_label_prop",
+    oracle=_label_prop_oracle(),
+    doc=(
+        "4-round synchronous min-label propagation over the doc-level "
+        "graph (|V| ~ 2x docs, the q_pagerank_docs derivation "
+        "symmetrized): per-round one edge-to-label join + one node-keyed "
+        "min aggregate, both sides shuffle_hash-pinned; community = min "
+        "node-id within 4 hops."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_label_prop(spark, sf_dir):
+    return label_propagation(_doc_id_edges(spark, sf_dir))

@@ -1740,3 +1740,108 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_drift(
         T(spark, sf_dir, "embeddings"), T(spark, sf_dir, "documents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded Lloyd update (one k-means training step): the missing TRAIN
+# face of the IVF family — q_sim_ivf_seeded proves the assignment
+# mechanism, this proves the centroid UPDATE that an IVF/PQ trainer
+# iterates: assign every vector to its argmax-dot seeded centroid, then
+# recompute each centroid as the member mean. Fixed seeded starting
+# centroids make the whole step plain double arithmetic a SQL oracle
+# replicates (the q_sim_ivf_seeded recipe); the production trainer
+# loops this step, which changes iteration count, not the per-step plan.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_step(
+    df: DataFrame,
+    n_lists: int = _IVF_V_LISTS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration from the fixed seeded centroids: returns
+    (list_id, n, dim, centroid_val) — member count and the updated
+    per-dimension centroid mean (rounded to 6) for every non-empty list.
+
+    Scale design: assignment is the Arrow-batched argmax kernel
+    (seeded_assign_udf — map-only, no shuffle), and the update is ONE
+    list-keyed aggregate carrying dim partial sums per list with
+    map-side combine: the exchange is n_lists x (dim + 1) doubles per
+    map task, independent of corpus size. The per-dim output explode
+    happens AFTER aggregation on k x dim rows. The naive posexplode-
+    then-group form shuffles N x dim rows — at 100 TB that's a 64x
+    bigger exchange for the same answer.
+    """
+    base = df.filter(F.col(vec_col).isNotNull())
+    from libcolumnfile_spark.tables import input_keyed_memo
+
+    dim_probe = input_keyed_memo(
+        base, "srp-dim", lambda: base.select(F.size(vec_col).alias("d")).first()
+    )
+    if dim_probe is None:
+        return base.select(
+            F.lit(0).alias("list_id"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0).alias("dim"),
+            F.lit(0.0).alias("centroid_val"),
+        ).limit(0)
+    dim = int(dim_probe["d"])
+    cents = _ivf_seeded_centroids(dim, n_lists)
+    assign = seeded_assign_udf(cents)
+    v = base.select(assign(F.col(vec_col)).alias("list_id"), F.col(vec_col).alias("v"))
+    sums = v.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("v")[i].cast("double")).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    means = F.array(*[F.round(F.col(f"s{i}") / F.col("n"), 6) for i in range(dim)])
+    return sums.select(
+        "list_id",
+        "n",
+        F.posexplode(means).alias("dim", "centroid_val"),
+    ).select("list_id", "n", F.col("dim").cast("int").alias("dim"), "centroid_val")
+
+
+def _kmeans_step_oracle() -> str:
+    cents = _ivf_seeded_centroids(_QUERY_DIM)
+    dots = ", ".join(
+        f"list_inner_product(v, {_duckdb_vec(c)}) AS d{i}" for i, c in enumerate(cents)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(_IVF_V_LISTS)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(_IVF_V_LISTS - 1))
+        + f" ELSE {_IVF_V_LISTS - 1} END"
+    )
+    return (
+        "WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"dd AS (SELECT v, {dots} FROM d), "
+        f"a AS (SELECT v, CAST({case} AS INT) AS list_id FROM dd), "
+        "s AS (SELECT list_id, count(*) AS n FROM a GROUP BY 1), "
+        "u AS (SELECT list_id, CAST(t.i AS INT) AS dim, sum(v[t.i + 1]) AS sm "
+        f"FROM a CROSS JOIN generate_series(0, {_QUERY_DIM - 1}) t(i) "
+        "GROUP BY 1, 2) "
+        "SELECT u.list_id, s.n, u.dim, round(u.sm / s.n, 6) AS centroid_val "
+        "FROM u JOIN s USING (list_id)"
+    )
+
+
+@query(
+    "q_kmeans_step",
+    oracle=_kmeans_step_oracle(),
+    doc=(
+        "One Lloyd update of the seeded IVF coarse quantizer: "
+        "argmax-dot assignment (Arrow kernel, map-only) + ONE "
+        "list-keyed aggregate carrying per-dim partial sums (exchange "
+        "is k x (dim+1) doubles per task, corpus-size-independent); "
+        "updated centroid means exploded to (list_id, n, dim, value) "
+        "after aggregation."
+    ),
+    tags=("similarity", "ivf"),
+)
+def q_kmeans_step(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return kmeans_step(_spread(emb))

@@ -1656,3 +1656,187 @@ class TestSparseSim:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         out = sparse_cosine_pairs(df, df_cap=2, threshold=0.0).collect()
         assert out == []
+
+
+class TestCdcApply:
+    def _apply(self, spark, changelog_rows):
+        from libcolumnfile_spark.operators.pipeline import cdc_apply
+
+        snap = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            ["k", "price", "status"],
+        )
+        log = spark.createDataFrame(
+            changelog_rows, ["k", "op", "seq", "price", "status"]
+        )
+        out = cdc_apply(snap, log, "k")
+        return {r["k"]: (r["last_op"], r["price"], r["status"]) for r in out.collect()}
+
+    def test_update_delete_insert_semantics(self, spark):
+        got = self._apply(
+            spark,
+            [
+                (2, "U", 1, 21.0, "b2"),   # update wins over snapshot
+                (3, "D", 1, None, None),   # delete removes the key
+                (4, "I", 1, 40.0, "d"),    # fresh insert appears
+            ],
+        )
+        assert got == {
+            1: ("I", 10.0, "a"),
+            2: ("U", 21.0, "b2"),
+            4: ("I", 40.0, "d"),
+        }
+
+    def test_delete_then_reinsert_resurrects(self, spark):
+        got = self._apply(
+            spark,
+            [(1, "D", 1, None, None), (1, "I", 2, 11.0, "a2")],
+        )
+        assert got[1] == ("I", 11.0, "a2")
+        assert set(got) == {1, 2, 3}
+
+    def test_highest_seq_wins_among_updates(self, spark):
+        got = self._apply(
+            spark,
+            [(2, "U", 1, 21.0, "b1"), (2, "U", 3, 23.0, "b3"), (2, "U", 2, 22.0, "b2")],
+        )
+        assert got[2] == ("U", 23.0, "b3")
+
+
+class TestAttributionLastTouch:
+    def _run(self, spark, rows):
+        from libcolumnfile_spark.operators.relational import attribution_last_touch
+
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = attribution_last_touch(df)
+        return {r["channel"]: (r["n_conversions"], r["revenue"]) for r in out.collect()}
+
+    def test_latest_touch_within_lookback_wins(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", None),
+                (2, "2024-01-02 00:00:00", 7, "view", None),
+                (3, "2024-01-03 00:00:00", 7, "purchase", 5.0),
+            ],
+        )
+        assert got == {"view": (1, 5.0)}
+
+    def test_stale_and_absent_touches_fall_to_none(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", None),
+                (2, "2024-01-20 00:00:00", 7, "purchase", 3.0),  # 19d stale
+                (3, "2024-01-05 00:00:00", 8, "purchase", 4.0),  # no touch
+            ],
+        )
+        assert got == {"none": (2, 7.0)}
+
+    def test_touches_do_not_cross_users(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "2024-01-01 00:00:00", 7, "click", None),
+                (2, "2024-01-02 00:00:00", 8, "purchase", 2.0),
+            ],
+        )
+        assert got == {"none": (1, 2.0)}
+
+
+class TestSoftDedup:
+    def test_weights_inverse_cluster_size(self, spark):
+        from libcolumnfile_spark.operators.dedup import soft_dedup_weights
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "unique")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: (r["cluster_size"], r["weight"])
+            for r in soft_dedup_weights(df, ["text"], "doc_id").collect()
+        }
+        assert got == {1: (2, 0.5), 2: (2, 0.5), 3: (1, 1.0)}
+        # expected corpus contribution of each distinct content is 1
+        assert sum(w for _, w in got.values()) == 2.0
+
+
+class TestLabelPropagation:
+    def test_components_converge_to_min_label(self, spark):
+        from libcolumnfile_spark.operators.graph import label_propagation
+
+        # path a-b-c (diameter 2) + isolated pair x-y
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("y", "x")], ["src", "dst"]
+        )
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=3).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_fixed_rounds_bound_propagation_radius(self, spark):
+        from libcolumnfile_spark.operators.graph import label_propagation
+
+        # chain a-b-c-d-e: after ONE synchronous round, e sees only d's
+        # initial label; min-label 'a' is 4 hops away
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")], ["src", "dst"]
+        )
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=1).collect()
+        }
+        assert got["e"] == "d"
+        assert got["a"] == "a"
+
+
+class TestKmeansStep:
+    def test_means_match_numpy_reference(self, spark):
+        import numpy as np
+
+        from libcolumnfile_spark.operators.similarity import (
+            _ivf_seeded_centroids,
+            kmeans_step,
+        )
+
+        rng = [
+            [float((i * 7 + j * 3) % 5 - 2) for j in range(4)] for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)], ["vec_id", "embedding"]
+        )
+        out = kmeans_step(df, n_lists=2)
+        rows = out.collect()
+        cents = np.array(_ivf_seeded_centroids(4, 2))
+        M = np.array(rng)
+        assign = np.argmax(M @ cents.T, axis=1)
+        for r in rows:
+            members = M[assign == r["list_id"]]
+            assert r["n"] == len(members)
+            assert abs(r["centroid_val"] - round(float(members[:, r["dim"]].mean()), 6)) < 1e-9
+        # every vector is accounted for exactly once per dimension
+        assert sum({r["list_id"]: r["n"] for r in rows}.values()) == 12
+
+
+class TestCorpusDrift:
+    def test_identical_slices_zero_divergence(self, spark):
+        from libcolumnfile_spark.operators.text import corpus_drift
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha beta")], ["doc_id", "text"]
+        )
+        out = corpus_drift(df, F.col("doc_id") % 2).collect()
+        assert out and all(r["js_contrib"] == 0.0 for r in out)
+
+    def test_slice_exclusive_token_ranks_first(self, spark):
+        from libcolumnfile_spark.operators.text import corpus_drift
+
+        df = spark.createDataFrame(
+            [(0, "shared shifted"), (1, "shared shared")], ["doc_id", "text"]
+        )
+        out = corpus_drift(df, F.col("doc_id") % 2).collect()
+        assert out[0]["token"] == "shifted"
+        assert out[0]["js_contrib"] > 0.0
