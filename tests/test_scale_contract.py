@@ -179,6 +179,18 @@ CONTRACTS = {
     # id-only joins (x100: 33 s output-bound at ~2.5M required pairs,
     # was 268 s with per-pair array verifies)
     "q_dedup_minhash_verified": (3.0, 5.0),
+    # round-9 session-2 operators (isolated measurements 2026-08-16,
+    # fresh JVM per query — tools/isolated_ratio.py)
+    "q_cdc_apply": (2.4, 4.5),      # ONE struct-max agg, map-side combine;
+                                    # output grows x10 by construction
+                                    # (agg+join-back form measured 7.3)
+    "q_attribution": (1.5, 3.0),    # one user-keyed window + type-bounded agg
+    "q_dedup_soft": (1.2, 3.0),     # 16-byte-key count agg + hash join back
+    "q_corpus_drift": (1.7, 3.5),   # token-keyed agg, vocab-bounded tail
+    "q_label_prop": (3.1, 5.0),     # 4 rounds of |V|-keyed join+min-agg;
+                                    # per-round state is one |V|-row frame
+    "q_kmeans_step": (0.9, 2.5),    # map-only assign kernel + k x (dim+1)
+                                    # partial-sum exchange: flat by design
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
