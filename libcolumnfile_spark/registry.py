@@ -66,7 +66,12 @@ _PRIORITY = [
     # funnel stays in the full audit; the leakage-free temporal split
     # joins as the second events rep, the splits-family oracle twin of
     # hash-split q_split_assign)
-    "q_window_rank", "q_sessionize", "q_temporal_split",
+    # (round 9 session 2: q_attribution supersedes q_temporal_split as
+    # the second events rep — last-touch attribution exercises the
+    # running ignore-nulls window + lookback horizon, a shape no other
+    # in-window query has; the split family keeps q_distribution_match
+    # in-window and temporal_split stays in every full audit)
+    "q_window_rank", "q_sessionize", "q_attribution",
     # reshape / scalar / nested (q_json_extract demoted likewise;
     # round 8 demotes q_scalar_str_date — q_explode keeps the slot,
     # string/date scalars stay in the full audit)
@@ -93,7 +98,11 @@ _PRIORITY = [
     # q_dedup_span, the quality family keeps q_gopher_rules and
     # q_perplexity_split; the slots go to the new n-gram novelty and
     # embedding-drift quality signals)
-    "q_text_stats", "q_lang_id", "q_gopher_rules",
+    # (round 9 session 2: q_corpus_drift supersedes q_text_stats — the
+    # basic per-doc stats surface is exercised in-window by gopher_rules
+    # and lang_id; the slot goes to the JS-divergence drift monitor, the
+    # between-batch distribution-shift signal no other window query has)
+    "q_corpus_drift", "q_lang_id", "q_gopher_rules",
     "q_cooc_pmi", "q_rank_fusion", "q_ngram_novelty", "q_embedding_drift",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # (round 9: q_sim_pq_seeded supersedes the Lloyd-trained q_sim_pq —
@@ -122,7 +131,12 @@ _PRIORITY = [
     # embedding machinery stays in-window via q_sim_pairs_auto and
     # q_sim_pq_seeded; the slot goes to the dup-cluster profile, and the
     # new distribution-matching resampler joins the sampling family)
-    "q_dup_cluster_stats", "q_distribution_match", "q_domain_cap",
+    # (round 9 session 2: q_cdc_apply supersedes q_dup_cluster_stats —
+    # the dedup family keeps three other in-window reps
+    # (minhash_verified, span, incremental) and the cluster profile
+    # stays in every full audit; the slot goes to the I/U/D changelog
+    # apply, the versioning face with DELETE semantics next to SCD2)
+    "q_cdc_apply", "q_distribution_match", "q_domain_cap",
     # round-6/8 rotation: the CCNet perplexity split keeps its slot;
     # round 8 swaps chunking (pure fan-out, covered by pytest + full
     # audit) for vocabulary-coverage analysis (tokenizer OOV eval)
@@ -151,6 +165,14 @@ _PRIORITY = [
     # followed by the four oracled queries the round-9 rotation demoted
     "q_sim_pq", "q_bpe_train",
     "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",
+    # round-9 session-2 additions placed just past the window (their
+    # families hold in-window reps: graph = pagerank_docs/triangle,
+    # similarity/ivf = sim_pq_seeded/sim_pairs_auto, dedup =
+    # minhash_verified/span/incremental, events = sessionize/attribution)
+    # — all full-oracle, all in every audit; the demoted former window
+    # occupants follow
+    "q_label_prop", "q_kmeans_step", "q_dedup_soft",
+    "q_temporal_split", "q_text_stats", "q_dup_cluster_stats",
     # round-9 session additions placed just past the window (their
     # families hold in-window reps: graph = pagerank_docs/triangle,
     # text/quality = ngram_novelty/gopher, eval = ann_recall) — all
