@@ -536,3 +536,204 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "tok").select(
         F.col("tok").alias("token"), "exact_n", F.col("cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval: uncertainty quantification for
+# a corpus-scale mean in ONE pass. Classical bootstrap (sample n rows
+# with replacement, B times) is sequential; the Poisson approximation
+# (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google 2012) gives each row an independent Poisson(1) multiplicity
+# per replicate, which distributes perfectly. Multiplicities here are
+# DETERMINISTIC — inverse-CDF lookup on the engine-portable md5 ppm
+# bucket of (row key, replicate index) — so Spark, DuckDB, and any
+# future engine draw the SAME resamples forever, making the whole
+# estimator oracle-checkable (the q_sample_hash reproducibility bar).
+# ---------------------------------------------------------------------------
+
+# floor(1e6 * P(Poisson(1) <= k)) for k = 0..7; u >= all => weight 8.
+# The tail beyond 8 is P < 1.1e-8 — one ppm grain can't express it.
+_POISSON1_CUM_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _poisson1_weight(u: Column) -> Column:
+    w = F.lit(len(_POISSON1_CUM_PPM))
+    for k in reversed(range(len(_POISSON1_CUM_PPM))):
+        w = F.when(u < _POISSON1_CUM_PPM[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    val_col: str,
+    id_col: str,
+    n_boot: int = 32,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """(n_boot, boot_mean, lo95, hi95): mean of ``val_col`` across
+    ``n_boot`` deterministic Poisson-bootstrap replicates, with the
+    (``lo``, ``hi``) percentile interval over the replicate means.
+
+    Scale design: ONE scan, zero row fan-out — all B replicates ride as
+    2B aggregate columns (sum of w*x and sum of w per replicate), each
+    algebraic, so map-side partial aggregation collapses every task to
+    one 2B-double row before the single 1-row exchange. The
+    explode-by-replicate formulation (the SQL oracle's shape) multiplies
+    the row stream B-fold; at 100 TB that is B extra scans' worth of
+    exchange for the same 64 numbers. Percentiles run over B driver-side
+    rows — bounded by construction.
+    """
+    key = F.col(id_col).cast("string")
+    aggs = []
+    # one md5 yields 32 hex chars = FOUR 8-hex ppm buckets: replicate b
+    # reads lanes b%4 of digest b//4 — 8 digests/row instead of 32 (the
+    # md5 is the per-row cost; measured 3.5 s -> 1.3 s at sf0.1)
+    for g in range((n_boot + 3) // 4):
+        digest = F.md5(F.concat(key, F.lit(f":{g}")))
+        for j in range(min(4, n_boot - 4 * g)):
+            b = 4 * g + j
+            u = (
+                F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("bigint")
+                % 1_000_000
+            )
+            w = _poisson1_weight(u)
+            aggs.append(F.sum(w * F.col(val_col)).alias(f"wx{b}"))
+            aggs.append(F.sum(w).alias(f"w{b}"))
+    row = df.agg(*aggs)
+    means = row.select(
+        F.explode(
+            F.array(*[F.col(f"wx{b}") / F.col(f"w{b}") for b in range(n_boot)])
+        ).alias("m")
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.percentile(F.col("m"), F.lit(float(lo))), 4).alias("ci_lo"),
+        F.round(F.percentile(F.col("m"), F.lit(float(hi))), 4).alias("ci_hi"),
+    )
+
+
+def _bootstrap_oracle(n_boot: int = 32) -> str:
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POISSON1_CUM_PPM)
+    )
+    # same digest-lane scheme as bootstrap_ci_mean: replicate b = lane
+    # b%4 (8 hex chars) of md5(key || ':' || b//4)
+    u_sql = (
+        "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+        "|| CAST(b // 4 AS VARCHAR)), 1 + 8 * (b % 4), 8))::BIGINT % 1000000"
+    )
+    return (
+        f"WITH r AS (SELECT o_totalprice, b, {u_sql} AS u "
+        f"FROM orders CROSS JOIN generate_series(0, {n_boot - 1}) t(b)), "
+        f"w AS (SELECT b, o_totalprice, CASE {cases} ELSE 8 END AS wt FROM r), "
+        "m AS (SELECT b, sum(wt * o_totalprice) / sum(wt) AS m FROM w "
+        "GROUP BY b) "
+        "SELECT count(*) AS n_boot, round(avg(m), 4) AS boot_mean, "
+        "round(quantile_cont(m, 0.025), 4) AS ci_lo, "
+        "round(quantile_cont(m, 0.975), 4) AS ci_hi FROM m"
+    )
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    doc=(
+        "Deterministic Poisson-bootstrap 95% CI for mean(o_totalprice): "
+        "32 replicates as 64 algebraic aggregate columns in ONE scan "
+        "(no row fan-out — the oracle's explode-by-replicate shape "
+        "costs B extra scans of exchange at scale); md5-ppm inverse-CDF "
+        "Poisson(1) multiplicities make every resample engine-portable "
+        "and reproducible."
+    ),
+    tags=("agg", "stats"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return bootstrap_ci_mean(o, "o_totalprice", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: the unequal-variance two-sample location test — the
+# decision operator behind every A/B readout and every "did this
+# pipeline change move the metric?" check. Pure algebraic aggregates
+# (counts, means, sample variances), so it partial-aggregates map-side
+# and the exchange is one row regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One-row Welch t-test of ``val_col`` between two groups:
+    (n_a, n_b, mean_a, mean_b, t_stat, df) with the Welch-Satterthwaite
+    degrees of freedom. Floats rounded to 4 (the q_stats_agg precedent:
+    var_samp's partial-merge fold order differs across engines in the
+    last ulps).
+
+    Scale design: six algebraic aggregates over one scan — conditional
+    count/avg/var_samp per group — collapsed map-side; the t and df
+    arithmetic is a 1-row projection. No shuffle carries data rows.
+    """
+    a = F.when(F.col(group_col) == group_a, F.col(val_col))
+    b = F.when(F.col(group_col) == group_b, F.col(val_col))
+    s = df.agg(
+        F.count(a).alias("n_a"),
+        F.count(b).alias("n_b"),
+        F.avg(a).alias("mean_a"),
+        F.avg(b).alias("mean_b"),
+        F.var_samp(a).alias("var_a"),
+        F.var_samp(b).alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    se2 = sa + sb
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 4).alias("df"),
+    )
+
+
+@query(
+    "q_ttest_welch",
+    oracle=(
+        "WITH s AS (SELECT "
+        "count(*) FILTER (event_type = 'click') AS n_a, "
+        "count(*) FILTER (event_type = 'view') AS n_b, "
+        "avg(value) FILTER (event_type = 'click') AS mean_a, "
+        "avg(value) FILTER (event_type = 'view') AS mean_b, "
+        "var_samp(value) FILTER (event_type = 'click') AS var_a, "
+        "var_samp(value) FILTER (event_type = 'view') AS var_b "
+        "FROM events) "
+        "SELECT n_a, n_b, round(mean_a, 4) AS mean_a, "
+        "round(mean_b, 4) AS mean_b, "
+        "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) "
+        "AS t_stat, "
+        "round(pow(var_a / n_a + var_b / n_b, 2) / "
+        "(pow(var_a / n_a, 2) / (n_a - 1) "
+        "+ pow(var_b / n_b, 2) / (n_b - 1)), 4) AS df "
+        "FROM s"
+    ),
+    doc=(
+        "Welch's unequal-variance t-test of events.value between the "
+        "click and view populations: six algebraic aggregates over one "
+        "scan (map-side partials, 1-row exchange), Welch-Satterthwaite "
+        "degrees of freedom in a 1-row projection."
+    ),
+    tags=("agg", "stats"),
+)
+def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return welch_ttest(T(spark, sf_dir, "events"), "event_type", "value", "click", "view")

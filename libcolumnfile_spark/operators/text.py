@@ -2549,3 +2549,67 @@ def corpus_drift(
 def q_corpus_drift(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return corpus_drift(d, F.col("doc_id") % 2)
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease): the classic prose-difficulty
+# heuristic from words/sentence and syllables/word — a quality-routing
+# signal orthogonal to gopher_rules (structure) and perplexity (LM fit):
+# curriculum builders bucket corpora by reading level. Syllables use the
+# standard vowel-group proxy ([aeiouy]+ runs), identical regex semantics
+# in Java and RE2, so the score is engine-exact before rounding.
+# ---------------------------------------------------------------------------
+
+
+def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading ease 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    words), sentence count floored at 1 (fragments still score).
+
+    Scale design: pure map — three regex passes per document, zero
+    shuffles; rows ride idle cores (the q_gopher_rules shape). The
+    regexes are linear-time character classes, no backtracking."""
+    trimmed = F.trim(F.col(text_col))
+    n_words = F.size(F.split(trimmed, r"\s+"))
+    n_syll = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), F.lit(0)))
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0)))
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    return df.filter(F.length(trimmed) > 0).select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )
+
+
+@query(
+    "q_readability",
+    oracle=(
+        "WITH b AS (SELECT doc_id, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_words, "
+        "greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences, "
+        "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables "
+        "FROM documents WHERE length(trim(text)) > 0) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_sentences AS BIGINT) AS n_sentences, "
+        "CAST(n_syllables AS BIGINT) AS n_syllables, "
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) "
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch "
+        "FROM b"
+    ),
+    doc=(
+        "Flesch reading-ease score per document (vowel-group syllable "
+        "proxy, sentence count floored at 1): three linear regex passes, "
+        "pure map, zero shuffles — the prose-difficulty routing signal."
+    ),
+    tags=("text", "quality"),
+)
+def q_readability(spark, sf_dir):
+    return readability(T(spark, sf_dir, "documents"))

@@ -1840,3 +1840,72 @@ class TestCorpusDrift:
         out = corpus_drift(df, F.col("doc_id") % 2).collect()
         assert out[0]["token"] == "shifted"
         assert out[0]["js_contrib"] > 0.0
+
+
+class TestBootstrapCi:
+    def test_constant_column_degenerate_interval(self, spark):
+        from libcolumnfile_spark.operators.aggregates import bootstrap_ci_mean
+
+        df = spark.createDataFrame([(i, 7.0) for i in range(50)], ["id", "x"])
+        r = bootstrap_ci_mean(df, "x", "id").collect()[0]
+        assert r["n_boot"] == 32
+        assert r["boot_mean"] == 7.0
+        assert r["ci_lo"] == 7.0 and r["ci_hi"] == 7.0
+
+    def test_interval_brackets_mean_and_tightens_with_n(self, spark):
+        from libcolumnfile_spark.operators.aggregates import bootstrap_ci_mean
+
+        small = spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(40)], ["id", "x"]
+        )
+        big = spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(4000)], ["id", "x"]
+        )
+        rs = bootstrap_ci_mean(small, "x", "id").collect()[0]
+        rb = bootstrap_ci_mean(big, "x", "id").collect()[0]
+        for r in (rs, rb):
+            assert r["ci_lo"] <= r["boot_mean"] <= r["ci_hi"]
+        assert (rb["ci_hi"] - rb["ci_lo"]) < (rs["ci_hi"] - rs["ci_lo"])
+
+
+class TestWelchTtest:
+    def test_known_values(self, spark):
+        from libcolumnfile_spark.operators.aggregates import welch_ttest
+
+        rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (4.0, 5.0, 6.0)]
+        df = spark.createDataFrame(rows, ["g", "x"])
+        r = welch_ttest(df, "g", "x", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (3, 3)
+        assert (r["mean_a"], r["mean_b"]) == (2.0, 5.0)
+        # hand-computed: t = -3 / sqrt(2/3), Welch-Satterthwaite df = 4
+        assert abs(r["t_stat"] - (-3.6742)) < 1e-4
+        assert abs(r["df"] - 4.0) < 1e-9
+
+    def test_identical_groups_t_zero(self, spark):
+        from libcolumnfile_spark.operators.aggregates import welch_ttest
+
+        rows = [(g, v) for g in ("a", "b") for v in (1.0, 2.0, 9.0)]
+        df = spark.createDataFrame(rows, ["g", "x"])
+        r = welch_ttest(df, "g", "x", "a", "b").collect()[0]
+        assert r["t_stat"] == 0.0
+
+
+class TestReadability:
+    def test_hand_computed_flesch(self, spark):
+        from libcolumnfile_spark.operators.text import readability
+
+        df = spark.createDataFrame([(1, "Hello world.")], ["doc_id", "text"])
+        r = readability(df).collect()[0]
+        # hello -> e,o (2 groups), world -> o (1): 3 syllables, 2 words, 1 sentence
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (2, 1, 3)
+        assert abs(r["flesch"] - (206.835 - 1.015 * 2.0 - 84.6 * 1.5)) < 1e-9
+
+    def test_sentence_floor_and_empty_filter(self, spark):
+        from libcolumnfile_spark.operators.text import readability
+
+        df = spark.createDataFrame(
+            [(1, "no terminal punctuation here"), (2, "   ")], ["doc_id", "text"]
+        )
+        rows = readability(df).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["n_sentences"] == 1

@@ -191,6 +191,11 @@ CONTRACTS = {
                                     # per-round state is one |V|-row frame
     "q_kmeans_step": (0.9, 2.5),    # map-only assign kernel + k x (dim+1)
                                     # partial-sum exchange: flat by design
+    "q_bootstrap_ci": (1.8, 3.5),   # 2B algebraic agg columns, 1-row
+                                    # exchange; t1 is mostly the one-time
+                                    # codegen of the 64-agg tree
+    "q_ttest_welch": (1.2, 3.0),    # six conditional aggs, 1-row exchange
+    "q_readability": (0.9, 2.5),    # three linear regex passes, pure map
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
