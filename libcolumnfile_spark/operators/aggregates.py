@@ -737,3 +737,188 @@ def welch_ttest(
 )
 def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(T(spark, sf_dir, "events"), "event_type", "value", "click", "view")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: the nonparametric twin of q_ttest_welch — rank-based
+# two-sample location test, robust to the heavy-tailed metric
+# distributions real telemetry has. Computed WITHOUT ranking rows:
+# U counts pairs (a > b) + half-ties, which collapses onto the DISTINCT-
+# value table — one value-keyed count aggregate, then a running sum over
+# distinct values only.
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One-row Mann-Whitney U of ``val_col`` between two groups:
+    (n_a, n_b, u_stat, z) — U for group a with the normal approximation
+    z including the tie correction. Rounded to 4 (the q_stats_agg
+    precedent).
+
+    Scale design: the pair count U = sum_v cnt_a(v) * (cum_b(<v) +
+    cnt_b(v)/2) needs only per-DISTINCT-VALUE counts: one value-keyed
+    aggregate (map-side partials over data rows), then one running-sum
+    window over the distinct-value table. That window is a single
+    sorted run — bounded by VALUE CARDINALITY, not row count (the
+    q_percentile trade: exact stats hold a sorted structure; for
+    continuous metrics at 100 TB, pre-bucket values to fixed precision
+    to bound the cardinality, which perturbs U by at most the bucket
+    width). No row-pair join anywhere: the naive formulation is
+    O(n_a * n_b).
+    """
+    both = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v")
+    )
+    vt = both.groupBy("v").agg(
+        F.count_if(F.col("g") == group_a).alias("ca"),
+        F.count_if(F.col("g") == group_b).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    per_v = vt.select(
+        "ca",
+        "cb",
+        (F.coalesce(F.sum("cb").over(w), F.lit(0))).alias("cum_b"),
+        ((F.col("ca") + F.col("cb")) ** 3 - (F.col("ca") + F.col("cb"))).alias(
+            "tie3"
+        ),
+    )
+    s = per_v.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.col("cum_b") + F.col("cb") / F.lit(2.0))
+        ).alias("u"),
+        F.sum("tie3").alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    mu = na * nb / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)) * (
+        (n + 1) - F.col("ties") / (n * (n - 1))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("u", 4).alias("u_stat"),
+        F.round((F.col("u") - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@query(
+    "q_mannwhitney",
+    oracle=(
+        "WITH b AS (SELECT event_type AS g, value AS v FROM events "
+        "WHERE event_type IN ('click', 'view')), "
+        "vt AS (SELECT v, count(*) FILTER (g = 'click') AS ca, "
+        "count(*) FILTER (g = 'view') AS cb FROM b GROUP BY v), "
+        "pv AS (SELECT ca, cb, "
+        "coalesce(sum(cb) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b, "
+        "pow(ca + cb, 3) - (ca + cb) AS tie3 FROM vt), "
+        "s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+        "CAST(sum(cb) AS BIGINT) AS n_b, "
+        "sum(ca * (cum_b + cb / 2.0)) AS u, sum(tie3) AS ties FROM pv) "
+        "SELECT n_a, n_b, round(u, 4) AS u_stat, "
+        "round((u - n_a * n_b / 2.0) / "
+        "sqrt((n_a * n_b / 12.0) * ((n_a + n_b + 1) "
+        "- ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z "
+        "FROM s"
+    ),
+    doc=(
+        "Mann-Whitney U (rank-sum) test of events.value between the "
+        "click and view populations, tie-corrected normal z — computed "
+        "pair-free on the distinct-value count table: one value-keyed "
+        "aggregate + one cardinality-bounded running-sum window."
+    ),
+    tags=("agg", "stats"),
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_whitney_u(T(spark, sf_dir, "events"), "event_type", "value", "click", "view")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence between two categorical columns — the
+# "is language confounded with source?" diagnostic a mixing pipeline
+# runs before treating per-source weights and per-language weights as
+# separable knobs. All tables in play are category-cardinality-bounded.
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One-row chi-square independence test: (n, dof, chi2) over the
+    ``col_a`` x ``col_b`` contingency table.
+
+    Scale design: ONE (a, b)-keyed count aggregate over the data (map-
+    side partials; the exchange is contingency-sized), marginals and the
+    grand total DERIVED from the contingency counts (never a second
+    corpus pass). The chi2 sum runs over the FULL ka x kb marginal grid
+    (a cross join of two bounded tables), not just observed cells —
+    absent combinations contribute their whole expected count, and
+    dropping them understates chi2 exactly when association is
+    strongest.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ta"))
+    rb = cells.groupBy("b").agg(F.sum("o").alias("tb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    grid = ra.crossJoin(F.broadcast(rb))
+    e = (
+        grid.join(F.broadcast(cells), ["a", "b"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "ka",
+            "kb",
+            (
+                (F.col("o") - F.col("ta") * F.col("tb") / F.col("n")) ** 2
+                / (F.col("ta") * F.col("tb") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    return e.groupBy("n", "ka", "kb").agg(
+        F.round(F.sum("term"), 4).alias("chi2")
+    ).select(
+        "n",
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("bigint").alias("dof"),
+        "chi2",
+    )
+
+
+@query(
+    "q_chi2_indep",
+    oracle=(
+        "WITH c AS (SELECT lang AS a, source AS b, count(*) AS o "
+        "FROM documents GROUP BY 1, 2), "
+        "ra AS (SELECT a, sum(o) AS ta FROM c GROUP BY a), "
+        "rb AS (SELECT b, sum(o) AS tb FROM c GROUP BY b), "
+        "t AS (SELECT CAST(sum(o) AS BIGINT) AS n, "
+        "count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM c), "
+        "g AS (SELECT a, ta, b, tb, "
+        "coalesce(c.o, 0) AS o FROM ra CROSS JOIN rb "
+        "LEFT JOIN c USING (a, b)) "
+        "SELECT n, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof, "
+        "round(sum(pow(o - ta * tb / n, 2) / (ta * tb / n)), 4) AS chi2 "
+        "FROM g CROSS JOIN t GROUP BY n, ka, kb"
+    ),
+    doc=(
+        "Chi-square independence test of documents.lang vs source: one "
+        "contingency-keyed count aggregate, marginals derived from the "
+        "cell counts (no second corpus pass), bounded broadcast joins."
+    ),
+    tags=("agg", "stats", "pipeline"),
+)
+def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chi2_independence(T(spark, sf_dir, "documents"), "lang", "source")

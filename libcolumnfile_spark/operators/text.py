@@ -2613,3 +2613,91 @@ def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 )
 def q_readability(spark, sf_dir):
     return readability(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability bins): before a quality classifier
+# gates a corpus, check whether its scores MEAN anything — bin documents
+# by score and compare each bin's mean score against its observed
+# positive rate. The eval face of q_classifier_filter, the way
+# q_ann_recall is the eval face of the ANN index and q_langid_confusion
+# of the language detector.
+# ---------------------------------------------------------------------------
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, mean_score, pos_rate): fixed-width score bins over the
+    observed [min, max] with each bin's size, mean score, and positive-
+    label rate — the reliability-diagram table (top score bin must show
+    a higher pos_rate than the bottom, or the gate is noise).
+
+    Scale design: one 1-row min/max aggregate broadcast back, then one
+    bin-keyed aggregate with map-side partials (exchange bounded by
+    n_bins) — two scans total, no row-scale shuffle. Degenerate
+    all-equal-score corpora collapse to bin 0 instead of dividing by a
+    zero width.
+    """
+    s = df.agg(F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx"))
+    j = df.crossJoin(F.broadcast(s))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    bin_ = (
+        F.when(width == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col(score_col) - F.col("__mn")) / width),
+            )
+        )
+        .cast("int")
+    )
+    return j.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(score_col), 6).alias("mean_score"),
+        F.round(F.avg(F.col(label_col).cast("double")), 6).alias("pos_rate"),
+    )
+
+
+def _calibration_oracle() -> str:
+    # same scorer SQL as q_classifier_filter, without the >= 0 gate
+    from libcolumnfile_spark.operators.pipeline import _bucket_sql
+
+    wlit = "[" + ", ".join(repr(float(x)) for x in _clf_weights()) + "]"
+    bucket = _bucket_sql("tk", _CLF_DIM)
+    return (
+        "WITH t AS (SELECT doc_id, lang, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "sc AS (SELECT CAST(lang = 'en' AS INT) AS label, "
+        f"round(list_sum(list_transform(toks, tk -> ({wlit})[({bucket}) + 1])) "
+        "/ len(toks), 6) AS score FROM t), "
+        "mm AS (SELECT min(score) AS mn, max(score) AS mx FROM sc) "
+        "SELECT CAST(CASE WHEN (mx - mn) / 10.0 = 0 THEN 0 "
+        "ELSE least(9, floor((score - mn) / ((mx - mn) / 10.0))) END AS INT) "
+        "AS bin, count(*) AS n, round(avg(score), 6) AS mean_score, "
+        "round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate "
+        "FROM sc CROSS JOIN mm GROUP BY 1"
+    )
+
+
+@query(
+    "q_calibration_bins",
+    oracle=_calibration_oracle(),
+    doc=(
+        "Reliability-diagram table for the quality classifier: 10 "
+        "fixed-width score bins (1-row min/max broadcast) with per-bin "
+        "size, mean score, and en-label positive rate — the calibration "
+        "eval run before trusting a classifier gate."
+    ),
+    tags=("text", "quality", "pipeline", "stats"),
+)
+def q_calibration_bins(spark, sf_dir):
+    d = _spread(T(spark, sf_dir, "documents"))
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        classifier_score(F.col("text")).alias("score"),
+    )
+    return calibration_bins(scored, "score", "label")

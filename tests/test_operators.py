@@ -1909,3 +1909,69 @@ class TestReadability:
         rows = readability(df).collect()
         assert [r["doc_id"] for r in rows] == [1]
         assert rows[0]["n_sentences"] == 1
+
+
+class TestMannWhitney:
+    def test_known_u_and_direction(self, spark):
+        from libcolumnfile_spark.operators.aggregates import mann_whitney_u
+
+        # a = {1,2,3}, b = {4,5,6}: no (a > b) pairs, no ties -> U_a = 0
+        rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (4.0, 5.0, 6.0)]
+        r = mann_whitney_u(
+            spark.createDataFrame(rows, ["g", "x"]), "g", "x", "a", "b"
+        ).collect()[0]
+        assert (r["n_a"], r["n_b"], r["u_stat"]) == (3, 3, 0.0)
+        assert r["z"] < 0
+
+    def test_ties_count_half(self, spark):
+        from libcolumnfile_spark.operators.aggregates import mann_whitney_u
+
+        # all values equal: U = n_a * n_b / 2, z = 0/0 guarded by ties...
+        # use one tie pair among distinct values instead
+        rows = [("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 5.0)]
+        r = mann_whitney_u(
+            spark.createDataFrame(rows, ["g", "x"]), "g", "x", "a", "b"
+        ).collect()[0]
+        # pairs: (1<3), (1<5) -> 0; (3 ties 3) -> 0.5; (3<5) -> 0  => U = 0.5
+        assert r["u_stat"] == 0.5
+
+
+class TestChi2Independence:
+    def test_independent_table_chi2_zero(self, spark):
+        from libcolumnfile_spark.operators.aggregates import chi2_independence
+
+        rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(5)]
+        r = chi2_independence(
+            spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+        ).collect()[0]
+        assert (r["n"], r["dof"], r["chi2"]) == (20, 1, 0.0)
+
+    def test_perfect_association(self, spark):
+        from libcolumnfile_spark.operators.aggregates import chi2_independence
+
+        rows = [("x", "p")] * 5 + [("y", "q")] * 5
+        r = chi2_independence(
+            spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+        ).collect()[0]
+        # 2x2 perfect association: chi2 = n
+        assert (r["n"], r["dof"], r["chi2"]) == (10, 1, 10.0)
+
+
+class TestCalibrationBins:
+    def test_bins_partition_and_rates(self, spark):
+        from libcolumnfile_spark.operators.text import calibration_bins
+
+        rows = [(float(i) / 100.0, 1 if i >= 50 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, ["score", "label"])
+        out = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+        assert sum(r["n"] for r in out.values()) == 100
+        assert set(out) == set(range(10))
+        # labels flip exactly at the bin-5 boundary: perfectly calibrated tails
+        assert out[0]["pos_rate"] == 0.0 and out[9]["pos_rate"] == 1.0
+
+    def test_degenerate_scores_single_bin(self, spark):
+        from libcolumnfile_spark.operators.text import calibration_bins
+
+        df = spark.createDataFrame([(0.5, 1), (0.5, 0)], ["score", "label"])
+        out = calibration_bins(df, "score", "label").collect()
+        assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2

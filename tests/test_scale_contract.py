@@ -196,6 +196,11 @@ CONTRACTS = {
                                     # codegen of the 64-agg tree
     "q_ttest_welch": (1.2, 3.0),    # six conditional aggs, 1-row exchange
     "q_readability": (0.9, 2.5),    # three linear regex passes, pure map
+    "q_mannwhitney": (1.4, 3.0),    # value-keyed counts + cardinality-
+                                    # bounded running-sum window
+    "q_chi2_indep": (1.6, 3.5),     # contingency-keyed count + bounded grid
+    "q_calibration_bins": (1.6, 3.5),  # map scorer + 1-row min/max +
+                                    # n_bins-bounded agg
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
