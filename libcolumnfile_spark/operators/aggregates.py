@@ -922,3 +922,163 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 )
 def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(T(spark, sf_dir, "documents"), "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test: the DISTRIBUTIONAL test next to
+# the location tests (Welch, Mann-Whitney) — detects shape/spread/tail
+# changes a mean test misses ("did the new crawl change the length
+# distribution, not just its mean?"). Same pair-free machinery as
+# mann_whitney_u: everything reduces to the distinct-value count table.
+# ---------------------------------------------------------------------------
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One-row two-sample KS test: (n_a, n_b, ks_d, ks_stat) where
+    ks_d = sup |ECDF_a - ECDF_b| and ks_stat = ks_d * sqrt(n_a*n_b/n).
+
+    Scale design: one value-keyed count aggregate (map-side partials
+    over data rows), one running-sum window over the DISTINCT-value
+    table (the q_mannwhitney shape — bounded by value cardinality, not
+    rows), and the supremum as an INTEGER max of
+    |cum_a * n_b - cum_b * n_a| — exact integer arithmetic until the
+    final division, so the supremum row is engine-exact, no float
+    tie ambiguity.
+    """
+    both = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v")
+    )
+    vt = both.groupBy("v").agg(
+        F.count_if(F.col("g") == group_a).alias("ca"),
+        F.count_if(F.col("g") == group_b).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()  # totals ride the same sorted run
+    per_v = vt.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("ta"),
+        F.sum("cb").over(wt).alias("tb"),
+    )
+    s = per_v.agg(
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("tb") - F.col("cum_b") * F.col("ta"))
+        ).alias("num"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    d = F.col("num") / (na * nb)
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("ks_d"),
+        F.round(d * F.sqrt(na * nb / (na + nb)), 4).alias("ks_stat"),
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle=(
+        "WITH b AS (SELECT event_type AS g, value AS v FROM events "
+        "WHERE event_type IN ('click', 'view')), "
+        "vt AS (SELECT v, count(*) FILTER (g = 'click') AS ca, "
+        "count(*) FILTER (g = 'view') AS cb FROM b GROUP BY v), "
+        "pv AS (SELECT ca, cb, "
+        "sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum_a, "
+        "sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum_b, "
+        "sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM vt), "
+        "s AS (SELECT CAST(max(ta) AS BIGINT) AS n_a, "
+        "CAST(max(tb) AS BIGINT) AS n_b, "
+        "CAST(max(abs(cum_a * tb - cum_b * ta)) AS BIGINT) AS num FROM pv) "
+        "SELECT n_a, n_b, "
+        "round(num / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d, "
+        "round((num / (CAST(n_a AS DOUBLE) * n_b)) "
+        "* sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 4) AS ks_stat "
+        "FROM s"
+    ),
+    doc=(
+        "Two-sample Kolmogorov-Smirnov test of events.value between the "
+        "click and view populations — ECDF supremum as an exact integer "
+        "max over the distinct-value count table (the q_mannwhitney "
+        "pair-free shape); detects distribution-shape drift a mean test "
+        "misses."
+    ),
+    tags=("agg", "stats"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_test(T(spark, sf_dir, "events"), "event_type", "value", "click", "view")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: percentile-boundary buckets with per-bucket
+# stats — the distribution summary that stays informative under skew,
+# where the fixed-width q_histogram collapses into two hot buckets.
+# Also exactly the boundary computation a range-partitioner or a
+# liquid-clustering layout job runs before writing.
+# ---------------------------------------------------------------------------
+
+
+def equidepth_histogram(
+    df: DataFrame, val_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """(bucket, n, lo, hi): ~equal-count buckets split at the exact
+    interior percentiles of ``val_col``. Boundary ties go to the lower
+    bucket (bucket = #cuts strictly below the value).
+
+    Scale design: ONE exact-percentile aggregate produces all interior
+    cuts as a 1-row array broadcast (the q_perplexity_split pattern);
+    bucket assignment is a map-side array scan (n_buckets is small);
+    the final aggregate exchanges n_buckets rows. Exact percentile
+    holds a sorted structure — at 100 TB swap for approx_percentile's
+    mergeable t-digest (the q_percentile note); the operator shape is
+    unchanged.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile(F.col(val_col), F.lit(fracs)).alias("__cuts")
+    )
+    j = df.select(F.col(val_col).alias("__v")).crossJoin(F.broadcast(cuts))
+    bucket = F.size(
+        F.filter(F.col("__cuts"), lambda c: F.col("__v") > c)
+    ).cast("int")
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__v"), 4).alias("lo"),
+            F.round(F.max("__v"), 4).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_equidepth_hist",
+    oracle=(
+        "WITH c AS (SELECT quantile_cont(o_totalprice, "
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts "
+        "FROM orders) "
+        "SELECT CAST(len(list_filter(cuts, x -> o_totalprice > x)) AS INT) "
+        "AS bucket, count(*) AS n, round(min(o_totalprice), 4) AS lo, "
+        "round(max(o_totalprice), 4) AS hi "
+        "FROM orders CROSS JOIN c GROUP BY 1"
+    ),
+    doc=(
+        "Equi-depth 10-bucket histogram of o_totalprice: one exact-"
+        "percentile aggregate broadcasts all interior cuts, bucket "
+        "assignment is a map-side array scan, final exchange is "
+        "n_buckets rows — the skew-robust dual of the fixed-width "
+        "q_histogram and the boundary step of a range partitioner."
+    ),
+    tags=("agg", "stats", "layout"),
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equidepth_histogram(T(spark, sf_dir, "orders"), "o_totalprice")

@@ -909,3 +909,78 @@ def _label_prop_oracle(n_iter: int = 4) -> str:
 )
 def q_label_prop(spark, sf_dir):
     return label_propagation(_doc_id_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Edge reciprocity: the share of directed edges whose reverse edge also
+# exists — the link-spam / citation-ring signal next to PageRank (rank)
+# and triangles (clustering): organic link graphs are weakly
+# reciprocal, farms are near-fully reciprocal.
+# ---------------------------------------------------------------------------
+
+
+def reciprocity(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """One row: (n_edges, n_reciprocal, reciprocity) over the DISTINCT
+    self-loop-free directed edge set.
+
+    Scale design: one distinct on the edge key, one edge-keyed
+    left_semi self-join against the reversed list — both sides are
+    |E|-sized, so the join is pinned shuffle_hash (the graph-family
+    rule: never let a stats estimate broadcast an unbounded edge list).
+    Counts are 1-row aggregates off the same frame.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from libcolumnfile_spark.queries import pin
+
+    e = pin(e)
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = e.join(rev.hint("shuffle_hash"), ["a", "b"], "left_semi")
+    tot = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    rc = recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    return (
+        tot.crossJoin(F.broadcast(rc))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal") / F.col("n_edges").cast("double"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def _reciprocity_oracle() -> str:
+    p = (1 << 31) - 1
+    h = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {p}"
+    return (
+        "WITH raw AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS a, "
+        "'d' || CAST(doc_id // 2 AS VARCHAR) AS b FROM documents "
+        "UNION ALL SELECT 'd' || CAST(doc_id AS VARCHAR), "
+        f"'d' || CAST({h} AS VARCHAR) FROM documents), "
+        "e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b), "
+        "r AS (SELECT count(*) AS n_reciprocal FROM e "
+        "WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.a = e.b AND e2.b = e.a)), "
+        "t AS (SELECT count(*) AS n_edges FROM e) "
+        "SELECT n_edges, n_reciprocal, "
+        "round(n_reciprocal / CAST(n_edges AS DOUBLE), 6) AS reciprocity "
+        "FROM t CROSS JOIN r"
+    )
+
+
+@query(
+    "q_reciprocity",
+    oracle=_reciprocity_oracle(),
+    doc=(
+        "Directed-edge reciprocity of the doc-level graph: distinct "
+        "self-loop-free edges left_semi-joined against their reversal "
+        "(shuffle_hash-pinned |E|-vs-|E| join) — the link-ring signal "
+        "next to PageRank and the triangle census."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_reciprocity(spark, sf_dir):
+    return reciprocity(_doc_id_edges(spark, sf_dir))

@@ -1385,3 +1385,56 @@ def attribution_last_touch(
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_last_touch(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily event volume: the time-series
+# health signal behind "is traffic trending or mean-reverting?" and the
+# sanity check before fitting any seasonal model. Everything after the
+# first aggregate is bounded by the number of DAYS.
+# ---------------------------------------------------------------------------
+
+
+def daily_autocorr(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """One row: (n_days, mean_daily, autocorr_1) — Pearson correlation
+    of the daily event-count series with itself shifted by one day.
+
+    Scale design: one day-keyed count aggregate (map-side partials; the
+    exchange is day-cardinality-bounded), then a lag window + corr over
+    the DAY table — thousands of rows even for a decade of data. The
+    (date-ordered) window is a single tiny sorted run by construction.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "cnt", F.lag("cnt").over(w).alias("prev")
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("cnt"), 4).alias("mean_daily"),
+        F.round(F.corr("cnt", "prev"), 4).alias("autocorr_1"),
+    )
+
+
+@query(
+    "q_autocorr",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS cnt FROM events GROUP BY 1), "
+        "l AS (SELECT cnt, lag(cnt) OVER (ORDER BY d) AS prev FROM daily) "
+        "SELECT count(*) AS n_days, round(avg(cnt), 4) AS mean_daily, "
+        "round(corr(cnt, prev), 4) AS autocorr_1 FROM l"
+    ),
+    doc=(
+        "Lag-1 autocorrelation of daily event volume: one day-keyed "
+        "count aggregate, then lag + corr over the day-cardinality-"
+        "bounded series — trend/mean-reversion diagnostic."
+    ),
+    tags=("events", "stats", "window"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_autocorr(T(spark, sf_dir, "events"))

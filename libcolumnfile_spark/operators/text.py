@@ -2701,3 +2701,100 @@ def q_calibration_bins(spark, sf_dir):
         classifier_score(F.col("text")).alias("score"),
     )
     return calibration_bins(scored, "score", "label")
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap: pairwise Jaccard similarity of the DISTINCT
+# token vocabularies of every source pair — the "are these two crawls
+# the same register/domain?" diagnostic that decides whether sources can
+# share mixing weights, and the token-level dual of the document-level
+# dedup operators.
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_overlap(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(src_a, src_b, n_common, n_union, jaccard) for every unordered
+    source pair (src_a < src_b lexicographically).
+
+    Scale design: the corpus reduces to DISTINCT (source, token) pairs
+    first (one token-keyed dedup aggregate — the only corpus-sized
+    exchange); the pair join is keyed by token and fans out at most
+    C(sources, 2) rows per token, so with S sources the intersection
+    table is vocab x S^2 bounded — never corpus^2. Vocabulary sizes
+    come from the same distinct table; the final Jaccard is a bounded
+    S^2 join. Both token-keyed join sides are the SAME vocab-sized
+    frame: pinned shuffle_hash so a stats estimate never broadcasts an
+    unbounded vocabulary.
+    """
+    st = (
+        df.select(
+            F.col(group_col).alias("s"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    from libcolumnfile_spark.queries import pin
+
+    st = pin(st)
+    inter = (
+        st.alias("x")
+        .join(
+            st.alias("y").hint("shuffle_hash"),
+            (F.col("x.tok") == F.col("y.tok")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .groupBy(F.col("x.s").alias("src_a"), F.col("y.s").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = st.groupBy("s").agg(F.count(F.lit(1)).alias("n_vocab"))
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("s", "src_a")), "src_a")
+        .withColumnRenamed("n_vocab", "va")
+        .join(F.broadcast(sizes.withColumnRenamed("s", "src_b")), "src_b")
+        .withColumnRenamed("n_vocab", "vb")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("va") + F.col("vb") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.col("n_common")
+                / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle=(
+        "WITH st AS (SELECT DISTINCT source AS s, "
+        "unnest(list_distinct(string_split_regex(lower(trim(text)), "
+        "'\\s+'))) AS tok FROM documents), "
+        "i AS (SELECT x.s AS src_a, y.s AS src_b, count(*) AS n_common "
+        "FROM st x JOIN st y ON x.tok = y.tok AND x.s < y.s "
+        "GROUP BY 1, 2), "
+        "z AS (SELECT s, count(*) AS n_vocab FROM st GROUP BY s) "
+        "SELECT src_a, src_b, n_common, "
+        "CAST(za.n_vocab + zb.n_vocab - n_common AS BIGINT) AS n_union, "
+        "round(n_common / CAST(za.n_vocab + zb.n_vocab - n_common "
+        "AS DOUBLE), 6) AS jaccard "
+        "FROM i JOIN z za ON i.src_a = za.s JOIN z zb ON i.src_b = zb.s"
+    ),
+    doc=(
+        "Pairwise source-vocabulary Jaccard: corpus reduced to distinct "
+        "(source, token) pairs, token-keyed pair join bounded by "
+        "C(sources,2) per token (shuffle_hash-pinned), sizes derived "
+        "from the same distinct table — the register/domain similarity "
+        "diagnostic before sharing mixing weights."
+    ),
+    tags=("text", "pipeline", "dedup"),
+)
+def q_source_overlap(spark, sf_dir):
+    return source_vocab_overlap(T(spark, sf_dir, "documents"))

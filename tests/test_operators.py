@@ -1975,3 +1975,103 @@ class TestCalibrationBins:
         df = spark.createDataFrame([(0.5, 1), (0.5, 0)], ["score", "label"])
         out = calibration_bins(df, "score", "label").collect()
         assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
+
+
+class TestKsTest:
+    def test_identical_distributions_d_zero(self, spark):
+        from libcolumnfile_spark.operators.aggregates import ks_test
+
+        rows = [(g, v) for g in ("a", "b") for v in (1.0, 2.0, 3.0)]
+        r = ks_test(spark.createDataFrame(rows, ["g", "x"]), "g", "x", "a", "b").collect()[0]
+        assert r["ks_d"] == 0.0
+
+    def test_disjoint_supports_d_one(self, spark):
+        from libcolumnfile_spark.operators.aggregates import ks_test
+
+        rows = [("a", v) for v in (1.0, 2.0)] + [("b", v) for v in (5.0, 6.0, 7.0)]
+        r = ks_test(spark.createDataFrame(rows, ["g", "x"]), "g", "x", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["ks_d"]) == (2, 3, 1.0)
+
+    def test_known_partial_overlap(self, spark):
+        from libcolumnfile_spark.operators.aggregates import ks_test
+
+        # a = {1,2}, b = {2,3}: ECDFs at v=1: 0.5 vs 0; v=2: 1 vs 0.5; v=3: 1 vs 1
+        rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+        r = ks_test(spark.createDataFrame(rows, ["g", "x"]), "g", "x", "a", "b").collect()[0]
+        assert r["ks_d"] == 0.5
+
+
+class TestEquidepthHistogram:
+    def test_uniform_values_equal_buckets(self, spark):
+        from libcolumnfile_spark.operators.aggregates import equidepth_histogram
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+        out = {r["bucket"]: r for r in equidepth_histogram(df, "x").collect()}
+        assert set(out) == set(range(10))
+        assert all(r["n"] == 10 for r in out.values())
+        # buckets tile the range in order
+        assert out[0]["lo"] == 0.0 and out[9]["hi"] == 99.0
+        for i in range(9):
+            assert out[i]["hi"] < out[i + 1]["lo"]
+
+    def test_skew_still_balanced(self, spark):
+        from libcolumnfile_spark.operators.aggregates import equidepth_histogram
+
+        # heavy right skew: equi-depth keeps counts near-equal where
+        # equi-width would collapse into one hot bucket
+        df = spark.createDataFrame([(float(i) ** 3,) for i in range(100)], ["x"])
+        counts = [r["n"] for r in equidepth_histogram(df, "x").collect()]
+        assert max(counts) - min(counts) <= 2
+
+
+class TestDailyAutocorr:
+    def test_alternating_series_negative(self, spark):
+        from libcolumnfile_spark.operators.relational import daily_autocorr
+
+        rows = []
+        eid = 0
+        for day in range(1, 11):
+            n = 10 if day % 2 == 0 else 2
+            for _ in range(n):
+                rows.append((eid, f"2024-01-{day:02d} 12:00:00"))
+                eid += 1
+        df = spark.createDataFrame(rows, ["event_id", "ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        r = daily_autocorr(df).collect()[0]
+        assert r["n_days"] == 10
+        assert r["autocorr_1"] < -0.9  # perfectly alternating volume
+
+
+class TestReciprocity:
+    def test_counts_mutual_pairs_only(self, spark):
+        from libcolumnfile_spark.operators.graph import reciprocity
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+            ["src", "dst"],
+        )
+        r = reciprocity(edges).collect()[0]
+        # distinct self-loop-free edges: ab, ba, ac -> reciprocal: ab, ba
+        assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+        assert abs(r["reciprocity"] - round(2 / 3, 6)) < 1e-9
+
+
+class TestSourceOverlap:
+    def test_jaccard_hand_checked(self, spark):
+        from libcolumnfile_spark.operators.text import source_vocab_overlap
+
+        df = spark.createDataFrame(
+            [
+                ("s1", "alpha beta gamma"),
+                ("s2", "beta gamma delta"),
+                ("s3", "zeta"),
+            ],
+            ["source", "text"],
+        )
+        out = {(r["src_a"], r["src_b"]): r for r in source_vocab_overlap(df).collect()}
+        r12 = out[("s1", "s2")]
+        assert (r12["n_common"], r12["n_union"]) == (2, 4)
+        assert r12["jaccard"] == 0.5
+        # disjoint vocabularies never pair (inner join on shared tokens)
+        assert ("s1", "s3") not in out and ("s2", "s3") not in out

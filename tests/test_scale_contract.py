@@ -201,6 +201,13 @@ CONTRACTS = {
     "q_chi2_indep": (1.6, 3.5),     # contingency-keyed count + bounded grid
     "q_calibration_bins": (1.6, 3.5),  # map scorer + 1-row min/max +
                                     # n_bins-bounded agg
+    "q_ks_test": (1.5, 3.0),        # same value-table shape as mannwhitney
+    "q_equidepth_hist": (1.6, 3.5),  # exact-percentile cuts broadcast +
+                                    # n_buckets-bounded agg
+    "q_autocorr": (1.2, 3.0),       # day-keyed count + day-bounded window
+    "q_reciprocity": (2.2, 4.0),    # |E|-vs-|E| semi-join, shuffle_hash-pinned
+    "q_source_overlap": (1.4, 3.0),  # (source,token)-distinct + token-keyed
+                                    # pair join bounded by C(S,2) per token
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
