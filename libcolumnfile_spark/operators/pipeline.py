@@ -2167,3 +2167,64 @@ def q_cdc_apply(spark, sf_dir):
         F.col("price").alias("o_totalprice"),
         F.col("status").alias("o_orderstatus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration: how unequally the corpus is distributed across a
+# grouping (sources, languages, domains) — the one-number "is this
+# corpus dominated by a few feeds?" alarm that decides whether
+# q_domain_cap / q_distribution_match need to run at all.
+# ---------------------------------------------------------------------------
+
+
+def gini_concentration(df: DataFrame, group_col: str) -> DataFrame:
+    """One row: (n_groups, n_rows, gini) — Gini coefficient of the
+    per-group row counts (0 = perfectly even, ->1 = one group holds
+    everything), via the sorted-rank identity
+    G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n over ascending x.
+
+    Scale design: one group-keyed count aggregate (map-side partials,
+    group-cardinality-bounded output); the rank window runs over the
+    GROUP table, not the corpus. The (count, group) order is total, so
+    the rank — and G — is deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("cnt", "g")
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.col("i") * F.col("cnt")).alias("iw"),
+    )
+    n, tot = F.col("n_groups"), F.col("n_rows")
+    gini = (F.lit(2.0) * F.col("iw")) / (n * tot) - (n + F.lit(1.0)) / n
+    return s.select("n_groups", "n_rows", F.round(gini, 6).alias("gini"))
+
+
+@query(
+    "q_gini",
+    oracle=(
+        "WITH c AS (SELECT source AS g, count(*) AS cnt FROM documents "
+        "GROUP BY 1), "
+        "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, g) AS i FROM c), "
+        "s AS (SELECT count(*) AS n_groups, CAST(sum(cnt) AS BIGINT) "
+        "AS n_rows, CAST(sum(i * cnt) AS BIGINT) AS iw FROM r) "
+        "SELECT n_groups, n_rows, "
+        "round(2.0 * iw / (n_groups * CAST(n_rows AS DOUBLE)) "
+        "- (n_groups + 1.0) / n_groups, 6) AS gini FROM s"
+    ),
+    doc=(
+        "Gini coefficient of per-source document counts — corpus-"
+        "concentration alarm; rank window over the group-cardinality-"
+        "bounded count table only."
+    ),
+    tags=("pipeline", "stats", "sampling"),
+)
+def q_gini(spark, sf_dir):
+    return gini_concentration(T(spark, sf_dir, "documents"), "source")

@@ -2798,3 +2798,80 @@ def source_vocab_overlap(
 )
 def q_source_overlap(spark, sf_dir):
     return source_vocab_overlap(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: cumulative share of all token occurrences
+# covered by the top-k most frequent tokens — the "how big must the
+# vocabulary be?" planning table a tokenizer build reads first (the
+# inverse view of q_vocab_coverage's fixed-vocab OOV rate).
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage_curve(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """(rank, tok, freq, cum_coverage) for the ``top_k`` most frequent
+    tokens, with cum_coverage = cumulative occurrence share under the
+    (freq DESC, tok ASC) total order.
+
+    Scale design: one token-keyed count aggregate is the only corpus-
+    sized exchange; the rank/cumsum window runs over the VOCABULARY
+    table (the q_zipf_fit head precedent), and the 1-row total rides
+    the same window spec. Output bounded at top_k.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    cum = Window.orderBy(F.desc("freq"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    return (
+        tf.select(
+            F.row_number().over(w).alias("rank"),
+            "tok",
+            "freq",
+            F.round(
+                F.sum("freq").over(cum) / F.sum("freq").over(tot).cast("double"),
+                6,
+            ).alias("cum_coverage"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+@query(
+    "q_coverage_curve",
+    oracle=(
+        "WITH tf AS (SELECT unnest(string_split_regex(lower(trim(text)), "
+        "'\\s+')) AS tok FROM documents), "
+        "c AS (SELECT tok, count(*) AS freq FROM tf GROUP BY tok), "
+        "r AS (SELECT row_number() OVER (ORDER BY freq DESC, tok) AS rank, "
+        "tok, freq, "
+        "sum(freq) OVER (ORDER BY freq DESC, tok "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "sum(freq) OVER () AS tot FROM c) "
+        "SELECT CAST(rank AS INT) AS rank, tok, freq, "
+        "round(cum / CAST(tot AS DOUBLE), 6) AS cum_coverage "
+        "FROM r WHERE rank <= 100"
+    ),
+    doc=(
+        "Vocabulary coverage curve: cumulative occurrence share of the "
+        "top-100 tokens (one token-keyed aggregate; rank/cumsum windows "
+        "over the vocabulary table only) — the vocab-size planning "
+        "table, inverse of q_vocab_coverage's fixed-vocab OOV rate."
+    ),
+    tags=("text", "pipeline"),
+)
+def q_coverage_curve(spark, sf_dir):
+    return vocab_coverage_curve(T(spark, sf_dir, "documents"))

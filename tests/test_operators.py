@@ -2075,3 +2075,41 @@ class TestSourceOverlap:
         assert r12["jaccard"] == 0.5
         # disjoint vocabularies never pair (inner join on shared tokens)
         assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+class TestGini:
+    def test_even_and_concentrated(self, spark):
+        from libcolumnfile_spark.operators.pipeline import gini_concentration
+
+        even = spark.createDataFrame(
+            [(g, i) for g in ("a", "b", "c", "d") for i in range(5)], ["g", "x"]
+        )
+        r = gini_concentration(even, "g").collect()[0]
+        assert (r["n_groups"], r["n_rows"], r["gini"]) == (4, 20, 0.0)
+
+        skew = spark.createDataFrame(
+            [("a", i) for i in range(97)] + [("b", 0), ("c", 0), ("d", 0)],
+            ["g", "x"],
+        )
+        r2 = gini_concentration(skew, "g").collect()[0]
+        assert r2["gini"] > 0.7
+
+
+class TestCoverageCurve:
+    def test_monotone_and_exact_shares(self, spark):
+        from libcolumnfile_spark.operators.text import vocab_coverage_curve
+
+        df = spark.createDataFrame(
+            [(1, "x x x x y y z"), (2, "x y z w")], ["doc_id", "text"]
+        )
+        rows = sorted(
+            vocab_coverage_curve(df).collect(), key=lambda r: r["rank"]
+        )
+        # freq: x=5, y=3, z=2, w=1 (total 11)
+        assert [r["tok"] for r in rows] == ["x", "y", "z", "w"]
+        assert rows[0]["cum_coverage"] == round(5 / 11, 6)
+        assert rows[-1]["cum_coverage"] == 1.0
+        assert all(
+            rows[i]["cum_coverage"] <= rows[i + 1]["cum_coverage"]
+            for i in range(len(rows) - 1)
+        )

@@ -208,6 +208,8 @@ CONTRACTS = {
     "q_reciprocity": (2.2, 4.0),    # |E|-vs-|E| semi-join, shuffle_hash-pinned
     "q_source_overlap": (1.4, 3.0),  # (source,token)-distinct + token-keyed
                                     # pair join bounded by C(S,2) per token
+    "q_gini": (1.3, 3.0),           # group-keyed count + bounded rank window
+    "q_coverage_curve": (1.3, 3.0),  # token-keyed count + vocab-bounded window
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
