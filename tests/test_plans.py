@@ -460,3 +460,63 @@ def test_kcore_round_semi_joins_shuffle(spark):
     plan = plans.formatted_plan(kcore_round(cur, 4))
     assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
     assert "BroadcastHashJoin" not in plan
+
+
+def test_cdc_apply_single_aggregate_no_join(spark):
+    """CDC apply must be ONE struct-max aggregate: no join operator
+    anywhere (the max(seq)+join-back form re-shuffles the full log
+    twice — measured x10 ratio 7.3 vs 2.4), and exactly one exchange
+    pair (partial agg -> shuffle -> final agg) over the unioned log."""
+    plan = plan_of(spark, "q_cdc_apply")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_label_prop_round_joins_shuffle(spark):
+    """One label-propagation round (lazy form): the |V|-sized label
+    vector joins edges and itself via SHUFFLED joins only — a
+    stats-estimated broadcast of the label vector dies at scale."""
+    from pyspark.sql import functions as F
+
+    from libcolumnfile_spark.operators.graph import _doc_id_edges
+
+    edges = _doc_id_edges(spark, SF)
+    raw = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e = (
+        raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    nb = e.join(
+        labels.select(F.col("node").alias("b"), F.col("lbl").alias("nbl")).hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
+    new = (
+        nb.select(F.col("a").alias("node"), "nbl")
+        .join(labels.hint("shuffle_hash"), "node")
+        .groupBy("node")
+        .agg(F.min(F.least(F.col("lbl"), F.col("nbl"))).alias("lbl"))
+    )
+    plan = plans.formatted_plan(new)
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 2
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_reciprocity_semi_join_never_broadcast(spark):
+    """The |E|-vs-|E| reversed-edge semi-join must shuffle."""
+    plan = plan_of(spark, "q_reciprocity")
+    assert re.search(r"ShuffledHashJoin .*LeftSemi", plan)
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_source_overlap_token_join_shuffles(spark):
+    """The vocab-sized (source, token) self-join must shuffle; only the
+    bounded size tables may broadcast."""
+    plan = plan_of(spark, "q_source_overlap")
+    assert re.search(r"ShuffledHashJoin", plan)
