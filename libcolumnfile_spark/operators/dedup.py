@@ -2034,3 +2034,61 @@ def soft_dedup_weights(
 def q_dedup_soft(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return soft_dedup_weights(d, ["text"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-boilerplate dedup: documents sharing an identical opening
+# k-token prefix — the scraped-header/template signal (same banner, same
+# license block) that exact dedup misses because the bodies differ and
+# passage dedup dilutes because the match is positional. The group
+# report drives a strip-the-prefix cleanup rather than a drop.
+# ---------------------------------------------------------------------------
+
+
+def prefix_dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(prefix_hash, n_docs, rep_id): groups of >= 2 documents whose
+    first ``k`` whitespace tokens are identical, with the min-id
+    representative (the exact_dedup survivor rule).
+
+    Scale design: the prefix reduces to a 16-byte md5 BEFORE the
+    exchange (document bodies never shuffle); one hash-keyed count
+    aggregate with map-side partials is the whole operator."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pref = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col), pref.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("rep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q_dedup_prefix",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "FROM documents), "
+        "p AS (SELECT doc_id, md5(array_to_string(toks[1:8], ' ')) AS h "
+        "FROM t WHERE len(toks) >= 8) "
+        "SELECT h AS prefix_hash, count(*) AS n_docs, "
+        "min(doc_id) AS rep_id FROM p GROUP BY h HAVING count(*) >= 2"
+    ),
+    doc=(
+        "Prefix-boilerplate groups: documents sharing an identical "
+        "8-token opening (template headers/banners); prefixes reduce to "
+        "16-byte md5 keys before the single count exchange."
+    ),
+    tags=("dedup", "text", "pipeline"),
+)
+def q_dedup_prefix(spark, sf_dir):
+    return prefix_dedup_groups(T(spark, sf_dir, "documents"))

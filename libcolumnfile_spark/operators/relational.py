@@ -1438,3 +1438,63 @@ def daily_autocorr(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 )
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_autocorr(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Deseasonalized volume anomaly: daily event counts z-scored against
+# their own WEEKDAY's mean/stddev — the monitoring alarm that doesn't
+# page every Saturday because weekends are quiet. Pairs with q_autocorr
+# (trend) as the time-series health duo; everything past the first
+# aggregate is day-cardinality-bounded.
+# ---------------------------------------------------------------------------
+
+
+def seasonal_anomaly(
+    df: DataFrame, ts_col: str = "ts", z_thresh: float = 1.5
+) -> DataFrame:
+    """(d, dow, cnt, z): days whose event count deviates more than
+    ``z_thresh`` sample standard deviations from their weekday's mean.
+
+    Scale design: one day-keyed count aggregate (the only corpus-sized
+    exchange, map-side partials), then mean/stddev per weekday over the
+    DAY table (7 groups) broadcast back — all post-aggregate work is
+    bounded by the number of days. Weekday extraction uses ISO dayofweek
+    (identical in Spark and DuckDB via isodow)."""
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = daily.withColumn("dow", F.dayofweek("d").cast("int"))
+    stats = daily.groupBy("dow").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), "dow")
+        .filter(F.col("sd") > 0)
+        .select("d", "dow", "cnt", F.round(z, 4).alias("z"))
+        .filter(F.abs(F.col("z")) > z_thresh)
+    )
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT d, CAST(dayofweek(d) + 1 AS INT) AS dow, cnt "
+        "FROM daily), "
+        "st AS (SELECT dow, avg(cnt) AS mu, stddev_samp(cnt) AS sd "
+        "FROM dd GROUP BY dow) "
+        "SELECT d, dow, cnt, round((cnt - mu) / sd, 4) AS z "
+        "FROM dd JOIN st USING (dow) WHERE sd > 0 "
+        "AND abs((cnt - mu) / sd) > 1.5"
+    ),
+    doc=(
+        "Weekday-deseasonalized daily-volume anomalies: day-keyed count "
+        "+ 7-group weekday stats broadcast back, |z| > 1.5 flagged — "
+        "the alarm that doesn't page every Saturday."
+    ),
+    tags=("events", "stats", "pipeline"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_anomaly(T(spark, sf_dir, "events"))

@@ -176,6 +176,7 @@ _PRIORITY = [
     "q_mannwhitney", "q_chi2_indep", "q_calibration_bins",
     "q_ks_test", "q_equidepth_hist", "q_autocorr", "q_reciprocity",
     "q_source_overlap", "q_gini", "q_coverage_curve",
+    "q_seasonal_anomaly", "q_dedup_prefix",
     "q_temporal_split", "q_text_stats", "q_dup_cluster_stats",
     # round-9 session additions placed just past the window (their
     # families hold in-window reps: graph = pagerank_docs/triangle,

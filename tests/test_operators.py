@@ -2113,3 +2113,45 @@ class TestCoverageCurve:
             rows[i]["cum_coverage"] <= rows[i + 1]["cum_coverage"]
             for i in range(len(rows) - 1)
         )
+
+
+class TestSeasonalAnomaly:
+    def test_flags_only_the_broken_weekday(self, spark):
+        from libcolumnfile_spark.operators.relational import seasonal_anomaly
+
+        from datetime import date, timedelta
+
+        rows, eid = [], 0
+        # 6 weeks of Mondays at 10/day (one at 100) + flat Tuesdays
+        for wk in range(6):
+            mon = date(2024, 1, 1) + timedelta(weeks=wk)  # 2024-01-01 is a Monday
+            n = 100 if wk == 3 else 10
+            for _ in range(n):
+                rows.append((eid, f"{mon} 09:00:00")); eid += 1
+            for _ in range(5):
+                rows.append((eid, f"{mon + timedelta(days=1)} 09:00:00")); eid += 1
+        df = spark.createDataFrame(rows, ["event_id", "ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = seasonal_anomaly(df).collect()
+        assert len(out) == 1
+        assert out[0]["cnt"] == 100 and out[0]["z"] > 1.5
+
+
+class TestPrefixDedup:
+    def test_groups_by_opening_tokens_only(self, spark):
+        from libcolumnfile_spark.operators.dedup import prefix_dedup_groups
+
+        head = "terms of service apply to this mirrored page"
+        df = spark.createDataFrame(
+            [
+                (1, head + " unique body one"),
+                (5, head + " totally different body"),
+                (9, "an original opening longer than eight tokens here"),
+                (3, "short text"),  # < 8 tokens: excluded
+            ],
+            ["doc_id", "text"],
+        )
+        out = prefix_dedup_groups(df).collect()
+        assert len(out) == 1
+        assert (out[0]["n_docs"], out[0]["rep_id"]) == (2, 1)

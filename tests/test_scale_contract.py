@@ -210,6 +210,8 @@ CONTRACTS = {
                                     # pair join bounded by C(S,2) per token
     "q_gini": (1.3, 3.0),           # group-keyed count + bounded rank window
     "q_coverage_curve": (1.3, 3.0),  # token-keyed count + vocab-bounded window
+    "q_seasonal_anomaly": (1.4, 3.0),  # day-keyed count + 7-group broadcast
+    "q_dedup_prefix": (1.4, 3.0),   # md5-prefix keys, one count exchange
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
