@@ -1458,12 +1458,14 @@ def seasonal_anomaly(
     Scale design: one day-keyed count aggregate (the only corpus-sized
     exchange, map-side partials), then mean/stddev per weekday over the
     DAY table (7 groups) broadcast back — all post-aggregate work is
-    bounded by the number of days. Weekday extraction uses ISO dayofweek
-    (identical in Spark and DuckDB via isodow)."""
+    bounded by the number of days. Weekday is ISO (1=Mon..7=Sun):
+    Spark weekday()+1 == DuckDB isodow() — NOT dayofweek, whose origin
+    differs between the two dialects (caught by the SQL-surface parity
+    test when the oracle also parsed on Spark SQL)."""
     daily = df.groupBy(
         F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    daily = daily.withColumn("dow", F.dayofweek("d").cast("int"))
+    daily = daily.withColumn("dow", (F.weekday("d") + 1).cast("int"))
     stats = daily.groupBy("dow").agg(
         F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd")
     )
@@ -1481,7 +1483,7 @@ def seasonal_anomaly(
     oracle=(
         "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
         "count(*) AS cnt FROM events GROUP BY 1), "
-        "dd AS (SELECT d, CAST(dayofweek(d) + 1 AS INT) AS dow, cnt "
+        "dd AS (SELECT d, CAST(isodow(d) AS INT) AS dow, cnt "
         "FROM daily), "
         "st AS (SELECT dow, avg(cnt) AS mu, stddev_samp(cnt) AS sd "
         "FROM dd GROUP BY dow) "
