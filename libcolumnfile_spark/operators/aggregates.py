@@ -1082,3 +1082,274 @@ def equidepth_histogram(
 )
 def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(T(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over a set of numeric columns — the feature-
+# redundancy profile a dataset card publishes and a feature-selection
+# pass reads first ("extendedprice is 99% quantity x part price; drop
+# one"). One algebraic aggregate carries every sum the whole matrix
+# needs; the pair explosion happens on the single result row.
+# ---------------------------------------------------------------------------
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_a, col_b, r) for every unordered column pair, Pearson r
+    rounded to 4.
+
+    Scale design: ONE algebraic aggregate computes n, per-column sums /
+    sums-of-squares, and per-pair cross sums with map-side combine — the
+    exchange is a single row of k + k + C(k,2) doubles regardless of
+    corpus size. Correlations are derived arithmetic on that row, and
+    the (col_a, col_b) unpivot explodes C(k,2) structs AFTER
+    aggregation. The naive k^2 passes (one df.stat.corr per pair) scan
+    the corpus C(k,2) times for the same answer.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    s = df.agg(*aggs)
+    n = F.col("n")
+    structs = []
+    for a, b in pairs:
+        num = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / den, 4).alias("r"),
+            )
+        )
+    return s.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["count(*)::DOUBLE AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum({c}) AS s_{c}")
+        sums.append(f"sum({c} * {c}) AS q_{c}")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"sum({a} * {b}) AS p_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round((n * p_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b})), 4) "
+            "AS r FROM s"
+        )
+    return f"WITH s AS (SELECT {', '.join(sums)} FROM lineitem) " + " UNION ALL ".join(rows)
+
+
+@query(
+    "q_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    doc=(
+        "Pearson correlation matrix of the four lineitem numeric "
+        "columns from ONE algebraic aggregate (n + k sums + k sums-of-"
+        "squares + C(k,2) cross sums in a single 1-row exchange); the "
+        "pair unpivot explodes after aggregation. Both engines derive r "
+        "from the identical sum arithmetic; round(4) absorbs partial-"
+        "aggregation order (the q_decay_score tolerance argument)."
+    ),
+    tags=("agg", "stats"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corr_matrix(T(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — the monotone-association measure that
+# survives outliers and nonlinearity (quality scores vs doc length is
+# monotone but nothing like linear). Built pair-free on the two
+# distinct-value count tables: average ranks are derived from counts,
+# never from a row-level global sort.
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(df: DataFrame, col: str) -> DataFrame:
+    """(v, r) average-rank table for one column: tie-averaged rank =
+    (#values below) + (count + 1) / 2, computed from the distinct-value
+    count table with one cardinality-bounded running-sum window."""
+    vt = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return vt.select(
+        "v",
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0))
+            + (F.col("c") + 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+
+
+def spearman_rho(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """One row (n, rho): Spearman rank correlation of two numeric
+    columns with tie-averaged ranks (= Pearson r over the rank pairs).
+
+    Scale design: per-column distinct-value count aggregates (map-side
+    partials), ONE cardinality-bounded window each for the average
+    ranks (the q_mannwhitney shape), two value-keyed joins to carry the
+    ranks back onto rows (shuffle_hash-pinned: a rank table is
+    vocabulary-sized, not construction-bounded), then one algebraic
+    1-row aggregate. No row-level global sort anywhere — the naive
+    rank() over the full corpus is a single-reducer total order.
+    Average ranks are exact multiples of 0.5, so the rank sums are
+    order-independent until far past this fixture scale.
+    """
+    rx = _avg_ranks(df, col_x)
+    ry = _avg_ranks(df, col_y)
+    ranked = (
+        df.select(F.col(col_x).alias("vx"), F.col(col_y).alias("vy"))
+        .join(rx.withColumnRenamed("v", "vx").withColumnRenamed("r", "rx").hint("shuffle_hash"), "vx")
+        .join(ry.withColumnRenamed("v", "vy").withColumnRenamed("r", "ry").hint("shuffle_hash"), "vy")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("qx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("qy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("p"),
+    )
+    n = F.col("n")
+    num = n * F.col("p") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("qx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("qy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        n.cast("bigint").alias("n"), F.round(num / den, 4).alias("rho")
+    )
+
+
+@query(
+    "q_spearman",
+    oracle=(
+        "WITH vx AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem "
+        "GROUP BY 1), "
+        "rx AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "+ (c + 1) / 2.0 AS r FROM vx), "
+        "vy AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem "
+        "GROUP BY 1), "
+        "ry AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "+ (c + 1) / 2.0 AS r FROM vy), "
+        "j AS (SELECT rx.r AS rxv, ry.r AS ryv FROM lineitem "
+        "JOIN rx ON lineitem.l_quantity = rx.v "
+        "JOIN ry ON lineitem.l_extendedprice = ry.v), "
+        "s AS (SELECT count(*)::DOUBLE AS n, sum(rxv) AS sx, sum(ryv) AS sy, "
+        "sum(rxv * rxv) AS qx, sum(ryv * ryv) AS qy, sum(rxv * ryv) AS p "
+        "FROM j) "
+        "SELECT CAST(n AS BIGINT) AS n, "
+        "round((n * p - sx * sy) / "
+        "sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 4) AS rho FROM s"
+    ),
+    doc=(
+        "Spearman rank correlation of l_quantity vs l_extendedprice: "
+        "tie-averaged ranks derived pair-free from the distinct-value "
+        "count tables (cardinality-bounded windows), joined back by "
+        "value (shuffle_hash), then one algebraic 1-row aggregate — no "
+        "row-level global sort."
+    ),
+    tags=("agg", "stats"),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spearman_rho(T(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance — the classic synthetic-data /
+# fabrication smell test: organically-grown monetary amounts follow
+# log10(1 + 1/d); generated or truncated data usually doesn't. Output
+# is the 9-row digit table with observed share, expected share, and the
+# per-digit chi-square contribution.
+# ---------------------------------------------------------------------------
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """(digit, n_obs, obs_pct, exp_pct, chi2_term) for digits 1-9 of
+    ``col`` (values >= 1; zero-count digits included).
+
+    Scale design: the first digit is extracted with exact integer/string
+    arithmetic — substring of the floor-cast bigint — never floor(log10)
+    float probing (DuckDB CAST rounds where Spark truncates, so the
+    floor() is load-bearing for parity). One 9-group count aggregate is
+    the only exchange; the all-digits frame and the total ride 1-row /
+    9-row broadcasts.
+    """
+    spark = df.sparkSession
+    obs = (
+        df.filter(F.col(col) >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    full = (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return full.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_pct"),
+        F.round(exp_p, 6).alias("exp_pct"),
+        F.round(
+            (F.col("n_obs") - F.col("n") * exp_p) ** 2 / (F.col("n") * exp_p),
+            4,
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+@query(
+    "q_benford",
+    oracle=(
+        "WITH o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) "
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n_obs "
+        "FROM orders WHERE o_totalprice >= 1 GROUP BY 1), "
+        "t AS (SELECT sum(n_obs) AS n FROM o), "
+        "g AS (SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs "
+        "FROM (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit) d "
+        "LEFT JOIN o USING (digit)) "
+        "SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, "
+        "round(n_obs / CAST(n AS DOUBLE), 6) AS obs_pct, "
+        "round(log10(1.0 + 1.0 / digit), 6) AS exp_pct, "
+        "round(pow(n_obs - n * log10(1.0 + 1.0 / digit), 2) "
+        "/ (n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term "
+        "FROM g CROSS JOIN t ORDER BY digit"
+    ),
+    doc=(
+        "Benford first-digit conformance of o_totalprice: exact integer "
+        "first-digit extraction (floor-cast + substring — no float log "
+        "probing), one 9-group count exchange, expected shares and "
+        "chi-square contributions derived per digit including "
+        "zero-count digits."
+    ),
+    tags=("agg", "stats", "pipeline"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_digits(T(spark, sf_dir, "orders"), "o_totalprice")

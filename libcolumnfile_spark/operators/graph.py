@@ -984,3 +984,92 @@ def _reciprocity_oracle() -> str:
 )
 def q_reciprocity(spark, sf_dir):
     return reciprocity(_doc_id_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction — "which node pairs SHOULD be linked?":
+# score non-adjacent pairs by their common neighbors, each weighted
+# 1/ln(degree) so rare shared neighbors count more than hubs. The
+# classic similar-page / related-domain suggestion next to PageRank
+# (global rank) and triangles (local clustering) on the same graphs.
+# ---------------------------------------------------------------------------
+
+
+def adamic_adar_topk(
+    edges: DataFrame, deg_cap: int = 64, top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` predicted links: (a, b, n_common, score) over
+    non-adjacent pairs, score = sum over common neighbors w of
+    1 / ln(deg(w)).
+
+    Scale design: unlike triangle counting, Adamic-Adar NEEDS every
+    wedge through a center — degree orientation would drop common
+    neighbors — so the hub defense is an explicit, semantic center cap:
+    nodes with deg > ``deg_cap`` are excluded as CENTERS (their
+    1/ln(deg) weight is near-noise while their C(deg,2) wedge fan-out
+    is exactly the quadratic blowup), bounding the wedge join at
+    C(deg_cap, 2) rows per center. Deg-1 centers are skipped too (no
+    wedge). All node-keyed joins are shuffle_hash-pinned (adjacency and
+    degree tables are graph-sized, never broadcast-safe); the final cut
+    ranks on the ROUNDED score with an (a, b) tie-break so the top-k
+    boundary is engine-stable.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= deg_cap)
+    ).select("v", (1.0 / F.log(F.col("deg"))).alias("sc"))
+    adj = nbr.join(centers.hint("shuffle_hash"), "v")
+    x, y = adj.alias("x"), adj.alias("y").hint("shuffle_hash")
+    wedges = x.join(
+        y, (F.col("x.v") == F.col("y.v")) & (F.col("x.w") < F.col("y.w"))
+    ).select(F.col("x.w").alias("a"), F.col("y.w").alias("b"), F.col("x.sc"))
+    s = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.sum("sc"), 6).alias("score"),
+    )
+    pred = s.join(e.hint("shuffle_hash"), ["a", "b"], "left_anti")
+    return pred.orderBy(F.desc("score"), "a", "b").limit(top_k)
+
+
+@query(
+    "q_adamic_adar",
+    oracle=(
+        f"WITH {_succ_edge_cte()}, "
+        "nbr AS (SELECT a AS v, b AS w FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "d AS (SELECT v, count(*) AS deg FROM nbr GROUP BY v), "
+        "ctr AS (SELECT v, 1.0 / ln(deg) AS sc FROM d "
+        "WHERE deg BETWEEN 2 AND 64), "
+        "adj AS (SELECT nbr.v, nbr.w, ctr.sc FROM nbr "
+        "JOIN ctr ON nbr.v = ctr.v), "
+        "wed AS (SELECT x.w AS a, y.w AS b, x.sc FROM adj x "
+        "JOIN adj y ON x.v = y.v AND x.w < y.w), "
+        "s AS (SELECT a, b, count(*) AS n_common, "
+        "round(sum(sc), 6) AS score FROM wed GROUP BY a, b), "
+        "p AS (SELECT s.a, s.b, s.n_common, s.score FROM s "
+        "ANTI JOIN e ON s.a = e.a AND s.b = e.b) "
+        "SELECT a, b, n_common, score FROM p "
+        "ORDER BY score DESC, a, b LIMIT 20"
+    ),
+    doc=(
+        "Adamic-Adar link prediction over the derived doc graph: "
+        "wedge join through degree-capped centers (deg <= 64 — the "
+        "hub defense where orientation would change the answer), "
+        "1/ln(deg) common-neighbor weights, existing edges anti-joined "
+        "away, top-20 on the rounded score; every graph-sized join "
+        "side shuffle_hash-pinned."
+    ),
+    tags=("graph", "pipeline"),
+)
+def q_adamic_adar(spark, sf_dir):
+    return adamic_adar_topk(_doc_succ_edges(spark, sf_dir))

@@ -1500,3 +1500,70 @@ def seasonal_anomaly(
 )
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomaly(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan — the level-shift detector that complements
+# q_seasonal_anomaly (single-day spikes) and q_autocorr (trend): the
+# cumulative sum of deviations from the series mean peaks in magnitude
+# exactly at the day the level changed ("the crawler config changed on
+# the 14th"). Everything past the first aggregate is day-bounded.
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(
+    df: DataFrame, ts_col: str = "ts", top_k: int = 5
+) -> DataFrame:
+    """Top-``top_k`` candidate changepoint days by |CUSUM|: (day, cnt,
+    cusum) where cusum_d = sum_{e <= d} (cnt_e - mean).
+
+    Scale design: ONE day-keyed count aggregate is the only corpus-
+    sized exchange (map-side partials); the mean rides an empty-frame
+    window over the DAY table and the cumulative sum is one day-bounded
+    ordered window (thousands of rows per decade — the q_autocorr
+    shape). Top-k by |cusum| with a day tie-break keeps the output
+    deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scored = daily.select(
+        "day",
+        "cnt",
+        F.round(
+            F.sum("cnt").over(w_cum)
+            - F.row_number().over(Window.orderBy("day"))
+            * F.avg("cnt").over(w_all),
+            4,
+        ).alias("cusum"),
+    )
+    return scored.orderBy(F.abs(F.col("cusum")).desc(), "day").limit(top_k)
+
+
+@query(
+    "q_cusum",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(*) AS cnt FROM events GROUP BY 1), "
+        "c AS (SELECT day, cnt, "
+        "round(sum(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) "
+        "- row_number() OVER (ORDER BY day) * avg(cnt) OVER (), 4) "
+        "AS cusum FROM daily) "
+        "SELECT day, cnt, cusum FROM c "
+        "ORDER BY abs(cusum) DESC, day LIMIT 5"
+    ),
+    doc=(
+        "CUSUM changepoint scan over daily event volume: one day-keyed "
+        "count exchange, mean + cumulative-deviation windows over the "
+        "day-bounded series, top-5 |CUSUM| days with deterministic "
+        "tie-break — locates level shifts the per-day z-score misses."
+    ),
+    tags=("events", "stats", "window"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(T(spark, sf_dir, "events"))

@@ -1845,3 +1845,155 @@ def _kmeans_step_oracle() -> str:
 def q_kmeans_step(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     return kmeans_step(_spread(emb))
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette — the cluster-quality score for the seeded
+# coarse quantizer that q_kmeans_step updates and IVF/SemDeDup search
+# through: per vector, a = distance to its own centroid, b = distance
+# to the nearest OTHER centroid, s = (b - a) / max(a, b). The O(n*k)
+# "simplified" form (distances to centroids, not all pairs) is the one
+# that exists at corpus scale; full silhouette is O(n^2) by definition.
+# ---------------------------------------------------------------------------
+
+
+def _seeded_sq_dists_block(M, cents_arr, cc):
+    """Row-block squared Euclidean distances to every centroid via the
+    ip expansion d2 = <v,v> - 2<v,c> + <c,c>, every dot accumulated
+    dim-sequentially in float64 — the same fold order as DuckDB's
+    list_inner_product, so d2 (and therefore the argmin assignment and
+    the sorted a/b pair) is bit-identical to the SQL oracle."""
+    import numpy as np
+
+    n, dim = M.shape
+    vv = np.zeros(n)
+    for i in range(dim):
+        vv += M[:, i] * M[:, i]
+    out = np.empty((n, len(cents_arr)))
+    for c, cent in enumerate(cents_arr):
+        vc = np.zeros(n)
+        for i in range(dim):
+            vc += M[:, i] * cent[i]
+        out[:, c] = vv - 2.0 * vc + cc[c]
+    return out
+
+
+def silhouette_simplified(
+    df: DataFrame, n_lists: int = _IVF_V_LISTS, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster simplified silhouette vs the fixed seeded centroids:
+    (list_id, n, mean_a, mean_sil) — member count, mean own-centroid
+    distance, mean silhouette coefficient.
+
+    Scale design: ONE Arrow-batched map-only kernel emits
+    (list_id, a, b) per vector — centroids ride the closure, no
+    shuffle — and the only exchange is the k-row-bounded per-cluster
+    aggregate (map-side combine). Assignment is first-min-wins argmin
+    of squared distance; a/b are the two smallest, so b is "nearest
+    other centroid" even under exact ties. Distances use the same
+    sequential-fold dot arithmetic as the SQL oracle (see
+    _seeded_sq_dists_block), making every branch engine-identical;
+    only the final means carry the round(4) float-order tolerance.
+    """
+    import numpy as np
+
+    base = df.filter(F.col(vec_col).isNotNull())
+    from libcolumnfile_spark.tables import input_keyed_memo
+
+    dim_probe = input_keyed_memo(
+        base, "srp-dim", lambda: base.select(F.size(vec_col).alias("d")).first()
+    )
+    if dim_probe is None:
+        return base.select(
+            F.lit(0).alias("list_id"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("mean_a"),
+            F.lit(0.0).alias("mean_sil"),
+        ).limit(0)
+    dim = int(dim_probe["d"])
+    cents = _ivf_seeded_centroids(dim, n_lists)
+    cents_arr = [np.asarray(c, dtype=np.float64) for c in cents]
+    cc = []
+    for cent in cents:
+        acc = 0.0
+        for x in cent:
+            acc += x * x
+        cc.append(acc)
+
+    @F.pandas_udf("struct<list_id: int, a: double, b: double>")
+    def _sil(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"list_id": pd.Series([], dtype="int32"),
+                                 "a": pd.Series([], dtype="float64"),
+                                 "b": pd.Series([], dtype="float64")})
+        M = np.array(list(emb), dtype=np.float64)
+        d2 = _seeded_sq_dists_block(M, cents_arr, cc)
+        assign = np.argmin(d2, axis=1).astype(np.int32)  # first-min-wins
+        part = np.sort(d2, axis=1)[:, :2]
+        return pd.DataFrame(
+            {"list_id": assign, "a": np.sqrt(part[:, 0]), "b": np.sqrt(part[:, 1])}
+        )
+
+    per = base.select(_sil(F.col(vec_col)).alias("s")).select("s.*")
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    return per.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("a"), 4).alias("mean_a"),
+        F.round(F.avg(sil), 4).alias("mean_sil"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    cents = _ivf_seeded_centroids(_QUERY_DIM)
+    cc = []
+    for cent in cents:
+        acc = 0.0
+        for x in cent:
+            acc += x * x
+        cc.append(acc)
+    dists = ", ".join(
+        f"list_inner_product(v, v) - 2 * list_inner_product(v, {_duckdb_vec(c)})"
+        f" + {cc[i]!r} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    lst = "list_sort([" + ", ".join(f"d{i}" for i in range(_IVF_V_LISTS)) + "])"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(_IVF_V_LISTS - 1))
+        + f" ELSE {_IVF_V_LISTS - 1} END"
+    )
+    return (
+        "WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE embedding IS NOT NULL), "
+        f"dd AS (SELECT v, {dists} FROM d), "
+        f"srt AS (SELECT *, {lst} AS ds FROM dd), "
+        "ab AS (SELECT ds[1] AS m, sqrt(ds[1]) AS a, sqrt(ds[2]) AS b, * "
+        "FROM srt), "
+        f"asn AS (SELECT CAST({case} AS INT) AS list_id, a, b, "
+        "CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) "
+        "ELSE 0.0 END AS sil FROM ab) "
+        "SELECT list_id, count(*) AS n, round(avg(a), 4) AS mean_a, "
+        "round(avg(sil), 4) AS mean_sil FROM asn GROUP BY list_id"
+    )
+
+
+@query(
+    "q_silhouette",
+    oracle=_silhouette_oracle(),
+    doc=(
+        "Per-cluster simplified silhouette of the seeded coarse "
+        "quantizer: one map-only Arrow kernel emits (assigned list, "
+        "own-centroid distance, nearest-other distance) per vector via "
+        "sequential-fold ip-expansion distances (bit-identical to the "
+        "SQL oracle's list_inner_product), then a k-row-bounded "
+        "per-cluster aggregate — the O(n*k) cluster-quality eval that "
+        "pairs with q_kmeans_step."
+    ),
+    tags=("similarity", "ivf", "stats"),
+)
+def q_silhouette(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return silhouette_simplified(_spread(emb))

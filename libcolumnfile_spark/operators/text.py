@@ -2875,3 +2875,201 @@ def vocab_coverage_curve(
 )
 def q_coverage_curve(spark, sf_dir):
     return vocab_coverage_curve(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source unigram
+# distributions — the DISTRIBUTIONAL companion to q_source_overlap's
+# set-Jaccard: two sources can share 90% of their vocabulary and still
+# use it with completely different frequencies. JS (symmetric, bounded
+# [0,1] in log2) is the standard corpus-similarity cell in a mixing
+# study's source-by-source heatmap.
+# ---------------------------------------------------------------------------
+
+
+def source_js_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(src_a, src_b, n_common, js) for every unordered source pair.
+
+    Scale design: the corpus collapses to ONE (source, token)-keyed
+    count aggregate; per-source totals are a source-cardinality-bounded
+    broadcast. The pair join runs token-keyed (shuffle_hash both sides —
+    a probability table is vocabulary-sized, never broadcast-safe) and
+    emits at most C(sources, 2) rows per token. Tokens private to one
+    side never enter the join: their JS mass is exactly
+    0.5 * (1 - common_probability_mass) per side, recovered
+    arithmetically from the common-token sums — no full-outer support
+    union anywhere.
+    """
+    tf = (
+        df.select(
+            F.col("source").alias("s"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("s", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.groupBy("s").agg(F.sum("c").alias("t"))
+    p = tf.join(F.broadcast(tot), "s").select(
+        "s", "tok", (F.col("c") / F.col("t")).alias("p")
+    )
+    x, y = p.alias("x"), p.alias("y").hint("shuffle_hash")
+    px, py = F.col("x.p"), F.col("y.p")
+    log2 = lambda c: F.log(2.0, c)  # noqa: E731
+    common_term = 0.5 * px * log2(2 * px / (px + py)) + 0.5 * py * log2(
+        2 * py / (px + py)
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.tok") == F.col("y.tok")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .groupBy(
+            F.col("x.s").alias("src_a"), F.col("y.s").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(common_term).alias("common"),
+            F.sum(px).alias("pc"),
+            F.sum(py).alias("qc"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        F.round(
+            F.col("common")
+            + 0.5 * (1 - F.col("pc"))
+            + 0.5 * (1 - F.col("qc")),
+            6,
+        ).alias("js"),
+    )
+
+
+@query(
+    "q_js_divergence",
+    oracle=(
+        "WITH tf AS (SELECT source AS s, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT s, tok, count(*) AS c FROM tf GROUP BY 1, 2), "
+        "t AS (SELECT s, sum(c) AS t FROM c GROUP BY s), "
+        "p AS (SELECT c.s, tok, c / CAST(t AS DOUBLE) AS p "
+        "FROM c JOIN t ON c.s = t.s), "
+        "j AS (SELECT x.s AS src_a, y.s AS src_b, count(*) AS n_common, "
+        "sum(0.5 * x.p * log2(2 * x.p / (x.p + y.p)) "
+        "+ 0.5 * y.p * log2(2 * y.p / (x.p + y.p))) AS common, "
+        "sum(x.p) AS pc, sum(y.p) AS qc "
+        "FROM p x JOIN p y ON x.tok = y.tok AND x.s < y.s GROUP BY 1, 2) "
+        "SELECT src_a, src_b, n_common, "
+        "round(common + 0.5 * (1 - pc) + 0.5 * (1 - qc), 6) AS js FROM j"
+    ),
+    doc=(
+        "Pairwise Jensen-Shannon divergence between source unigram "
+        "distributions: one (source, token) count aggregate, token-"
+        "keyed pair join bounded by C(sources,2) per token "
+        "(shuffle_hash), single-side token mass recovered from the "
+        "common-token probability sums — no full-outer support union."
+    ),
+    tags=("text", "stats", "pipeline"),
+)
+def q_js_divergence(spark, sf_dir):
+    return source_js_divergence(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# the log-likelihood ratio of its unigrams under a TARGET distribution
+# (one in-domain source) vs the RAW corpus distribution, add-1
+# smoothed. The standard "find more data that looks like my target
+# domain" selector a pretraining pipeline runs over a raw crawl.
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` docs by DSIR importance weight: (doc_id, n_tok,
+    weight) with weight = sum over doc tokens of
+    log P_target(tok) - log P_raw(tok), add-1 smoothed over the shared
+    vocabulary.
+
+    Scale design: one token-keyed count aggregate carries BOTH
+    distributions (count_if on the target source alongside the raw
+    count — a second corpus pass would double the dominant cost);
+    smoothing totals are a 1-row broadcast; the per-token log-ratio
+    joins back to the exploded token stream token-keyed
+    (shuffle_hash — a vocabulary table is unbounded); one doc-keyed sum
+    and a TakeOrdered(top_k) finish. Rank on the ROUNDED weight with a
+    doc_id tie-break so the cut is engine-stable.
+    """
+    toks = df.select(
+        "doc_id",
+        F.col("source").alias("s"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count_if(F.col("s") == target_source).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = vocab.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+        ).alias("lr"),
+    )
+    w = (
+        toks.join(lr.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum("lr"), 4).alias("weight"),
+        )
+    )
+    return w.orderBy(F.desc("weight"), "doc_id").limit(top_k)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, source AS s, "
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "v AS (SELECT tok, count(*) FILTER (s = 'src0') AS ct, "
+        "count(*) AS cr FROM toks GROUP BY tok), "
+        "t AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS vv FROM v), "
+        "lr AS (SELECT tok, ln((ct + 1) / CAST(tt + vv AS DOUBLE)) "
+        "- ln((cr + 1) / CAST(tr + vv AS DOUBLE)) AS lr "
+        "FROM v CROSS JOIN t), "
+        "w AS (SELECT doc_id, count(*) AS n_tok, "
+        "round(sum(lr), 4) AS weight "
+        "FROM toks JOIN lr USING (tok) GROUP BY doc_id) "
+        "SELECT doc_id, n_tok, weight FROM w "
+        "ORDER BY weight DESC, doc_id LIMIT 50"
+    ),
+    doc=(
+        "DSIR importance weights (Xie et al. 2023): per-doc unigram "
+        "log-likelihood ratio of one target source vs the raw corpus, "
+        "add-1 smoothed — both distributions from ONE token-keyed "
+        "aggregate, 1-row smoothing broadcast, token-keyed log-ratio "
+        "join back (shuffle_hash), doc-keyed sum + TakeOrdered(50) on "
+        "the rounded weight."
+    ),
+    tags=("text", "pipeline"),
+)
+def q_dsir_weights(spark, sf_dir):
+    return dsir_weights(T(spark, sf_dir, "documents"))

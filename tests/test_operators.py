@@ -2155,3 +2155,214 @@ class TestPrefixDedup:
         out = prefix_dedup_groups(df).collect()
         assert len(out) == 1
         assert (out[0]["n_docs"], out[0]["rep_id"]) == (2, 1)
+
+
+class TestCorrMatrix:
+    def test_perfect_positive_and_negative(self, spark):
+        from libcolumnfile_spark.operators.aggregates import corr_matrix
+
+        rows = [(float(i), 2.0 * i, -1.0 * i) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, ["x", "y", "z"])
+        out = {(r["col_a"], r["col_b"]): r["r"] for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+        assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+        assert out[("x", "y")] == 1.0
+        assert out[("x", "z")] == -1.0
+        assert out[("y", "z")] == -1.0
+
+    def test_uncorrelated_orthogonal(self, spark):
+        from libcolumnfile_spark.operators.aggregates import corr_matrix
+
+        # x alternates independently of y's period-4 pattern: corr = 0
+        rows = [(float(i % 2), float((i // 2) % 2)) for i in range(8)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        out = corr_matrix(df, ["x", "y"]).collect()
+        assert len(out) == 1 and out[0]["r"] == 0.0
+
+
+class TestSpearman:
+    def test_monotone_nonlinear_is_one(self, spark):
+        from libcolumnfile_spark.operators.aggregates import spearman_rho
+
+        rows = [(float(i), float(i) ** 3) for i in range(1, 9)]
+        r = spearman_rho(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
+        assert (r["n"], r["rho"]) == (8, 1.0)
+
+    def test_reversed_is_minus_one(self, spark):
+        from libcolumnfile_spark.operators.aggregates import spearman_rho
+
+        rows = [(float(i), float(10 - i)) for i in range(1, 9)]
+        r = spearman_rho(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
+        assert r["rho"] == -1.0
+
+    def test_tie_averaged_ranks(self, spark):
+        from libcolumnfile_spark.operators.aggregates import spearman_rho
+
+        # x = (1,2,2,3), y = (1,2,3,4): x-ranks (1, 2.5, 2.5, 4)
+        # pearson((1,2.5,2.5,4),(1,2,3,4)) = 2.25/sqrt(4.5*5) ~ 0.9487
+        rows = [(1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)]
+        r = spearman_rho(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
+        assert abs(r["rho"] - 0.9487) < 1e-9
+
+
+class TestBenford:
+    def test_digit_extraction_and_zero_fill(self, spark):
+        from libcolumnfile_spark.operators.aggregates import benford_digits
+
+        # 9.99 must land on digit 9 (floor, not round-to-10); 0.5 dropped
+        df = spark.createDataFrame(
+            [(9.99,), (123.0,), (19.0,), (1.0,), (0.5,)], ["x"]
+        )
+        out = {r["digit"]: r for r in benford_digits(df, "x").collect()}
+        assert set(out) == set(range(1, 10))
+        assert out[9]["n_obs"] == 1
+        assert out[1]["n_obs"] == 3
+        assert out[2]["n_obs"] == 0 and out[2]["obs_pct"] == 0.0
+
+    def test_expected_shares_sum_to_one(self, spark):
+        from libcolumnfile_spark.operators.aggregates import benford_digits
+
+        df = spark.createDataFrame([(float(d),) for d in range(1, 10)], ["x"])
+        rows = benford_digits(df, "x").collect()
+        assert abs(sum(r["exp_pct"] for r in rows) - 1.0) < 1e-4
+
+
+class TestCusumChangepoint:
+    def test_constant_series_all_zero(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import cusum_changepoint
+
+        rows = [
+            (datetime.datetime(2024, 1, d + 1, h),)
+            for d in range(6)
+            for h in (1, 2, 3)
+        ]
+        out = cusum_changepoint(spark.createDataFrame(rows, ["ts"]), top_k=10).collect()
+        assert all(r["cusum"] == 0.0 for r in out)
+
+    def test_level_shift_peaks_at_boundary(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import cusum_changepoint
+
+        # 5 days at 1/day then 5 days at 3/day: |CUSUM| peaks on day 5
+        rows = [(datetime.datetime(2024, 1, d + 1, 1),) for d in range(5)]
+        rows += [
+            (datetime.datetime(2024, 1, d + 6, h),)
+            for d in range(5)
+            for h in (1, 2, 3)
+        ]
+        out = cusum_changepoint(spark.createDataFrame(rows, ["ts"]), top_k=1).collect()
+        assert out[0]["day"] == datetime.date(2024, 1, 5)
+        assert out[0]["cusum"] == -5.0
+
+
+class TestJsDivergence:
+    def test_identical_distributions_zero(self, spark):
+        from libcolumnfile_spark.operators.text import source_js_divergence
+
+        df = spark.createDataFrame(
+            [("s1", "a b c"), ("s2", "a b c")], ["source", "text"]
+        )
+        out = source_js_divergence(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["src_a"], r["src_b"], r["n_common"], r["js"]) == ("s1", "s2", 3, 0.0)
+
+    def test_half_disjoint_mass(self, spark):
+        from libcolumnfile_spark.operators.text import source_js_divergence
+
+        # p = {a:.5, b:.5}, q = {a:.5, c:.5}: JS = 0.5*KL terms -> known
+        # common token a contributes 0 (equal p), disjoint mass 0.5 each
+        # side -> js = 0.5*(0.5) + 0.5*(0.5) = 0.5
+        df = spark.createDataFrame(
+            [("s1", "a b"), ("s2", "a c")], ["source", "text"]
+        )
+        r = source_js_divergence(df).collect()[0]
+        assert r["n_common"] == 1 and r["js"] == 0.5
+
+    def test_fully_disjoint_pair_omitted(self, spark):
+        from libcolumnfile_spark.operators.text import source_js_divergence
+
+        # documented: pairs sharing zero tokens never reach the inner
+        # join, so they are absent (JS would be exactly 1)
+        df = spark.createDataFrame(
+            [("s1", "a b"), ("s2", "c d")], ["source", "text"]
+        )
+        assert source_js_divergence(df).count() == 0
+
+
+class TestDsirWeights:
+    def test_target_like_docs_rank_first(self, spark):
+        from libcolumnfile_spark.operators.text import dsir_weights
+
+        rows = [
+            (1, "tgt", "alpha alpha beta"),
+            (2, "raw", "alpha alpha beta"),   # looks like target
+            (3, "raw", "gamma gamma delta"),  # does not
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = dsir_weights(df, target_source="tgt", top_k=3).collect()
+        ids = [r["doc_id"] for r in out]
+        assert set(ids) == {1, 2, 3}
+        # the two target-like docs outrank the off-domain one
+        assert ids.index(3) == 2
+        w = {r["doc_id"]: r["weight"] for r in out}
+        assert w[3] < w[2]
+        assert out[0]["n_tok"] == 3
+
+
+class TestAdamicAdar:
+    def test_path_predicts_endpoints(self, spark):
+        from libcolumnfile_spark.operators.graph import adamic_adar_topk
+
+        import math
+
+        # path 1-2-3: only candidate pair (1,3) via center 2 (deg 2)
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        out = adamic_adar_topk(e).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["a"], r["b"], r["n_common"]) == (1, 3, 1)
+        assert abs(r["score"] - round(1.0 / math.log(2.0), 6)) < 1e-9
+
+    def test_existing_edges_excluded_and_hub_capped(self, spark):
+        from libcolumnfile_spark.operators.graph import adamic_adar_topk
+
+        # triangle 1-2-3 plus star center 9 linked to 4..8: the triangle
+        # pairs all exist (anti-joined away); with deg_cap=3 the star
+        # center (deg 5) may not serve as a center, so no star pairs
+        edges = [(1, 2), (2, 3), (1, 3)] + [(9, i) for i in range(4, 9)]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        out = adamic_adar_topk(e, deg_cap=3).collect()
+        assert out == []
+
+
+class TestSilhouette:
+    def test_vectors_at_centroids_score_one(self, spark):
+        from libcolumnfile_spark.operators.similarity import (
+            _ivf_seeded_centroids,
+            silhouette_simplified,
+        )
+
+        cents = _ivf_seeded_centroids(4)
+        rows = [(1, [float(x) for x in cents[0]]), (2, [float(x) for x in cents[3]])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r["list_id"]: r for r in silhouette_simplified(df).collect()}
+        assert set(out) == {0, 3}
+        for r in out.values():
+            assert r["n"] == 1 and r["mean_a"] == 0.0 and r["mean_sil"] == 1.0
+
+    def test_null_embeddings_filtered(self, spark):
+        from libcolumnfile_spark.operators.similarity import silhouette_simplified
+
+        from pyspark.sql import types as Ty
+
+        schema = Ty.StructType(
+            [
+                Ty.StructField("vec_id", Ty.LongType()),
+                Ty.StructField("embedding", Ty.ArrayType(Ty.FloatType())),
+            ]
+        )
+        df = spark.createDataFrame([(1, None)], schema)
+        assert silhouette_simplified(df).count() == 0
