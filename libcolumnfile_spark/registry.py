@@ -119,7 +119,8 @@ _PRIORITY = [
     # SQL-expressible, so it was a permanent `err: no_oracle` row in the
     # driver's hard gate; it rotates just past the window, still
     # reference-equality property-tested and in every full audit)
-    "q_quantize_int8",
+    # (round 9 session 3: q_quantize_int8 rotates just past the window —
+    # see the q_silhouette note below)
     # round-5 operators, rotated into the driver window (full-oracle):
     # count-min-sketch frequency, small-file compaction, streaming
     # near-dup suppression's batch face
@@ -136,7 +137,13 @@ _PRIORITY = [
     # (minhash_verified, span, incremental) and the cluster profile
     # stays in every full audit; the slot goes to the I/U/D changelog
     # apply, the versioning face with DELETE semantics next to SCD2)
-    "q_cdc_apply", "q_distribution_match", "q_domain_cap",
+    # (round 9 session 3: q_dsir_weights supersedes q_distribution_match
+    # as the data-selection rep — DSIR importance resampling is the
+    # stronger "find more data like my target domain" face and exercises
+    # the token-keyed log-ratio join no other window query has; the
+    # distribution-matching resampler stays in every full audit and the
+    # capping/sampling family keeps q_domain_cap in-window)
+    "q_cdc_apply", "q_dsir_weights", "q_domain_cap",
     # round-6/8 rotation: the CCNet perplexity split keeps its slot;
     # round 8 swaps chunking (pure fan-out, covered by pytest + full
     # audit) for vocabulary-coverage analysis (tokenizer OOV eval)
@@ -154,7 +161,14 @@ _PRIORITY = [
     # versioning rep: keeps history where upsert overwrites), and the
     # degree-oriented triangle census (second graph rep next to
     # q_pagerank_docs: clustering structure vs link-rank)
-    "q_ann_recall", "q_scd2_merge", "q_triangle_count",
+    # (round 9 session 3: q_adamic_adar supersedes q_triangle_count as
+    # the second graph rep — its wedge join exercises the same
+    # common-neighbor machinery PLUS the degree-cap hub defense and the
+    # anti-join exclusion; the triangle census stays in every full
+    # audit. q_silhouette supersedes q_quantize_int8 as the
+    # embedding-quality audit rep — it drives the seeded-centroid Arrow
+    # kernel end-to-end; the int8 audit stays in every full audit.)
+    "q_ann_recall", "q_scd2_merge", "q_adamic_adar", "q_silhouette",
     # demoted just past the window across rounds 5-8 (their families
     # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
@@ -164,6 +178,15 @@ _PRIORITY = [
     # FIRST past the window (strong reps, just not hash-oracle-able),
     # followed by the four oracled queries the round-9 rotation demoted
     "q_sim_pq", "q_bpe_train",
+    # round-9 session-3 rotation: the three demoted former window
+    # occupants (each family keeps an in-window rep: graph =
+    # pagerank_docs/adamic_adar, embedding audit = silhouette/
+    # sim_pq_seeded, sampling = dsir_weights/domain_cap), then the five
+    # session-3 additions not in the window — all full-oracle, all in
+    # every audit
+    "q_triangle_count", "q_quantize_int8", "q_distribution_match",
+    "q_js_divergence", "q_corr_matrix", "q_spearman", "q_benford",
+    "q_cusum",
     "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",
     # round-9 session-2 additions placed just past the window (their
     # families hold in-window reps: graph = pagerank_docs/triangle,

@@ -520,3 +520,41 @@ def test_source_overlap_token_join_shuffles(spark):
     bounded size tables may broadcast."""
     plan = plan_of(spark, "q_source_overlap")
     assert re.search(r"ShuffledHashJoin", plan)
+
+
+def test_adamic_adar_graph_joins_never_broadcast(spark):
+    """Every graph-sized side in the AA wedge pipeline (adjacency,
+    degree/center table, wedge-vs-edge anti-join) is shuffle_hash-
+    pinned; nothing there is construction-bounded, so a broadcast is an
+    estimate-riding OOM at scale."""
+    plan = plan_of(spark, "q_adamic_adar")
+    assert re.search(r"ShuffledHashJoin", plan)
+    assert re.search(r"ShuffledHashJoin .*LeftAnti", plan)
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_dsir_log_ratio_join_shuffles(spark):
+    """The vocabulary-sized log-ratio table joins back to the token
+    stream token-keyed (shuffle_hash); only the 1-row smoothing totals
+    may broadcast."""
+    plan = plan_of(spark, "q_dsir_weights")
+    assert re.search(r"ShuffledHashJoin", plan)
+
+
+def test_silhouette_single_bounded_exchange(spark):
+    """The silhouette kernel is map-only: the ONLY exchanges in the
+    plan are the k-row-bounded cluster aggregate's partial/final pair —
+    no joins at all."""
+    plan = plan_of(spark, "q_silhouette")
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonUDF" in plan
+
+
+def test_corr_matrix_single_row_exchange(spark):
+    """The whole correlation matrix rides ONE algebraic aggregate: a
+    single partial/final pair over a SinglePartition exchange, explode
+    after aggregation, no joins."""
+    plan = plan_of(spark, "q_corr_matrix")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+    assert re.search(r"Generate .*explode", plan) or "Generate" in plan

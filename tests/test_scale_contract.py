@@ -212,6 +212,21 @@ CONTRACTS = {
     "q_coverage_curve": (1.3, 3.0),  # token-keyed count + vocab-bounded window
     "q_seasonal_anomaly": (1.4, 3.0),  # day-keyed count + 7-group broadcast
     "q_dedup_prefix": (1.4, 3.0),   # md5-prefix keys, one count exchange
+    # round-9 session-3 operators (isolated measurements 2026-08-16,
+    # fresh JVM per query — tools/isolated_ratio.py)
+    "q_corr_matrix": (1.0, 3.0),    # ONE algebraic agg, 1-row exchange:
+                                    # flat by design (first measurement
+                                    # read 10.1 on a COLD page cache —
+                                    # re-measured 0.98 warm)
+    "q_spearman": (2.0, 3.5),       # value-keyed rank joins + 1-row agg
+    "q_benford": (1.5, 3.0),        # integer digit keys, 9-group exchange
+    "q_cusum": (1.6, 3.5),          # day-keyed count + day-bounded windows
+    "q_js_divergence": (1.3, 3.0),  # (source,token) agg + C(S,2)-bounded
+                                    # token pair join
+    "q_dsir_weights": (1.7, 3.5),   # token-keyed log-ratio join + doc agg
+    "q_adamic_adar": (2.7, 4.5),    # degree-capped wedge join: candidate
+                                    # pairs grow with the graph by design
+    "q_silhouette": (1.4, 3.0),     # map-only Arrow kernel + k-row agg
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
