@@ -2092,3 +2092,398 @@ def prefix_dedup_groups(
 )
 def q_dedup_prefix(spark, sf_dir):
     return prefix_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall/precision eval — the dedup-quality twin of
+# q_ann_recall: "how much true duplication does the banded MinHash
+# candidate generator actually catch, and how much junk does it
+# propose?" Measured per probe document against exact gram-set Jaccard
+# ground truth, with the md5 hash family so every stage is
+# engine-portable and the whole eval carries a full SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    n_bands: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    n_probes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(probe_id, n_true, n_cand, n_hit, recall, precision) for the
+    ``n_probes`` smallest eligible doc ids: ground truth = exact
+    gram-Jaccard >= threshold against the whole corpus; candidates =
+    sharing at least one of ``n_bands`` signature bands with the probe.
+
+    Scale design: the probe set is CONSTRUCTION-BOUNDED (n_probes rows),
+    so both eval arms broadcast it — ground truth is one map-side pass
+    of the corpus against n_probes gram arrays (O(N * probes), linear,
+    the q_ann_recall exact-arm shape), and the candidate arm is a
+    broadcast join on (band_id, band_value). Nothing pair-scale ever
+    shuffles; per-probe stats aggregate on the n_probes-bounded key.
+    The production banded-LSH path (xxhash64 family) shares exactly
+    this banding math — this eval pins its recall behavior with the
+    value-checkable md5 family.
+    """
+    rows_per_band = n_hashes // n_bands
+    params = _hash_params(n_hashes, seed)
+    spread = _spread(df).filter(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= shingle_n
+    )
+    toks = spread.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    g = pin(
+        toks.select(
+            "id", shingles_from_tokens(F.col("toks"), shingle_n).alias("grams")
+        ).filter(F.size("grams") > 0)
+    )
+    g.count()
+    h = g.select("id", F.explode("grams").alias("gram")).select(
+        "id", md5_gram_hash(F.col("gram")).alias("h")
+    )
+    sig = h.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(pa) + F.lit(pb), F.lit(_MERSENNE_31)))
+            .cast("string")
+            .alias(f"_s{i}")
+            for i, (pa, pb) in enumerate(params)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "_", *[f"_s{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", "bs.band_id", "bs.band_val")
+
+    probes = g.orderBy("id").limit(n_probes)
+    p_grams = probes.select(
+        F.col("id").alias("pid"), F.col("grams").alias("p_grams")
+    )
+    # ground truth: one corpus pass against the broadcast probe arrays
+    gt = (
+        g.crossJoin(F.broadcast(p_grams))
+        .filter(F.col("id") != F.col("pid"))
+        .select(
+            "pid",
+            "id",
+            F.round(jaccard(F.col("grams"), F.col("p_grams")), 4).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("pid", "id", F.lit(1).alias("is_true"))
+    )
+    p_bands = bands.join(
+        F.broadcast(probes.select(F.col("id").alias("pid"))),
+        bands["id"] == F.col("pid"),
+    ).select("pid", "band_id", "band_val")
+    cand = (
+        bands.join(F.broadcast(p_bands), ["band_id", "band_val"])
+        .filter(F.col("id") != F.col("pid"))
+        .select("pid", "id")
+        .distinct()
+        .select("pid", "id", F.lit(1).alias("is_cand"))
+    )
+    both = gt.join(cand, ["pid", "id"], "full_outer").select(
+        "pid",
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    agg = both.groupBy("pid").agg(
+        F.sum("is_true").alias("n_true"),
+        F.sum("is_cand").alias("n_cand"),
+        F.sum(F.col("is_true") * F.col("is_cand")).alias("n_hit"),
+    )
+    # every probe emits a row — a probe with neither truth nor
+    # candidates is the (correct) "nothing to find, nothing proposed"
+    # outcome, not a missing observation
+    stats = (
+        probes.select(F.col("id").alias("pid"))
+        .join(agg, "pid", "left")
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+    )
+    return stats.select(
+        "probe_id",
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true")), 4
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand")), 4
+        ).alias("precision"),
+    ).orderBy("probe_id")
+
+
+def _lsh_recall_oracle(
+    n_hashes: int = 4,
+    n_bands: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    n_probes: int = 32,
+    seed: int = 42,
+) -> str:
+    p = _MERSENNE_31
+    mins = ", ".join(
+        f"CAST(list_min(list_transform(hs, x -> ({a} * x + {b}) % {p})) AS VARCHAR)"
+        f" AS s{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes, seed))
+    )
+    rows_per_band = n_hashes // n_bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS band_val FROM s"
+        for b in range(n_bands)
+    )
+    n1 = shingle_n - 1
+    return (
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "  FROM documents), "
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        f"    generate_series(1, len(toks) - {n1}), "
+        f"    i -> array_to_string(toks[i:i+{n1}], ' '))) AS grams "
+        f"  FROM t WHERE len(toks) >= {shingle_n}), "
+        "ge AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0), "
+        "h AS (SELECT doc_id, grams, list_transform(grams, "
+        f"  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS hs "
+        "  FROM ge), "
+        f"s AS (SELECT doc_id, {mins} FROM h), "
+        f"bands AS ({band_rows}), "
+        f"probes AS (SELECT doc_id AS pid FROM ge ORDER BY doc_id LIMIT {n_probes}), "
+        "gt AS (SELECT pid, g2.doc_id AS id FROM ge g2 CROSS JOIN probes "
+        "  JOIN ge gp ON gp.doc_id = pid "
+        "  WHERE g2.doc_id <> pid AND "
+        "  round(len(list_intersect(g2.grams, gp.grams)) / "
+        "  CAST(len(g2.grams) + len(gp.grams) "
+        f"  - len(list_intersect(g2.grams, gp.grams)) AS DOUBLE), 4) >= {threshold}), "
+        "pb AS (SELECT pid, band_id, band_val FROM bands JOIN probes "
+        "  ON bands.doc_id = pid), "
+        "cand AS (SELECT DISTINCT pid, bands.doc_id AS id FROM bands "
+        "  JOIN pb USING (band_id, band_val) WHERE bands.doc_id <> pid), "
+        "u AS (SELECT coalesce(gt.pid, cand.pid) AS pid, "
+        "  CASE WHEN gt.pid IS NULL THEN 0 ELSE 1 END AS is_true, "
+        "  CASE WHEN cand.pid IS NULL THEN 0 ELSE 1 END AS is_cand "
+        "  FROM gt FULL OUTER JOIN cand ON gt.pid = cand.pid AND gt.id = cand.id), "
+        "a AS (SELECT pid, sum(is_true) AS st, sum(is_cand) AS sc, "
+        "  sum(is_true * is_cand) AS sh FROM u GROUP BY pid) "
+        "SELECT probes.pid AS probe_id, "
+        "CAST(coalesce(st, 0) AS BIGINT) AS n_true, "
+        "CAST(coalesce(sc, 0) AS BIGINT) AS n_cand, "
+        "CAST(coalesce(sh, 0) AS BIGINT) AS n_hit, "
+        "round(CASE WHEN coalesce(st, 0) > 0 "
+        "THEN sh / CAST(st AS DOUBLE) END, 4) AS recall, "
+        "round(CASE WHEN coalesce(sc, 0) > 0 "
+        "THEN sh / CAST(sc AS DOUBLE) END, 4) AS precision "
+        "FROM probes LEFT JOIN a ON probes.pid = a.pid ORDER BY probe_id"
+    )
+
+
+@query(
+    "q_dedup_eval",
+    oracle=_lsh_recall_oracle(),
+    doc=(
+        "LSH banding recall/precision eval (the q_ann_recall pattern "
+        "for dedup): per-probe exact gram-Jaccard ground truth vs the "
+        "2-band md5-family MinHash candidate generator — both arms "
+        "broadcast the construction-bounded probe set, nothing "
+        "pair-scale shuffles; the quantifying answer to 'is the banding "
+        "scheme catching the duplication that exists?'"
+    ),
+    tags=("dedup", "stats", "pipeline"),
+)
+def q_dedup_eval(spark, sf_dir):
+    return lsh_recall_eval(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Normalization dedup — the canonicalize-then-hash face of exact dedup:
+# case, punctuation, and whitespace variants of the same content (the
+# most common near-dup class in scraped corpora) collapse to one
+# canonical form before the hash. Sits between q_dedup_exact (byte
+# identity) and the fuzzy families (MinHash/SimHash) in aggressiveness.
+# ---------------------------------------------------------------------------
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Clusters of documents identical after canonicalization:
+    (norm_hash, n_docs, keep_id) for clusters with n_docs >= 2, keeping
+    the smallest id as the canonical representative.
+
+    Normalization = lowercase, strip every non-alphanumeric/space
+    character, collapse whitespace runs, trim — each step a shared-
+    dialect regex (the q_pii_redact precedent) so the SQL oracle
+    replicates byte-for-byte. Scale design: normalization is map-only
+    Catalyst; documents reduce to a 16-byte md5 key before the single
+    count/min aggregate (the q_dedup_soft key discipline — the exchange
+    never carries text).
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = df.select(F.col(id_col).alias("id"), F.md5(norm).alias("norm_hash"))
+    return (
+        keyed.groupBy("norm_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q_dedup_normalized",
+    # the fixture corpus has no pure formatting variants (its near-dups
+    # are word-level mutations), so the declared query runs the operator
+    # over a deterministic re-ingest batch: every 10th document arrives
+    # again UPPERCASED with trailing punctuation and doubled spacing —
+    # the re-crawl/formatting-variant class this operator exists for
+    # (the derived-input precedent: the q_pagerank/q_triangle_count doc
+    # graphs). Each variant must collapse onto its original.
+    oracle=(
+        "WITH aug AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 10000000, "
+        "upper(regexp_replace(text, ' ', '  ', 'g')) || ' !!' "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        "k AS (SELECT doc_id, md5(trim(regexp_replace("
+        "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+        "' +', ' ', 'g'))) AS norm_hash FROM aug) "
+        "SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
+        "FROM k GROUP BY norm_hash HAVING count(*) >= 2"
+    ),
+    doc=(
+        "Normalization dedup over a formatting-variant re-ingest batch: "
+        "lowercase / strip punctuation / collapse whitespace via "
+        "shared-dialect regexes, md5 the canonical form map-side, ONE "
+        "16-byte-key count aggregate — collapses the case/punct/"
+        "whitespace variant class exact dedup misses."
+    ),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_normalized(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace(F.col("text"), " ", "  ")), F.lit(" !!")
+        ).alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(variants)
+    return normalized_dedup(aug)
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution — fuzzy matching of STRUCTURED
+# records (the row-level sibling of the document dedup families):
+# candidate duplicate part listings found by attribute blocking plus
+# edit-distance name matching, the classic Fellegi-Sunter blocking
+# shape every catalog/CRM dedup runs.
+# ---------------------------------------------------------------------------
+
+
+def record_linkage(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    num_col: str,
+    max_lev: int = 4,
+    num_slack: int = 1,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` candidate duplicate record pairs: (key_a, key_b,
+    name_a, name_b, lev) where both records share ``block_col``, their
+    ``num_col`` differ by at most ``num_slack``, and the name edit
+    distance is <= ``max_lev``; ranked best-match-first.
+
+    Scale design — neighborhood blocking, not a blocked cross join: one
+    side is replicated under its 2*num_slack+1 neighboring numeric keys
+    (a bounded constant), and the join is pure EQUALITY on
+    (block, numeric key), so it hash-partitions; each true pair meets
+    on exactly one key (the left record's own value) — no dedup pass
+    needed. The quadratic term is bounded per (block, value) cell, the
+    same discipline as the gram-anchor/LSH-band blocking in the
+    document families. The edit distance runs post-join on candidate
+    rows only (JVM levenshtein, no UDF).
+    """
+    a = df.select(
+        F.col(id_col).alias("key_a"),
+        F.col(name_col).alias("name_a"),
+        F.col(block_col).alias("blk"),
+        F.col(num_col).alias("k"),
+    )
+    b = df.select(
+        F.col(id_col).alias("key_b"),
+        F.col(name_col).alias("name_b"),
+        F.col(block_col).alias("blk"),
+        F.col(num_col).alias("num_b"),
+        F.explode(
+            F.array(
+                *[F.col(num_col) + d for d in range(-num_slack, num_slack + 1)]
+            )
+        ).alias("k"),
+    )
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), ["blk", "k"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_lev)
+    )
+    return pairs.orderBy("lev", "key_a", "key_b").limit(top_k)
+
+
+@query(
+    "q_record_linkage",
+    oracle=(
+        "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
+        "a.p_name AS name_a, b.p_name AS name_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev "
+        "FROM part a JOIN part b ON a.p_type = b.p_type "
+        "AND a.p_partkey < b.p_partkey "
+        "AND abs(a.p_size - b.p_size) <= 1 "
+        "AND levenshtein(a.p_name, b.p_name) <= 4 "
+        "ORDER BY lev, key_a, key_b LIMIT 50"
+    ),
+    doc=(
+        "Record linkage over the part catalog: (type, size+-1) "
+        "neighborhood blocking — the slack side replicated under its 3 "
+        "neighboring size keys so the join stays pure equality and "
+        "hash-partitions — then JVM levenshtein <= 4 on candidates "
+        "only; top-50 best-match pairs. The structured-record sibling "
+        "of the document dedup families."
+    ),
+    tags=("dedup", "join", "pipeline"),
+)
+def q_record_linkage(spark, sf_dir):
+    return record_linkage(
+        T(spark, sf_dir, "part"), "p_partkey", "p_name", "p_type", "p_size"
+    )

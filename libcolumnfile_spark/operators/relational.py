@@ -1567,3 +1567,152 @@ def cusum_changepoint(
 )
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Event co-occurrence lift — market-basket association over per-user
+# event baskets: which event types co-occur in the same user's history
+# more (lift > 1) or less (lift < 1) than independence predicts. The
+# association-rules primitive behind "users who X also Y", and the
+# behavioral companion to q_cooc_pmi (which measures ADJACENT text
+# bigrams, not set co-membership).
+# ---------------------------------------------------------------------------
+
+
+def event_lift(df: DataFrame, user_col: str = "user_id", type_col: str = "event_type") -> DataFrame:
+    """(type_a, type_b, n_ab, lift) for every unordered event-type pair
+    observed together in at least one user's basket.
+
+    Scale design: the corpus reduces to ONE distinct (user, type) table
+    (events collapse to baskets before anything pairs); the pair join
+    is user-keyed and emits at most C(n_types, 2) rows per user — types
+    are a bounded category set, so this is linear in users. Per-type
+    user counts and the user total are derived from the SAME distinct
+    table (no second corpus pass) and ride type-cardinality-bounded /
+    1-row broadcasts.
+    """
+    baskets = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    n_users = baskets.agg(F.countDistinct("u").alias("n"))
+    per_type = baskets.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    x, y = baskets.alias("x"), baskets.alias("y").hint("shuffle_hash")
+    pairs = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.t") < F.col("y.t")))
+        .groupBy(F.col("x.t").alias("type_a"), F.col("y.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = per_type.select(F.col("t").alias("type_a"), F.col("c").alias("ca"))
+    cb = per_type.select(F.col("t").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n") / (F.col("ca") * F.col("cb")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_event_lift",
+    oracle=(
+        "WITH b AS (SELECT DISTINCT user_id AS u, event_type AS t "
+        "FROM events), "
+        "n AS (SELECT count(DISTINCT u) AS n FROM b), "
+        "pt AS (SELECT t, count(*) AS c FROM b GROUP BY t), "
+        "p AS (SELECT x.t AS type_a, y.t AS type_b, count(*) AS n_ab "
+        "FROM b x JOIN b y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2) "
+        "SELECT type_a, type_b, n_ab, "
+        "round(n_ab * n / CAST(ca.c * cb.c AS DOUBLE), 4) AS lift "
+        "FROM p JOIN pt ca ON p.type_a = ca.t "
+        "JOIN pt cb ON p.type_b = cb.t CROSS JOIN n"
+    ),
+    doc=(
+        "Event-type co-occurrence lift over per-user baskets: one "
+        "distinct (user, type) reduction, user-keyed pair join bounded "
+        "C(types,2) per user, marginals derived from the same distinct "
+        "table — the association-rules 'users who X also Y' primitive."
+    ),
+    tags=("events", "stats", "pipeline"),
+)
+def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_lift(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window monitoring bands: 7-day trailing mean/stddev of daily
+# volume plus the current day's z-score against its OWN trailing window
+# — the ops-dashboard primitive between q_seasonal_anomaly (weekday
+# z-score against the whole history) and q_cusum (global level-shift
+# scan): it adapts to slow drift because the reference window moves.
+# ---------------------------------------------------------------------------
+
+
+def rolling_daily_stats(
+    df: DataFrame, ts_col: str = "ts", window_days: int = 7
+) -> DataFrame:
+    """(day, cnt, mean_w, sd_w, z) per day with a FULL trailing window
+    of ``window_days`` PRIOR days (the current day is scored against
+    the preceding window, so a spike never suppresses its own alarm).
+
+    Scale design: one day-keyed count aggregate is the only corpus-
+    sized exchange; every window runs over the day-bounded series
+    (the q_autocorr/q_cusum shape).
+    """
+    from pyspark.sql.window import Window
+
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("day").rowsBetween(-window_days, -1)
+    scored = daily.select(
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.avg("cnt").over(w).alias("mean_w"),
+        F.stddev("cnt").over(w).alias("sd_w"),
+    )
+    return (
+        scored.filter(F.col("n_win") == window_days)
+        .filter(F.col("sd_w") > 0)
+        .select(
+            "day",
+            "cnt",
+            F.round("mean_w", 4).alias("mean_w"),
+            F.round("sd_w", 4).alias("sd_w"),
+            F.round((F.col("cnt") - F.col("mean_w")) / F.col("sd_w"), 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_rolling_stats",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(*) AS cnt FROM events GROUP BY 1), "
+        "s AS (SELECT day, cnt, "
+        "count(*) OVER w AS n_win, avg(cnt) OVER w AS mean_w, "
+        "stddev(cnt) OVER w AS sd_w FROM daily "
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+        "SELECT day, cnt, round(mean_w, 4) AS mean_w, "
+        "round(sd_w, 4) AS sd_w, "
+        "round((cnt - mean_w) / sd_w, 4) AS z "
+        "FROM s WHERE n_win = 7 AND sd_w > 0"
+    ),
+    doc=(
+        "7-day trailing monitoring bands over daily event volume: each "
+        "day z-scored against its own PRIOR window (spikes can't "
+        "suppress their own alarm); one day-keyed count exchange, all "
+        "windows day-bounded — the drift-adaptive alarm between "
+        "q_seasonal_anomaly and q_cusum."
+    ),
+    tags=("events", "stats", "window"),
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_daily_stats(T(spark, sf_dir, "events"))

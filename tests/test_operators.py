@@ -2366,3 +2366,140 @@ class TestSilhouette:
         )
         df = spark.createDataFrame([(1, None)], schema)
         assert silhouette_simplified(df).count() == 0
+
+
+class TestLshRecallEval:
+    def test_planted_dup_is_found(self, spark):
+        from libcolumnfile_spark.operators.dedup import lsh_recall_eval
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(1, base), (2, base + " iota"), (3, "one two three four five six")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["probe_id"]: r for r in lsh_recall_eval(df, n_probes=3).collect()}
+        assert set(out) == {1, 2, 3}
+        # docs 1/2 share most 3-grams: each is the other's ground truth,
+        # and identical min-hashes on the shared grams make them band
+        # candidates -> recall 1
+        assert out[1]["n_true"] == 1 and out[1]["recall"] == 1.0
+        assert out[2]["n_true"] == 1
+        # doc 3 has nothing to find and nothing proposed — still a row
+        assert (out[3]["n_true"], out[3]["n_cand"]) == (0, 0)
+        assert out[3]["recall"] is None
+
+    def test_probe_count_bounds_output(self, spark):
+        from libcolumnfile_spark.operators.dedup import lsh_recall_eval
+
+        rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = lsh_recall_eval(df, n_probes=4).collect()
+        assert [r["probe_id"] for r in out] == [0, 1, 2, 3]
+
+
+class TestNormalizedDedup:
+    def test_formatting_variants_collapse(self, spark):
+        from libcolumnfile_spark.operators.dedup import normalized_dedup
+
+        rows = [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD?!"),
+            (4, "goodbye world"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = normalized_dedup(df).collect()
+        assert len(out) == 1
+        assert (out[0]["n_docs"], out[0]["keep_id"]) == (3, 1)
+
+    def test_distinct_content_not_collapsed(self, spark):
+        from libcolumnfile_spark.operators.dedup import normalized_dedup
+
+        df = spark.createDataFrame([(1, "a b"), (2, "a c")], ["doc_id", "text"])
+        assert normalized_dedup(df).count() == 0
+
+
+class TestRecordLinkage:
+    def test_blocking_and_edit_distance(self, spark):
+        from libcolumnfile_spark.operators.dedup import record_linkage
+
+        rows = [
+            (1, "red widget", "widget", 5),
+            (2, "red widgets", "widget", 6),   # lev 1, size diff 1 -> match
+            (3, "red widget", "gadget", 5),    # different block -> no
+            (4, "blue bolt", "widget", 5),     # lev 9 -> no
+            (5, "red widget", "widget", 9),    # size diff 4 -> no
+        ]
+        df = spark.createDataFrame(rows, ["id", "name", "blk", "size"])
+        out = record_linkage(df, "id", "name", "blk", "size").collect()
+        assert [(r["key_a"], r["key_b"], r["lev"]) for r in out] == [(1, 2, 1)]
+
+    def test_pair_met_exactly_once(self, spark):
+        from libcolumnfile_spark.operators.dedup import record_linkage
+
+        # same block, same size: the neighborhood replication must not
+        # produce the pair twice
+        rows = [(1, "x y", "b", 3), (2, "x y", "b", 3)]
+        df = spark.createDataFrame(rows, ["id", "name", "blk", "size"])
+        out = record_linkage(df, "id", "name", "blk", "size").collect()
+        assert len(out) == 1 and out[0]["lev"] == 0
+
+
+class TestEventLift:
+    def test_perfect_cooccurrence_lift(self, spark):
+        from libcolumnfile_spark.operators.relational import event_lift
+
+        # 2 users, both have {a, b}: lift = n_ab * N / (ca * cb) = 2*2/(2*2) = 1
+        rows = [(u, t) for u in (1, 2) for t in ("a", "b")]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        out = event_lift(df).collect()
+        assert len(out) == 1
+        assert (out[0]["type_a"], out[0]["type_b"], out[0]["n_ab"], out[0]["lift"]) == ("a", "b", 2, 1.0)
+
+    def test_association_raises_lift(self, spark):
+        from libcolumnfile_spark.operators.relational import event_lift
+
+        # a and b only ever together (users 1,2); c alone (users 3,4):
+        # lift(a,b) = 2*4/(2*2) = 2
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c"), (4, "c")]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        out = {(r["type_a"], r["type_b"]): r["lift"] for r in event_lift(df).collect()}
+        assert out == {("a", "b"): 2.0}
+
+    def test_duplicate_events_counted_once(self, spark):
+        from libcolumnfile_spark.operators.relational import event_lift
+
+        rows = [(1, "a"), (1, "a"), (1, "b")]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        out = event_lift(df).collect()
+        assert out[0]["n_ab"] == 1
+
+
+class TestRollingStats:
+    def test_spike_scored_against_prior_window(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import rolling_daily_stats
+
+        # 1/day for 9 days except day 5 has 3 and day 9 has 5:
+        # day 9's window (days 2-8) has mean>1 from day 5's spike
+        counts = {5: 3, 9: 5}
+        rows = [
+            (datetime.datetime(2024, 1, d, h + 1),)
+            for d in range(1, 10)
+            for h in range(counts.get(d, 1))
+        ]
+        df = spark.createDataFrame(rows, ["ts"])
+        out = {r["day"]: r for r in rolling_daily_stats(df, window_days=7).collect()}
+        # only days 8 and 9 have a full 7-day prior window; day 8's
+        # window (1-7) contains the day-5 spike
+        assert set(out) == {datetime.date(2024, 1, 8), datetime.date(2024, 1, 9)}
+        d9 = out[datetime.date(2024, 1, 9)]
+        assert d9["cnt"] == 5 and d9["z"] > 0
+
+    def test_constant_series_filtered_by_zero_sd(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import rolling_daily_stats
+
+        rows = [(datetime.datetime(2024, 1, d, 1),) for d in range(1, 12)]
+        df = spark.createDataFrame(rows, ["ts"])
+        assert rolling_daily_stats(df, window_days=7).count() == 0
