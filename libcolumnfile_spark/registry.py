@@ -103,7 +103,7 @@ _PRIORITY = [
     # and lang_id; the slot goes to the JS-divergence drift monitor, the
     # between-batch distribution-shift signal no other window query has)
     "q_corpus_drift", "q_lang_id", "q_gopher_rules",
-    "q_cooc_pmi", "q_rank_fusion", "q_ngram_novelty", "q_embedding_drift",
+    "q_cooc_pmi", "q_rank_fusion", "q_ngram_novelty",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # (round 9: q_sim_pq_seeded supersedes the Lloyd-trained q_sim_pq —
     # same encode+ADC mechanism over fixed seeded codebooks, which makes
@@ -153,7 +153,17 @@ _PRIORITY = [
     # dedup; round 8 swaps the graph slot to the doc-scale PageRank
     # (|V| ~ corpus — the variant whose per-round shuffles actually grow
     # with the data; the 20-host q_pagerank stays in the full audit)
-    "q_contamination_bloom", "q_dedup_span", "q_dedup_incremental",
+    # (round 9 session 3: q_dedup_eval supersedes q_dedup_incremental —
+    # the dedup family keeps minhash_verified + span in-window and the
+    # signature-store face stays in every full audit; the slot goes to
+    # the banding recall/precision eval, the dedup-quality measurement
+    # class no other window query has. q_record_linkage supersedes
+    # q_embedding_drift — the window carried TWO drift monitors
+    # (corpus_drift, embedding_drift); the embedding one stays in every
+    # full audit and the slot goes to structured-record entity
+    # resolution, a new capability class.)
+    "q_contamination_bloom", "q_dedup_span", "q_dedup_eval",
+    "q_record_linkage",
     "q_pagerank_docs",
     # round-8 additions rotated into the window: ANN index-quality
     # recall eval (supersedes q_sim_knn — its exact arm IS a knn join),
@@ -185,8 +195,9 @@ _PRIORITY = [
     # session-3 additions not in the window — all full-oracle, all in
     # every audit
     "q_triangle_count", "q_quantize_int8", "q_distribution_match",
+    "q_dedup_incremental", "q_embedding_drift",
     "q_js_divergence", "q_corr_matrix", "q_spearman", "q_benford",
-    "q_cusum",
+    "q_cusum", "q_dedup_normalized", "q_event_lift", "q_rolling_stats",
     "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",
     # round-9 session-2 additions placed just past the window (their
     # families hold in-window reps: graph = pagerank_docs/triangle,

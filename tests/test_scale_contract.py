@@ -227,6 +227,19 @@ CONTRACTS = {
     "q_adamic_adar": (2.7, 4.5),    # degree-capped wedge join: candidate
                                     # pairs grow with the graph by design
     "q_silhouette": (1.4, 3.0),     # map-only Arrow kernel + k-row agg
+    "q_dedup_eval": (3.2, 5.5),     # GT arm is O(N x probes) linear; x10
+                                    # replicas add true pairs (output)
+    "q_dedup_normalized": (5.2, 8.0),  # OUTPUT grows x10 by construction:
+                                    # every x10 replica is an exact
+                                    # normalized dup, so clusters ~ docs
+    "q_record_linkage": (2.9, 4.5),  # part is scale-FIXED in the probe
+                                    # (dim policy); the ratio is the
+                                    # dir-bytes-keyed DOP giving the same
+                                    # tiny join a wider configured
+                                    # shuffle — absolute x10 is 2.4 s
+    "q_event_lift": (3.3, 5.5),     # x10 users => x10 baskets; pair join
+                                    # bounded C(types,2) per user
+    "q_rolling_stats": (1.6, 3.5),  # day-keyed count + day-bounded windows
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
