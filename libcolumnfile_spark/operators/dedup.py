@@ -2487,3 +2487,142 @@ def q_record_linkage(spark, sf_dir):
     return record_linkage(
         T(spark, sf_dir, "part"), "p_partkey", "p_name", "p_type", "p_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage detection — the INTERNAL twin of benchmark
+# decontamination (q_contamination screens against an external
+# registry): near-duplicate pairs that straddle the train/valid/test
+# boundary leak training signal into evaluation even when every split
+# was hash-clean at the row level. Run after splitting, before
+# publishing an eval number.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(split_a, split_b, n_pairs, n_docs_affected) for every split
+    pair with at least one near-duplicate crossing it (signature-equal
+    under the md5 MinHash family — the value-checkable anchor of the
+    production banded path).
+
+    Scale design: identical to the minhash signature pipeline (gram
+    hashing map-side, one doc-keyed aggregate carrying n_hashes partial
+    mins), then the pair join runs ON THE SIGNATURE KEY — only
+    signature-collision groups ever pair, the same blocking bound as
+    q_dedup_minhash_verified — with the split labels (a pure-map md5
+    bucket, zero extra passes) riding the signature rows. The output
+    aggregate is bounded by C(splits, 2).
+    """
+    from libcolumnfile_spark.operators.pipeline import split_assign
+
+    params = _hash_params(n_hashes, seed)
+    spread = _spread(df).filter(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= shingle_n
+    )
+    toks = spread.select(
+        F.col(id_col).alias("id"),
+        split_assign(F.col(id_col)).alias("split"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    g = toks.select(
+        "id", "split", shingles_from_tokens(F.col("toks"), shingle_n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    h = g.select("id", F.explode("grams").alias("gram")).select(
+        "id", md5_gram_hash(F.col("gram")).alias("h")
+    )
+    sig = h.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(pa) + F.lit(pb), F.lit(_MERSENNE_31)))
+            .cast("string")
+            .alias(f"_s{i}")
+            for i, (pa, pb) in enumerate(params)
+        ]
+    )
+    keyed = sig.join(g.select("id", "split").hint("shuffle_hash"), "id").select(
+        "id",
+        "split",
+        F.concat_ws(",", *[f"_s{i}" for i in range(n_hashes)]).alias("sig_key"),
+    )
+    x, y = keyed.alias("x"), keyed.alias("y").hint("shuffle_hash")
+    cross = (
+        x.join(
+            y,
+            (F.col("x.sig_key") == F.col("y.sig_key"))
+            & (F.col("x.id") < F.col("y.id"))
+            & (F.col("x.split") != F.col("y.split")),
+        )
+        .select(
+            F.least("x.split", "y.split").alias("split_a"),
+            F.greatest("x.split", "y.split").alias("split_b"),
+            F.col("x.id").alias("ida"),
+            F.col("y.id").alias("idb"),
+        )
+    )
+    return cross.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array("ida", "idb")))
+            )
+        ).alias("n_docs_affected"),
+    )
+
+
+def _split_leakage_oracle(
+    n_hashes: int = 4, shingle_n: int = 3, seed: int = 42
+) -> str:
+    from libcolumnfile_spark.operators.pipeline import _bucket_sql
+
+    p = _MERSENNE_31
+    sig_key = " || ',' || ".join(
+        f"CAST(list_min(list_transform(hs, x -> ({a} * x + {b}) % {p})) AS VARCHAR)"
+        for a, b in _hash_params(n_hashes, seed)
+    )
+    bucket = _bucket_sql("doc_id")
+    n1 = shingle_n - 1
+    return (
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+        "  FROM documents), "
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        f"    generate_series(1, len(toks) - {n1}), "
+        f"    i -> array_to_string(toks[i:i+{n1}], ' '))) AS grams "
+        f"  FROM t WHERE len(toks) >= {shingle_n}), "
+        "h AS (SELECT doc_id, list_transform(grams, "
+        f"  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS hs "
+        "  FROM g WHERE len(grams) > 0), "
+        f"s AS (SELECT doc_id, {sig_key} AS sig_key, "
+        f"  CASE WHEN {bucket} < 80 THEN 'train' "
+        f"  WHEN {bucket} < 90 THEN 'valid' ELSE 'test' END AS split FROM h), "
+        "c AS (SELECT least(a.split, b.split) AS split_a, "
+        "  greatest(a.split, b.split) AS split_b, a.doc_id AS ida, b.doc_id AS idb "
+        "  FROM s a JOIN s b ON a.sig_key = b.sig_key AND a.doc_id < b.doc_id "
+        "  AND a.split <> b.split) "
+        "SELECT split_a, split_b, count(*) AS n_pairs, "
+        "CAST(len(list_distinct(flatten(list(main.list_value(ida, idb))))) AS INT) "
+        "AS n_docs_affected "
+        "FROM c GROUP BY split_a, split_b"
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle=_split_leakage_oracle(),
+    doc=(
+        "Cross-split near-duplicate leakage audit: md5-family MinHash "
+        "signatures with hash-bucket split labels riding the signature "
+        "rows; the pair join is blocked on the signature key (only "
+        "collision groups pair) and filtered to boundary-crossing "
+        "pairs; output bounded by C(splits,2) — the internal twin of "
+        "benchmark decontamination."
+    ),
+    tags=("dedup", "pipeline", "stats"),
+)
+def q_split_leakage(spark, sf_dir):
+    return split_leakage(T(spark, sf_dir, "documents"))

@@ -2228,3 +2228,221 @@ def gini_concentration(df: DataFrame, group_col: str) -> DataFrame:
 )
 def q_gini(spark, sf_dir):
     return gini_concentration(T(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------------
+# Privacy pair: k-anonymity audit + differentially-private count
+# release. Together with q_pii_redact these are the three privacy
+# postures a published dataset passes through: strip direct
+# identifiers (redaction), verify quasi-identifiers don't re-identify
+# (k-anonymity), and noise any released aggregate (DP).
+# ---------------------------------------------------------------------------
+
+
+def kanonymity_audit(
+    df: DataFrame, qi_cols: list, k: int = 5
+) -> DataFrame:
+    """Equivalence classes over the quasi-identifier columns with fewer
+    than ``k`` members — every row in such a class is re-identifiable
+    by joining the published QI combination against an external source.
+
+    Scale design: ONE QI-keyed count aggregate (map-side partials; the
+    exchange is class-cardinality-bounded) + a count filter. The
+    violating-class report IS the remediation worklist (generalize or
+    suppress those combinations).
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+    )
+
+
+@query(
+    "q_kanonymity",
+    oracle=(
+        "SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS len_bucket, "
+        "count(*) AS n FROM documents "
+        "GROUP BY 1, 2, 3 HAVING count(*) < 5"
+    ),
+    doc=(
+        "k-anonymity audit (k=5) over the (lang, source, length-bucket) "
+        "quasi-identifiers: one class-keyed count exchange, violating "
+        "classes reported as the generalize/suppress worklist — the "
+        "re-identification check before publishing."
+    ),
+    tags=("pipeline", "privacy", "stats"),
+)
+def q_kanonymity(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 500).cast("bigint").alias("len_bucket"),
+    )
+    return kanonymity_audit(d, ["lang", "source", "len_bucket"])
+
+
+def dp_noisy_counts(
+    df: DataFrame, group_col: str, epsilon: float = 1.0
+) -> DataFrame:
+    """(group, n_noisy) per group: true count + Laplace(1/epsilon)
+    noise via the inverse-CDF of a seeded md5 uniform.
+
+    The uniform derives from the GROUP KEY's md5 (deterministic here so
+    the SQL oracle can verify the release arithmetic end-to-end; a
+    production release swaps in one secret per-release salt — same
+    plan, same epsilon accounting). Scale design: one group-keyed count
+    exchange; the noise is derived arithmetic on the group row. The
+    (v + 0.5) / 2^32 uniform can never equal 0.5 exactly, so the
+    inverse CDF never sees log(0).
+    """
+    cnt = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("grp")), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 32))
+    b = 1.0 / epsilon
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return cnt.select(
+        "grp", F.round(F.col("n") + noise, 4).alias("n_noisy")
+    )
+
+
+@query(
+    "q_dp_counts",
+    oracle=(
+        "WITH c AS (SELECT source AS grp, count(*) AS n FROM documents "
+        "GROUP BY 1), "
+        "u AS (SELECT grp, n, "
+        "(('0x' || substring(md5(grp), 1, 8))::BIGINT + 0.5) / 4294967296.0 "
+        "AS u FROM c) "
+        "SELECT grp, round(n - 1.0 * sign(u - 0.5) "
+        "* ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS n_noisy FROM u"
+    ),
+    doc=(
+        "Differentially-private per-source count release (epsilon=1 "
+        "Laplace via inverse-CDF of a seeded md5 uniform — "
+        "deterministic so the release arithmetic is oracle-checkable; "
+        "production swaps one secret salt): one group-keyed count "
+        "exchange, noise derived per group row."
+    ),
+    tags=("pipeline", "privacy", "stats"),
+)
+def q_dp_counts(spark, sf_dir):
+    return dp_noisy_counts(T(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic recency/frequency/monetary customer
+# scoring over the order history: each dimension quintile-scored 1-5,
+# customers grouped into the 125-cell RFM grid. The canonical
+# "assemble per-entity features, score against corpus quantiles,
+# segment" shape every feature-store batch job runs.
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(
+    df: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """(r_score, f_score, m_score, n_customers, total_monetary) over
+    the 125-cell RFM grid. Higher score = better (more recent, more
+    frequent, more spend).
+
+    Scale design: one customer-keyed aggregate builds the per-customer
+    (recency, frequency, monetary) row; the reference date and all 12
+    quintile cuts come from single-row aggregates over that CUSTOMER
+    table (exact percentiles — the q_equidepth_hist recipe, no global
+    sort) and ride broadcasts; scoring is a map-side bounded-array
+    scan and the final exchange is 125-cell-bounded.
+    """
+    # monetary is an exact DECIMAL(18,2) sum: raw double sums differ in
+    # the last ulp between engines (partial-aggregation order), which
+    # both shifts quantile cuts by an ulp for the cut-defining customers
+    # and lands grid-cell averages on round(.,4) boundaries (observed:
+    # 1951278.65375). Exact money arithmetic removes the whole class.
+    per_cust = df.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(F.col(date_col).cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("monetary_dec"),
+    ).withColumn("monetary", F.col("monetary_dec").cast("double"))
+    ref = per_cust.agg(F.max("last_order").alias("ref_date"))
+    rfm = per_cust.crossJoin(F.broadcast(ref)).select(
+        "cust",
+        F.datediff("ref_date", "last_order").cast("double").alias("rec"),
+        "freq",
+        "monetary",
+        "monetary_dec",
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = rfm.agg(
+        F.percentile("rec", F.array(*[F.lit(q) for q in qs])).alias("rc"),
+        F.percentile("freq", F.array(*[F.lit(q) for q in qs])).alias("fc"),
+        F.percentile("monetary", F.array(*[F.lit(q) for q in qs])).alias("mc"),
+    )
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        # lower recency is BETTER: score counts cuts the value sits below
+        (1 + F.size(F.filter("rc", lambda t: F.col("rec") > t)))
+        .alias("raw_r"),
+        (1 + F.size(F.filter("fc", lambda t: F.col("freq") > t))).alias("f_score"),
+        (1 + F.size(F.filter("mc", lambda t: F.col("monetary") > t))).alias(
+            "m_score"
+        ),
+        "monetary_dec",
+    ).select(
+        (6 - F.col("raw_r")).alias("r_score"), "f_score", "m_score", "monetary_dec"
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # the cell's money total stays EXACT decimal until one final
+        # double cast — no round() anywhere: a per-cell average of
+        # exact cents lands exactly ON round boundaries (observed
+        # 1951278.65375), where Spark's BigDecimal HALF_UP and DuckDB's
+        # scaled-double rounding disagree by construction
+        F.sum("monetary_dec").cast("double").alias("total_monetary"),
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle=(
+        "WITH pc AS (SELECT o_custkey AS cust, "
+        "max(CAST(o_orderdate AS DATE)) AS last_order, "
+        "CAST(count(*) AS DOUBLE) AS freq, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary "
+        "FROM orders GROUP BY 1), "
+        "r AS (SELECT max(last_order) AS ref_date FROM pc), "
+        "rfm AS (SELECT cust, CAST(datediff('day', last_order, ref_date) "
+        "AS DOUBLE) AS rec, freq, monetary, monetary_dec "
+        "FROM pc CROSS JOIN r), "
+        "c AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rc, "
+        "quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc, "
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc FROM rfm), "
+        "s AS (SELECT 6 - (1 + len(list_filter(rc, t -> rec > t))) AS r_score, "
+        "1 + len(list_filter(fc, t -> freq > t)) AS f_score, "
+        "1 + len(list_filter(mc, t -> monetary > t)) AS m_score, monetary_dec "
+        "FROM rfm CROSS JOIN c) "
+        "SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score, "
+        "CAST(m_score AS INT) AS m_score, count(*) AS n_customers, "
+        "CAST(sum(monetary_dec) AS DOUBLE) AS total_monetary "
+        "FROM s GROUP BY 1, 2, 3"
+    ),
+    doc=(
+        "RFM customer segmentation: one customer-keyed aggregate, "
+        "reference date + 12 exact quintile cuts from 1-row broadcasts "
+        "(the q_equidepth_hist recipe — no global sort), map-side "
+        "bounded-array scoring, 125-cell-bounded final exchange."
+    ),
+    tags=("pipeline", "agg", "stats"),
+)
+def q_rfm_segments(spark, sf_dir):
+    return rfm_segments(T(spark, sf_dir, "orders"))

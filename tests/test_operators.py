@@ -2503,3 +2503,106 @@ class TestRollingStats:
         rows = [(datetime.datetime(2024, 1, d, 1),) for d in range(1, 12)]
         df = spark.createDataFrame(rows, ["ts"])
         assert rolling_daily_stats(df, window_days=7).count() == 0
+
+
+class TestSplitLeakage:
+    def test_cross_split_dup_detected(self, spark):
+        from libcolumnfile_spark.operators.dedup import split_leakage
+        from libcolumnfile_spark.operators.pipeline import split_assign
+        from pyspark.sql import functions as F
+
+        base = "alpha beta gamma delta epsilon zeta"
+        # find two ids landing in different splits, give them identical text
+        probe = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+        splits = {
+            r["doc_id"]: r["s"]
+            for r in probe.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()
+        }
+        train_id = next(i for i, s in splits.items() if s == "train")
+        test_id = next(i for i, s in splits.items() if s == "test")
+        rows = [(train_id, base), (test_id, base)]
+        out = split_leakage(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["split_a"], r["split_b"], r["n_pairs"], r["n_docs_affected"]) == ("test", "train", 1, 2)
+
+    def test_same_split_dups_not_leakage(self, spark):
+        from libcolumnfile_spark.operators.dedup import split_leakage
+        from libcolumnfile_spark.operators.pipeline import split_assign
+        from pyspark.sql import functions as F
+
+        probe = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+        splits = {
+            r["doc_id"]: r["s"]
+            for r in probe.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()
+        }
+        a, b = [i for i, s in splits.items() if s == "train"][:2]
+        rows = [(a, "one two three four"), (b, "one two three four")]
+        assert split_leakage(spark.createDataFrame(rows, ["doc_id", "text"])).count() == 0
+
+
+class TestKAnonymity:
+    def test_small_classes_reported(self, spark):
+        from libcolumnfile_spark.operators.pipeline import kanonymity_audit
+
+        rows = [("en", "a")] * 6 + [("en", "b")] * 2 + [("fr", "a")]
+        df = spark.createDataFrame(rows, ["lang", "src"])
+        out = {(r["lang"], r["src"]): r["n"] for r in kanonymity_audit(df, ["lang", "src"], k=5).collect()}
+        assert out == {("en", "b"): 2, ("fr", "a"): 1}
+
+
+class TestDpCounts:
+    def test_noise_bounded_and_deterministic(self, spark):
+        from libcolumnfile_spark.operators.pipeline import dp_noisy_counts
+
+        rows = [(g,) for g in ("a", "b", "c") for _ in range(100)]
+        df = spark.createDataFrame(rows, ["src"])
+        out1 = {r["grp"]: r["n_noisy"] for r in dp_noisy_counts(df, "src").collect()}
+        out2 = {r["grp"]: r["n_noisy"] for r in dp_noisy_counts(df, "src").collect()}
+        assert out1 == out2  # seeded: reproducible
+        for g, v in out1.items():
+            assert v != 100  # noise applied
+            assert abs(v - 100) < 25  # Laplace(1) tail at md5 uniforms
+
+    def test_epsilon_scales_noise(self, spark):
+        from libcolumnfile_spark.operators.pipeline import dp_noisy_counts
+
+        df = spark.createDataFrame([("a",)] * 10, ["src"])
+        tight = dp_noisy_counts(df, "src", epsilon=10.0).collect()[0]["n_noisy"]
+        loose = dp_noisy_counts(df, "src", epsilon=0.1).collect()[0]["n_noisy"]
+        assert abs(tight - 10) * 10 <= abs(loose - 10) + 1e-9
+
+
+class TestRfmSegments:
+    def test_grid_partitions_customers(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.pipeline import rfm_segments
+
+        rows = []
+        for c in range(10):
+            # customer c: c+1 orders of value 100*(c+1), last order day c+1
+            for k in range(c + 1):
+                rows.append((c, datetime.datetime(2024, 1, c + 1), 100.0 * (c + 1)))
+        df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+        out = rfm_segments(df).collect()
+        assert sum(r["n_customers"] for r in out) == 10
+        # customer 9: most recent, most frequent, highest spend -> (5,5,5)
+        top = [r for r in out if (r["r_score"], r["f_score"], r["m_score"]) == (5, 5, 5)]
+        assert len(top) == 1 and top[0]["n_customers"] >= 1
+        # scores stay in 1..5
+        for r in out:
+            for c_ in ("r_score", "f_score", "m_score"):
+                assert 1 <= r[c_] <= 5
+
+    def test_exact_money_totals(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.pipeline import rfm_segments
+
+        rows = [(1, datetime.datetime(2024, 1, 1), 0.1)] * 3
+        df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+        out = rfm_segments(df).collect()
+        assert len(out) == 1
+        # 0.1+0.1+0.1 sums exactly as DECIMAL: 0.30, not 0.30000000000000004
+        assert out[0]["total_monetary"] == 0.3
