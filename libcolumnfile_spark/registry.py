@@ -82,7 +82,7 @@ _PRIORITY = [
     # writer/codec rep, exercising all 5 block codecs end-to-end, while
     # nested shredding stays byte-pinned in pytest and in the full audit)
     "q_columnfile_scan", "q_roundtrip",
-    "q_partition_pruned", "q_zorder_filter",
+    "q_partition_pruned", "q_kanonymity",
     # text analysis + IR (q_quality demoted past the window: the quality
     # family keeps q_gopher_rules and the round-5 classifier gate;
     # q_tfidf demoted — round-6's q_bm25_topk is the stronger IR rep)
@@ -103,7 +103,15 @@ _PRIORITY = [
     # and lang_id; the slot goes to the JS-divergence drift monitor, the
     # between-batch distribution-shift signal no other window query has)
     "q_corpus_drift", "q_lang_id", "q_gopher_rules",
-    "q_cooc_pmi", "q_rank_fusion", "q_ngram_novelty",
+    # (round 9 session 3: q_split_leakage supersedes q_cooc_pmi — the
+    # bigram-statistics family keeps q_ngram_lm/q_token_entropy/
+    # q_zipf_fit in every full audit and PMI rotates just past the
+    # window; the slot goes to the cross-split leakage audit, the
+    # internal decontamination twin. q_kanonymity supersedes
+    # q_zorder_filter — the layout/pruning surface keeps
+    # q_partition_pruned and q_compaction in-window; the slot gives the
+    # privacy triad (redact/verify/noise) its first window rep.)
+    "q_split_leakage", "q_rank_fusion", "q_ngram_novelty",
     # similarity reps inside the 50-query driver window: the PQ-ANN path
     # (round 9: q_sim_pq_seeded supersedes the Lloyd-trained q_sim_pq —
     # same encode+ADC mechanism over fixed seeded codebooks, which makes
@@ -195,7 +203,8 @@ _PRIORITY = [
     # session-3 additions not in the window — all full-oracle, all in
     # every audit
     "q_triangle_count", "q_quantize_int8", "q_distribution_match",
-    "q_dedup_incremental", "q_embedding_drift",
+    "q_dedup_incremental", "q_embedding_drift", "q_cooc_pmi",
+    "q_zorder_filter", "q_dp_counts", "q_rfm_segments",
     "q_js_divergence", "q_corr_matrix", "q_spearman", "q_benford",
     "q_cusum", "q_dedup_normalized", "q_event_lift", "q_rolling_stats",
     "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",

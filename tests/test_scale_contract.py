@@ -240,6 +240,13 @@ CONTRACTS = {
     "q_event_lift": (3.3, 5.5),     # x10 users => x10 baskets; pair join
                                     # bounded C(types,2) per user
     "q_rolling_stats": (1.6, 3.5),  # day-keyed count + day-bounded windows
+    "q_split_leakage": (3.7, 6.0),  # signature-blocked pair join; x10
+                                    # replicas multiply collision-group
+                                    # sizes (required cross-split pairs)
+    "q_kanonymity": (1.9, 3.5),     # one class-keyed count exchange
+    "q_dp_counts": (1.7, 3.5),      # group count + derived noise
+    "q_rfm_segments": (1.4, 3.0),   # customer-keyed agg + 1-row cut
+                                    # broadcasts + 125-cell exchange
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
