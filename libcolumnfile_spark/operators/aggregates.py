@@ -1353,3 +1353,91 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
 )
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(T(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — the FIX next to q_outlier_iqr's report: clip a numeric
+# column at exact percentile fences and publish the robust mean. The
+# standard pre-normalization step before any scale-sensitive model
+# feature. The winsorized sum decomposes exactly (middle values exact
+# DECIMAL + clip_count x fence), so the output carries no float-sum
+# rounding class at all.
+# ---------------------------------------------------------------------------
+
+
+def winsorize_stats(
+    df: DataFrame, col: str, lo_q: float = 0.05, hi_q: float = 0.95
+) -> DataFrame:
+    """One row: (n, n_low, n_high, lo, hi, mean_raw, mean_winsorized)
+    for ``col`` clipped at the exact [lo_q, hi_q] percentile fences.
+
+    Scale design: ONE exact-percentile aggregate broadcasts both fences
+    (the q_equidepth_hist recipe — no global sort), then ONE algebraic
+    aggregate computes every output: the middle-mass sum as EXACT
+    DECIMAL(18,2), the clipped counts, and the winsorized sum derived
+    as middle + n_low*lo + n_high*hi — pure arithmetic on engine-
+    identical doubles, so nothing here needs round() (the q_rfm_segments
+    money-rounding lesson).
+    """
+    fences = df.agg(
+        F.percentile(col, F.array(F.lit(lo_q), F.lit(hi_q))).alias("f")
+    ).select(F.col("f")[0].alias("lo"), F.col("f")[1].alias("hi"))
+    v = F.col(col)
+    s = df.crossJoin(F.broadcast(fences)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(v < F.col("lo")).alias("n_low"),
+        F.count_if(v > F.col("hi")).alias("n_high"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(v.cast("decimal(18,2)")).alias("sum_raw"),
+        F.sum(
+            F.when((v >= F.col("lo")) & (v <= F.col("hi")), v.cast("decimal(18,2)"))
+        ).alias("sum_mid"),
+    )
+    wsum = (
+        F.col("sum_mid").cast("double")
+        + F.col("n_low") * F.col("lo")
+        + F.col("n_high") * F.col("hi")
+    )
+    return s.select(
+        "n",
+        "n_low",
+        "n_high",
+        "lo",
+        "hi",
+        (F.col("sum_raw").cast("double") / F.col("n")).alias("mean_raw"),
+        (wsum / F.col("n")).alias("mean_winsorized"),
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle=(
+        "WITH f AS (SELECT quantile_cont(o_totalprice, [0.05, 0.95]) AS q "
+        "FROM orders), "
+        "g AS (SELECT q[1] AS lo, q[2] AS hi FROM f), "
+        "s AS (SELECT count(*) AS n, "
+        "count(*) FILTER (o_totalprice < lo) AS n_low, "
+        "count(*) FILTER (o_totalprice > hi) AS n_high, "
+        "max(lo) AS lo, max(hi) AS hi, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_raw, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "FILTER (o_totalprice >= lo AND o_totalprice <= hi) AS sum_mid "
+        "FROM orders CROSS JOIN g) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(n_low AS BIGINT) AS n_low, "
+        "CAST(n_high AS BIGINT) AS n_high, lo, hi, "
+        "CAST(sum_raw AS DOUBLE) / n AS mean_raw, "
+        "(CAST(sum_mid AS DOUBLE) + n_low * lo + n_high * hi) / n "
+        "AS mean_winsorized FROM s"
+    ),
+    doc=(
+        "Winsorized robust mean of o_totalprice at exact [p5, p95] "
+        "fences: one percentile broadcast + ONE algebraic aggregate; "
+        "the winsorized sum decomposes exactly (DECIMAL middle mass + "
+        "count x fence), so no round() appears anywhere in the money "
+        "path."
+    ),
+    tags=("agg", "stats", "pipeline"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorize_stats(T(spark, sf_dir, "orders"), "o_totalprice")

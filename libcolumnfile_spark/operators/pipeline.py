@@ -2446,3 +2446,96 @@ def rfm_segments(
 )
 def q_rfm_segments(spark, sf_dir):
     return rfm_segments(T(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning — the step BEFORE q_mix_weighted executes a mix:
+# given target mixture weights and a token budget, compute per-source
+# sampling rates and effective epoch counts from what's actually
+# available. The planning table every pretraining data order starts
+# from (and where over-epoching a scarce source becomes visible before
+# any data moves).
+# ---------------------------------------------------------------------------
+
+_MIX_PLAN_WEIGHTS = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+_MIX_PLAN_BUDGET = 50_000
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict,
+    total_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, available_tokens, target_tokens, rate, epochs) per
+    source in the target mix: rate = sampled fraction when the source
+    over-supplies (capped at 1), epochs > 1 flags repetition when it
+    under-supplies.
+
+    Scale design: ONE source-keyed token-count aggregate over the
+    corpus (map-side partials, source-cardinality-bounded exchange);
+    the weight table is a literal broadcast; everything after is
+    derived arithmetic on the bounded source table.
+    """
+    spark = df.sparkSession
+    avail = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("available_tokens"))
+    )
+    w = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())], ["source", "w"]
+    )
+    planned = avail.join(F.broadcast(w), "source")
+    target = F.round(F.col("w") * total_budget).cast("bigint")
+    return planned.select(
+        "source",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("available_tokens")), 6
+        ).alias("rate"),
+        F.round(target / F.col("available_tokens"), 4).alias("epochs"),
+    )
+
+
+def _mix_plan_oracle() -> str:
+    wrows = " UNION ALL ".join(
+        f"SELECT '{k}' AS source, CAST({v!r} AS DOUBLE) AS w"
+        for k, v in sorted(_MIX_PLAN_WEIGHTS.items())
+    )
+    b = _MIX_PLAN_BUDGET
+    return (
+        "WITH a AS (SELECT source, "
+        "sum(len(string_split_regex(lower(trim(text)), '\\s+'))) "
+        "AS available_tokens FROM documents GROUP BY source), "
+        f"w AS ({wrows}) "
+        "SELECT a.source, CAST(available_tokens AS BIGINT) AS available_tokens, "
+        f"CAST(round(w * {b}) AS BIGINT) AS target_tokens, "
+        f"round(least(1.0, round(w * {b}) / CAST(available_tokens AS DOUBLE)), 6) "
+        "AS rate, "
+        f"round(round(w * {b}) / CAST(available_tokens AS DOUBLE), 4) AS epochs "
+        "FROM a JOIN w ON a.source = w.source"
+    )
+
+
+@query(
+    "q_mix_plan",
+    oracle=_mix_plan_oracle(),
+    doc=(
+        "Pretraining mixture plan: per-source available tokens from ONE "
+        "source-keyed aggregate vs literal target weights and a token "
+        "budget — sampling rate (capped 1) and effective epochs per "
+        "source; the planning table before q_mix_weighted moves data, "
+        "where over-epoching a scarce source becomes visible first."
+    ),
+    tags=("pipeline", "sampling", "stats"),
+)
+def q_mix_plan(spark, sf_dir):
+    return mixture_plan(
+        T(spark, sf_dir, "documents"), _MIX_PLAN_WEIGHTS, _MIX_PLAN_BUDGET
+    )

@@ -3073,3 +3073,95 @@ def dsir_weights(
 )
 def q_dsir_weights(spark, sf_dir):
     return dsir_weights(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter threshold sweep — the operating-point table read
+# before committing to a filter cut: for each candidate threshold, how
+# many documents and what fraction of the TOKEN budget survive. Run
+# once per candidate model; the chosen point becomes
+# q_classifier_filter's production threshold.
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = [-0.2, -0.15, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15, 0.2]
+
+
+def threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(threshold, n_kept, frac_docs, frac_tokens) for each candidate
+    classifier threshold.
+
+    Scale design: ONE algebraic aggregate computes every sweep point —
+    per-threshold conditional doc and token sums ride the same 1-row
+    exchange next to the totals (the q_corr_matrix shape); the
+    per-threshold unpivot explodes after aggregation. Scoring is the
+    map-side Catalyst classifier (no UDF, no shuffle). The naive form
+    — one filtered pass per threshold — scans the corpus k times.
+    """
+    scored = df.select(
+        classifier_score(F.col(text_col)).alias("s"),
+        token_count(F.col(text_col)).alias("tok"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tok").alias("t"),
+    ]
+    for i, th in enumerate(_SWEEP_THRESHOLDS):
+        keep = F.col("s") >= F.lit(th)
+        aggs.append(F.count_if(keep).alias(f"k{i}"))
+        aggs.append(F.sum(F.when(keep, F.col("tok")).otherwise(0)).alias(f"kt{i}"))
+    s = scored.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(th).alias("threshold"),
+            F.col(f"k{i}").alias("n_kept"),
+            F.round(F.col(f"k{i}") / F.col("n"), 6).alias("frac_docs"),
+            F.round(F.col(f"kt{i}") / F.col("t"), 6).alias("frac_tokens"),
+        )
+        for i, th in enumerate(_SWEEP_THRESHOLDS)
+    ]
+    return s.select(F.explode(F.array(*rows)).alias("x")).select("x.*")
+
+
+def _threshold_sweep_oracle() -> str:
+    from libcolumnfile_spark.operators.text import _clf_weights, _CLF_DIM
+    from libcolumnfile_spark.operators.pipeline import _bucket_sql
+
+    wlit = "[" + ", ".join(repr(float(x)) for x in _clf_weights()) + "]"
+    bucket = _bucket_sql("tk", _CLF_DIM)
+    sums = ["count(*) AS n", "sum(tok) AS t"]
+    for i, th in enumerate(_SWEEP_THRESHOLDS):
+        sums.append(f"count(*) FILTER (s >= {th!r}) AS k{i}")
+        sums.append(f"sum(tok) FILTER (s >= {th!r}) AS kt{i}")
+    rows = [
+        f"SELECT CAST({th!r} AS DOUBLE) AS threshold, CAST(k{i} AS BIGINT) AS n_kept, "
+        f"round(k{i} / CAST(n AS DOUBLE), 6) AS frac_docs, "
+        f"round(kt{i} / CAST(t AS DOUBLE), 6) AS frac_tokens FROM a"
+        for i, th in enumerate(_SWEEP_THRESHOLDS)
+    ]
+    return (
+        "WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') "
+        "AS toks FROM documents), "
+        f"sc AS (SELECT round(list_sum(list_transform(toks, tk -> {wlit}"
+        f"[({bucket}) + 1])) / len(toks), 6) AS s, "
+        "len(toks) AS tok FROM t), "
+        f"a AS (SELECT {', '.join(sums)} FROM sc) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query(
+    "q_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    doc=(
+        "Quality-filter operating-point sweep: per-threshold surviving "
+        "doc and token fractions, every sweep point computed by ONE "
+        "algebraic aggregate over the map-side Catalyst classifier "
+        "score (the q_corr_matrix single-exchange shape; the naive "
+        "form scans the corpus once per threshold)."
+    ),
+    tags=("text", "pipeline", "stats"),
+)
+def q_threshold_sweep(spark, sf_dir):
+    return threshold_sweep(T(spark, sf_dir, "documents"))
+
+

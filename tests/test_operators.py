@@ -2606,3 +2606,64 @@ class TestRfmSegments:
         assert len(out) == 1
         # 0.1+0.1+0.1 sums exactly as DECIMAL: 0.30, not 0.30000000000000004
         assert out[0]["total_monetary"] == 0.3
+
+
+class TestThresholdSweep:
+    def test_monotone_and_bounded(self, spark):
+        from libcolumnfile_spark.operators.text import threshold_sweep
+
+        rows = [(i, f"doc{i} word{i % 7} token{i % 13} filler{i % 3}") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = sorted(threshold_sweep(df).collect(), key=lambda r: r["threshold"])
+        assert len(out) == 9
+        kept = [r["n_kept"] for r in out]
+        assert kept == sorted(kept, reverse=True)  # higher cut keeps fewer
+        for r in out:
+            assert 0.0 <= r["frac_docs"] <= 1.0
+            assert 0.0 <= r["frac_tokens"] <= 1.0
+
+
+class TestWinsorize:
+    def test_outliers_clipped_to_fences(self, spark):
+        from libcolumnfile_spark.operators.aggregates import winsorize_stats
+
+        # 98 values of 10.0 + two extremes: fences land at 10, so the
+        # winsorized mean is exactly 10 while the raw mean is pulled up
+        rows = [(10.0,)] * 98 + [(0.0,), (1000.0,)]
+        df = spark.createDataFrame(rows, ["x"])
+        r = winsorize_stats(df, "x").collect()[0]
+        assert (r["n"], r["n_low"], r["n_high"]) == (100, 1, 1)
+        assert r["lo"] == 10.0 and r["hi"] == 10.0
+        assert r["mean_winsorized"] == 10.0
+        assert r["mean_raw"] > 10.0
+
+    def test_no_outliers_means_equal(self, spark):
+        from libcolumnfile_spark.operators.aggregates import winsorize_stats
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 11)], ["x"])
+        r = winsorize_stats(df, "x", lo_q=0.0, hi_q=1.0).collect()[0]
+        assert r["n_low"] == 0 and r["n_high"] == 0
+        assert r["mean_raw"] == r["mean_winsorized"] == 5.5
+
+
+class TestMixturePlan:
+    def test_rates_and_epochs(self, spark):
+        from libcolumnfile_spark.operators.pipeline import mixture_plan
+
+        rows = [("a", "w " * 100), ("b", "w " * 10)]
+        df = spark.createDataFrame(rows, ["source", "text"])
+        out = {r["source"]: r for r in mixture_plan(df, {"a": 0.5, "b": 0.5}, 40).collect()}
+        # a has 100 tokens, needs 20 -> rate 0.2, epochs 0.2
+        assert out["a"]["available_tokens"] == 100
+        assert out["a"]["target_tokens"] == 20
+        assert out["a"]["rate"] == 0.2 and out["a"]["epochs"] == 0.2
+        # b has 10 tokens, needs 20 -> rate capped at 1, epochs 2
+        assert out["b"]["rate"] == 1.0 and out["b"]["epochs"] == 2.0
+
+    def test_sources_outside_mix_excluded(self, spark):
+        from libcolumnfile_spark.operators.pipeline import mixture_plan
+
+        rows = [("a", "w w"), ("c", "w w")]
+        df = spark.createDataFrame(rows, ["source", "text"])
+        out = mixture_plan(df, {"a": 1.0}, 10).collect()
+        assert [r["source"] for r in out] == ["a"]
