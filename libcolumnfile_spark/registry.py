@@ -207,6 +207,7 @@ _PRIORITY = [
     "q_zorder_filter", "q_dp_counts", "q_rfm_segments",
     "q_js_divergence", "q_corr_matrix", "q_spearman", "q_benford",
     "q_cusum", "q_dedup_normalized", "q_event_lift", "q_rolling_stats",
+    "q_threshold_sweep", "q_winsorize", "q_mix_plan",
     "q_topk", "q_fingerprint_winnow", "q_classifier_filter", "q_semdedup",
     # round-9 session-2 additions placed just past the window (their
     # families hold in-window reps: graph = pagerank_docs/triangle,

@@ -247,6 +247,10 @@ CONTRACTS = {
     "q_dp_counts": (1.7, 3.5),      # group count + derived noise
     "q_rfm_segments": (1.4, 3.0),   # customer-keyed agg + 1-row cut
                                     # broadcasts + 125-cell exchange
+    "q_threshold_sweep": (0.9, 2.5),  # ONE algebraic agg, map-side scorer:
+                                    # flat by design
+    "q_winsorize": (2.0, 3.5),      # percentile broadcast + ONE algebraic agg
+    "q_mix_plan": (0.9, 2.5),       # source-keyed token agg: flat by design
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
     # bounds per-output-row cost staying flat. Its t1 is bimodal
