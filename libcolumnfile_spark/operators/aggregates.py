@@ -1105,26 +1105,29 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     aggregation. The naive k^2 passes (one df.stat.corr per pair) scan
     the corpus C(k,2) times for the same answer.
     """
+    # aliases are POSITIONAL (s_0, q_0, p_0_1): name-derived aliases like
+    # p_{a}_{b} collide for underscore-bearing column names (p_x_y_z is
+    # both (x, y_z) and (x_y, z))
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
-    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    for a, b in pairs:
-        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c)).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{i}"))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    for i, j in pairs:
+        aggs.append(F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"p_{i}_{j}"))
     s = df.agg(*aggs)
     n = F.col("n")
     structs = []
-    for a, b in pairs:
-        num = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+    for i, j in pairs:
+        num = n * F.col(f"p_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")
         den = F.sqrt(
-            (n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
-            * (n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            (n * F.col(f"q_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}"))
+            * (n * F.col(f"q_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}"))
         )
         structs.append(
             F.struct(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
                 F.round(num / den, 4).alias("r"),
             )
         )
@@ -1136,20 +1139,22 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 def _corr_matrix_oracle() -> str:
     sums = ["count(*)::DOUBLE AS n"]
-    for c in _CORR_COLS:
-        sums.append(f"sum({c}) AS s_{c}")
-        sums.append(f"sum({c} * {c}) AS q_{c}")
+    for i, c in enumerate(_CORR_COLS):
+        sums.append(f"sum({c}) AS s_{i}")
+        sums.append(f"sum({c} * {c}) AS q_{i}")
     pairs = [
-        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+        (i, j)
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
     ]
-    for a, b in pairs:
-        sums.append(f"sum({a} * {b}) AS p_{a}_{b}")
+    for i, j in pairs:
+        sums.append(f"sum({_CORR_COLS[i]} * {_CORR_COLS[j]}) AS p_{i}_{j}")
     rows = []
-    for a, b in pairs:
+    for i, j in pairs:
         rows.append(
-            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
-            f"round((n * p_{a}_{b} - s_{a} * s_{b}) / "
-            f"sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b})), 4) "
+            f"SELECT '{_CORR_COLS[i]}' AS col_a, '{_CORR_COLS[j]}' AS col_b, "
+            f"round((n * p_{i}_{j} - s_{i} * s_{j}) / "
+            f"sqrt((n * q_{i} - s_{i} * s_{i}) * (n * q_{j} - s_{j} * s_{j})), 4) "
             "AS r FROM s"
         )
     return f"WITH s AS (SELECT {', '.join(sums)} FROM lineitem) " + " UNION ALL ".join(rows)

@@ -2438,7 +2438,6 @@ def record_linkage(
         F.col(id_col).alias("key_b"),
         F.col(name_col).alias("name_b"),
         F.col(block_col).alias("blk"),
-        F.col(num_col).alias("num_b"),
         F.explode(
             F.array(
                 *[F.col(num_col) + d for d in range(-num_slack, num_slack + 1)]
@@ -2534,10 +2533,13 @@ def split_leakage(
     g = toks.select(
         "id", "split", shingles_from_tokens(F.col("toks"), shingle_n).alias("grams")
     ).filter(F.size("grams") > 0)
-    h = g.select("id", F.explode("grams").alias("gram")).select(
-        "id", md5_gram_hash(F.col("gram")).alias("h")
+    h = g.select("id", "split", F.explode("grams").alias("gram")).select(
+        "id", "split", md5_gram_hash(F.col("gram")).alias("h")
     )
-    sig = h.groupBy("id").agg(
+    # split rides the aggregate key (it is a pure function of id), so
+    # the signature table never needs a second doc-keyed join to
+    # re-attach it — one less corpus-sized exchange
+    sig = h.groupBy("id", "split").agg(
         *[
             F.min(F.pmod(F.col("h") * F.lit(pa) + F.lit(pb), F.lit(_MERSENNE_31)))
             .cast("string")
@@ -2545,7 +2547,7 @@ def split_leakage(
             for i, (pa, pb) in enumerate(params)
         ]
     )
-    keyed = sig.join(g.select("id", "split").hint("shuffle_hash"), "id").select(
+    keyed = sig.select(
         "id",
         "split",
         F.concat_ws(",", *[f"_s{i}" for i in range(n_hashes)]).alias("sig_key"),

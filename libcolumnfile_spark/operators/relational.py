@@ -1658,8 +1658,17 @@ def rolling_daily_stats(
     df: DataFrame, ts_col: str = "ts", window_days: int = 7
 ) -> DataFrame:
     """(day, cnt, mean_w, sd_w, z) per day with a FULL trailing window
-    of ``window_days`` PRIOR days (the current day is scored against
-    the preceding window, so a spike never suppresses its own alarm).
+    of ``window_days`` PRIOR CALENDAR days (the current day is scored
+    against the preceding window, so a spike never suppresses its own
+    alarm).
+
+    The frame is a RANGE over the day NUMBER, not a ROWS frame: a
+    zero-event day is simply absent from the daily aggregate, and a
+    ROWS frame would silently reach past it into older history — the
+    window would be "last 7 observed days", not "last 7 days". The
+    n_win == window_days guard then also enforces calendar
+    completeness: a gap anywhere in the trailing week drops the row
+    rather than scoring it against the wrong baseline.
 
     Scale design: one day-keyed count aggregate is the only corpus-
     sized exchange; every window runs over the day-bounded series
@@ -1670,7 +1679,10 @@ def rolling_daily_stats(
     daily = df.groupBy(
         F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("day").rowsBetween(-window_days, -1)
+    daily = daily.withColumn(
+        "day_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-window_days, -1)
     scored = daily.select(
         "day",
         "cnt",
@@ -1695,11 +1707,15 @@ def rolling_daily_stats(
     "q_rolling_stats",
     oracle=(
         "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
-        "count(*) AS cnt FROM events GROUP BY 1), "
+        "count(*) AS cnt, "
+        "datediff('day', DATE '1970-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) AS day_num "
+        "FROM events GROUP BY 1, 3), "
         "s AS (SELECT day, cnt, "
         "count(*) OVER w AS n_win, avg(cnt) OVER w AS mean_w, "
         "stddev(cnt) OVER w AS sd_w FROM daily "
-        "WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+        "WINDOW w AS (ORDER BY day_num "
+        "RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
         "SELECT day, cnt, round(mean_w, 4) AS mean_w, "
         "round(sd_w, 4) AS sd_w, "
         "round((cnt - mean_w) / sd_w, 4) AS z "
@@ -1707,10 +1723,11 @@ def rolling_daily_stats(
     ),
     doc=(
         "7-day trailing monitoring bands over daily event volume: each "
-        "day z-scored against its own PRIOR window (spikes can't "
-        "suppress their own alarm); one day-keyed count exchange, all "
-        "windows day-bounded — the drift-adaptive alarm between "
-        "q_seasonal_anomaly and q_cusum."
+        "day z-scored against its own PRIOR CALENDAR-day RANGE window "
+        "(spikes can't suppress their own alarm; zero-event gaps drop "
+        "the row instead of stretching the baseline); one day-keyed "
+        "count exchange, all windows day-bounded — the drift-adaptive "
+        "alarm between q_seasonal_anomaly and q_cusum."
     ),
     tags=("events", "stats", "window"),
 )

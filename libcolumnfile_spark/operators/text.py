@@ -2888,7 +2888,12 @@ def q_coverage_curve(spark, sf_dir):
 
 
 def source_js_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(src_a, src_b, n_common, js) for every unordered source pair.
+    """(src_a, src_b, n_common, js) for every unordered source pair
+    SHARING at least one token — a pair with fully disjoint
+    vocabularies (JS exactly 1) never reaches the inner join and is
+    absent from the output by design (enshrined in the unit tests);
+    real corpora never hit this, but a heatmap consumer should treat a
+    missing cell as js = 1, not as missing data.
 
     Scale design: the corpus collapses to ONE (source, token)-keyed
     count aggregate; per-source totals are a source-cardinality-bounded
@@ -3108,7 +3113,9 @@ def threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
     for i, th in enumerate(_SWEEP_THRESHOLDS):
         keep = F.col("s") >= F.lit(th)
         aggs.append(F.count_if(keep).alias(f"k{i}"))
-        aggs.append(F.sum(F.when(keep, F.col("tok")).otherwise(0)).alias(f"kt{i}"))
+        # no .otherwise(0): an all-dropped threshold must yield NULL to
+        # match the oracle's sum(..) FILTER semantics, not a 0.0 row
+        aggs.append(F.sum(F.when(keep, F.col("tok"))).alias(f"kt{i}"))
     s = scored.agg(*aggs)
     rows = [
         F.struct(
@@ -3139,11 +3146,14 @@ def _threshold_sweep_oracle() -> str:
         for i, th in enumerate(_SWEEP_THRESHOLDS)
     ]
     return (
-        "WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') "
+        "WITH t AS (SELECT text, string_split_regex(lower(trim(text)), '\\s+') "
         "AS toks FROM documents), "
         f"sc AS (SELECT round(list_sum(list_transform(toks, tk -> {wlit}"
         f"[({bucket}) + 1])) / len(toks), 6) AS s, "
-        "len(toks) AS tok FROM t), "
+        # empty-text guard: token_count() is 0 for blank docs, DuckDB's
+        # unguarded len() would be 1 (the repo-standard oracle CASE)
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS tok "
+        "FROM t), "
         f"a AS (SELECT {', '.join(sums)} FROM sc) "
         + " UNION ALL ".join(rows)
     )

@@ -196,12 +196,14 @@ _PRIORITY = [
     # FIRST past the window (strong reps, just not hash-oracle-able),
     # followed by the four oracled queries the round-9 rotation demoted
     "q_sim_pq", "q_bpe_train",
-    # round-9 session-3 rotation: the three demoted former window
-    # occupants (each family keeps an in-window rep: graph =
-    # pagerank_docs/adamic_adar, embedding audit = silhouette/
-    # sim_pq_seeded, sampling = dsir_weights/domain_cap), then the five
-    # session-3 additions not in the window — all full-oracle, all in
-    # every audit
+    # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
+    # window additions): the demoted former window occupants first
+    # (each family keeps an in-window rep: graph = pagerank_docs/
+    # adamic_adar, embedding audit = silhouette/sim_pq_seeded,
+    # sampling = dsir_weights/domain_cap, drift = corpus_drift,
+    # dedup = minhash_verified/span/eval, stats = cooc -> ngram_lm and
+    # friends in the full audit), then the session-3 additions not in
+    # the window — all full-oracle, all in every audit
     "q_triangle_count", "q_quantize_int8", "q_distribution_match",
     "q_dedup_incremental", "q_embedding_drift", "q_cooc_pmi",
     "q_zorder_filter", "q_dp_counts", "q_rfm_segments",

@@ -2667,3 +2667,23 @@ class TestMixturePlan:
         df = spark.createDataFrame(rows, ["source", "text"])
         out = mixture_plan(df, {"a": 1.0}, 10).collect()
         assert [r["source"] for r in out] == ["a"]
+
+
+class TestRollingStatsCalendarGaps:
+    def test_gap_in_window_drops_row(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import rolling_daily_stats
+
+        # days 1-9 with day 4 missing entirely: no day has a COMPLETE
+        # 7-calendar-day prior window, so nothing is scored (a ROWS
+        # frame would wrongly stretch past the gap and emit day 9)
+        counts = {9: 3}
+        rows = [
+            (datetime.datetime(2024, 1, d, h + 1),)
+            for d in range(1, 10)
+            if d != 4
+            for h in range(counts.get(d, 1))
+        ]
+        df = spark.createDataFrame(rows, ["ts"])
+        assert rolling_daily_stats(df, window_days=7).count() == 0
