@@ -1107,14 +1107,24 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     # aliases are POSITIONAL (s_0, q_0, p_0_1): name-derived aliases like
     # p_{a}_{b} collide for underscore-bearing column names (p_x_y_z is
-    # both (x, y_z) and (x_y, z))
+    # both (x, y_z) and (x_y, z)). Sums and cross-sums run in
+    # decimal(18,2) — exact, partial-aggregation-order-independent on
+    # both engines (the winsorize_stats discipline) — and cast to
+    # double only for the final r derivation, so a correlation near a
+    # 4th-decimal rounding boundary cannot flip the hash between
+    # engines/runs.
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for i, c in enumerate(cols):
-        aggs.append(F.sum(F.col(c)).alias(f"s_{i}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{i}"))
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{i}"))
+        aggs.append(F.sum(dec[c] * dec[c]).cast("double").alias(f"q_{i}"))
     pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
     for i, j in pairs:
-        aggs.append(F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"p_{i}_{j}"))
+        aggs.append(
+            F.sum(dec[cols[i]] * dec[cols[j]])
+            .cast("double")
+            .alias(f"p_{i}_{j}")
+        )
     s = df.agg(*aggs)
     n = F.col("n")
     structs = []
@@ -1140,15 +1150,21 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def _corr_matrix_oracle() -> str:
     sums = ["count(*)::DOUBLE AS n"]
     for i, c in enumerate(_CORR_COLS):
-        sums.append(f"sum({c}) AS s_{i}")
-        sums.append(f"sum({c} * {c}) AS q_{i}")
+        sums.append(f"sum(CAST({c} AS DECIMAL(18,2)))::DOUBLE AS s_{i}")
+        sums.append(
+            f"sum(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)))"
+            f"::DOUBLE AS q_{i}"
+        )
     pairs = [
         (i, j)
         for i in range(len(_CORR_COLS))
         for j in range(i + 1, len(_CORR_COLS))
     ]
     for i, j in pairs:
-        sums.append(f"sum({_CORR_COLS[i]} * {_CORR_COLS[j]}) AS p_{i}_{j}")
+        sums.append(
+            f"sum(CAST({_CORR_COLS[i]} AS DECIMAL(18,2)) * "
+            f"CAST({_CORR_COLS[j]} AS DECIMAL(18,2)))::DOUBLE AS p_{i}_{j}"
+        )
     rows = []
     for i, j in pairs:
         rows.append(

@@ -2283,24 +2283,36 @@ def q_kanonymity(spark, sf_dir):
 
 
 def dp_noisy_counts(
-    df: DataFrame, group_col: str, epsilon: float = 1.0
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: "str | None" = None,
 ) -> DataFrame:
     """(group, n_noisy) per group: true count + Laplace(1/epsilon)
     noise via the inverse-CDF of a seeded md5 uniform.
 
-    The uniform derives from the GROUP KEY's md5 (deterministic here so
-    the SQL oracle can verify the release arithmetic end-to-end; a
-    production release swaps in one secret per-release salt — same
-    plan, same epsilon accounting). Scale design: one group-keyed count
-    exchange; the noise is derived arithmetic on the group row. The
-    (v + 0.5) / 2^32 uniform can never equal 0.5 exactly, so the
-    inverse CDF never sees log(0).
+    WARNING — with ``salt=None`` this is a DP *mechanism demo*, NOT a
+    private release: the noise derives solely from the PUBLIC group
+    key's md5, so anyone can recompute it and recover the exact counts
+    (zero effective differential privacy). An actual release MUST pass
+    a secret, single-use per-release ``salt`` (same plan, same epsilon
+    accounting); only the declared oracle query pins ``salt=None`` so
+    DuckDB can verify the release arithmetic end-to-end.
+
+    Scale design: one group-keyed count exchange; the noise is derived
+    arithmetic on the group row. The (v + 0.5) / 2^32 uniform can never
+    equal 0.5 exactly, so the inverse CDF never sees log(0).
     """
     cnt = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    seed_src = (
+        F.col("grp")
+        if salt is None
+        else F.concat(F.lit(str(salt)), F.lit("|"), F.col("grp"))
+    )
     u = (
-        F.conv(F.substring(F.md5(F.col("grp")), 1, 8), 16, 10).cast("double")
+        F.conv(F.substring(F.md5(seed_src), 1, 8), 16, 10).cast("double")
         + 0.5
     ) / F.lit(float(1 << 32))
     b = 1.0 / epsilon
@@ -2335,7 +2347,9 @@ def dp_noisy_counts(
     tags=("pipeline", "privacy", "stats"),
 )
 def q_dp_counts(spark, sf_dir):
-    return dp_noisy_counts(T(spark, sf_dir, "documents"), "source")
+    # salt=None (mechanism demo) ONLY so the DuckDB oracle can replay
+    # the arithmetic; see the dp_noisy_counts warning.
+    return dp_noisy_counts(T(spark, sf_dir, "documents"), "source", salt=None)
 
 
 # ---------------------------------------------------------------------------
