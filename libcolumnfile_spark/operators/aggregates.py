@@ -1462,3 +1462,320 @@ def winsorize_stats(
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_stats(T(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of a score against a binary label — the classifier-eval
+# primitive every quality-filter pipeline runs before trusting a score
+# as a gate ("does events.value actually separate purchases from the
+# rest?"). AUC is the pair-win probability, so the naive form is an
+# O(P*N) pair join; the rank identity AUC = U / (P*N) computes it
+# pair-free on the distinct-value count table (the q_mannwhitney
+# machinery, reframed as the eval metric with tie handling).
+# ---------------------------------------------------------------------------
+
+
+def auc_roc(
+    df: DataFrame, score_col: str, pos_pred
+) -> DataFrame:
+    """One-row ROC-AUC of ``score_col`` for the positive class defined
+    by the boolean column expression ``pos_pred``: (n_pos, n_neg, auc,
+    gini) — ties counted half (the trapezoidal/Mann-Whitney AUC),
+    gini = 2*auc - 1.
+
+    Scale design: ONE score-keyed count aggregate over the data rows
+    (map-side partials), then one running-sum window over the DISTINCT-
+    score table — bounded by score cardinality, not row count (for
+    continuous scores at 100 TB, pre-bucket to fixed precision, which
+    perturbs AUC by at most one bucket of rank mass). The U sum and the
+    final division are derived arithmetic on that bounded table; no
+    pos x neg pair join anywhere.
+    """
+    vt = df.select(
+        F.col(score_col).alias("v"),
+        pos_pred.cast("int").alias("is_pos"),
+    ).groupBy("v").agg(
+        F.count_if(F.col("is_pos") == 1).alias("cp"),
+        F.count_if(F.col("is_pos") == 0).alias("cn"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    per_v = vt.select(
+        "cp",
+        "cn",
+        F.coalesce(F.sum("cn").over(w), F.lit(0)).alias("cum_n"),
+    )
+    s = per_v.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.sum(F.col("cp") * (F.col("cum_n") + F.col("cn") / F.lit(2.0))).alias("u"),
+    )
+    auc = F.col("u") / (F.col("n_pos") * F.col("n_neg"))
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+@query(
+    "q_auc_roc",
+    oracle=(
+        "WITH vt AS (SELECT value AS v, "
+        "count(*) FILTER (event_type = 'purchase') AS cp, "
+        "count(*) FILTER (event_type <> 'purchase') AS cn "
+        "FROM events GROUP BY v), "
+        "pv AS (SELECT cp, cn, coalesce(sum(cn) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n "
+        "FROM vt), "
+        "s AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos, "
+        "CAST(sum(cn) AS BIGINT) AS n_neg, "
+        "sum(cp * (cum_n + cn / 2.0)) AS u FROM pv) "
+        "SELECT n_pos, n_neg, round(u / (n_pos * n_neg), 6) AS auc, "
+        "round(2.0 * u / (n_pos * n_neg) - 1.0, 6) AS gini FROM s"
+    ),
+    doc=(
+        "ROC-AUC (+ gini) of events.value as a purchase classifier, "
+        "computed pair-free via the rank identity AUC = U/(P*N) on the "
+        "distinct-score count table: one score-keyed aggregate + one "
+        "cardinality-bounded running-sum window — never the O(P*N) "
+        "pair join."
+    ),
+    tags=("agg", "stats", "eval"),
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return auc_roc(ev, "value", F.col("event_type") == "purchase")
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend — slope / intercept / R^2 of a daily count series
+# per event type, via the closed-form sum decomposition. The "is this
+# source growing or dying?" monitor a corpus-ingest dashboard runs, and
+# the one regression every analytics engine ships (DuckDB regr_slope,
+# Spark regr_* in 3.4+) — implemented here on the sum identities so the
+# arithmetic is engine-identical and the exchange stays bounded.
+# ---------------------------------------------------------------------------
+
+
+def trend_ols(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    epoch_date: str = "2024-01-01",
+) -> DataFrame:
+    """(group, n_days, slope, intercept, r2) per group: OLS of daily
+    event count against day index (days since ``epoch_date``).
+
+    Scale design: ONE (group, day)-keyed count aggregate over the data
+    (map-side partials; exchange bounded by groups x days), then ONE
+    group-keyed algebraic aggregate of the five OLS sums (sx, sy, sxx,
+    sxy, syy) — all integer-valued, so every engine computes them
+    EXACTLY regardless of partial-aggregation order; doubles appear
+    only in the final slope/intercept/r2 derivation on the k-row
+    result. Degenerate groups (single day: zero x-variance) emit NULL
+    slope/r2 rather than a division blowup.
+    """
+    daily = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.datediff(F.to_date(ts_col), F.to_date(F.lit(epoch_date))).alias("x"),
+        )
+        .groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, cov / vx)
+    return s.select(
+        "grp",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)), 6
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q_trend_ols",
+    oracle=(
+        "WITH daily AS (SELECT event_type AS grp, "
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, "
+        "count(*) AS y FROM events GROUP BY 1, 2), "
+        "s AS (SELECT grp, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy "
+        "FROM daily GROUP BY grp) "
+        "SELECT grp, n_days, "
+        "round(CASE WHEN n_days * sxx - sx * sx > 0 THEN "
+        "(n_days * sxy - CAST(sx AS DOUBLE) * sy) / (n_days * sxx - sx * sx) "
+        "END, 6) AS slope, "
+        "round((sy - (CASE WHEN n_days * sxx - sx * sx > 0 THEN "
+        "(n_days * sxy - CAST(sx AS DOUBLE) * sy) / (n_days * sxx - sx * sx) "
+        "END) * sx) / n_days, 6) AS intercept, "
+        "round(CASE WHEN n_days * sxx - sx * sx > 0 "
+        "AND n_days * syy - sy * sy > 0 THEN "
+        "(n_days * sxy - CAST(sx AS DOUBLE) * sy) "
+        "* (n_days * sxy - CAST(sx AS DOUBLE) * sy) "
+        "/ ((n_days * sxx - sx * sx) * CAST(n_days * syy - sy * sy AS DOUBLE)) "
+        "END, 6) AS r2 FROM s"
+    ),
+    doc=(
+        "Per-event-type OLS trend (slope/intercept/R^2) of the daily "
+        "count series via the closed-form sum identities: one "
+        "(type, day) count exchange + one type-keyed algebraic "
+        "aggregate of integer OLS sums (exact under any partial-agg "
+        "order); doubles only in the final k-row derivation."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trend_ols(T(spark, sf_dir, "events"), "event_type", "ts")
+
+
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-conversion — the survival curve of "hours from a
+# user's first event to their first purchase", right-censoring users
+# who never convert at the end of the observation log. The product-
+# limit estimator is a cumulative product over event times, which at
+# engine scale is exp(running-sum(ln)) over the DISTINCT-duration
+# table — never a per-user scan.
+# ---------------------------------------------------------------------------
+
+
+def kaplan_meier_conversion(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    convert_pred,
+) -> DataFrame:
+    """(t_hours, n_risk, d_events, surv) per distinct time-to-convert
+    with observed conversions: the Kaplan-Meier product-limit estimate
+    S(t), rounded to 6. t = whole hours from a subject's first event to
+    its first event satisfying ``convert_pred``; subjects that never
+    convert are right-censored at the global log horizon.
+
+    Scale design: ONE subject-keyed aggregate (min ts, min converting
+    ts — conditional min, no second pass), one 1-row horizon broadcast,
+    then one duration-keyed count aggregate — every KM window after
+    that runs on the DISTINCT-DURATION table, bounded by the
+    observation window in hours, not subject count. The cumulative
+    product is exp(running-sum(ln(1 - d/n))); a step that exhausts the
+    risk set is carried through a running-max flag so survival pins to
+    exactly 0.0 without ln(0) (Spark F.log returns NULL at 0, DuckDB
+    -inf — the flag sidesteps both).
+    """
+    per = df.groupBy(id_col).agg(
+        F.min(ts_col).alias("first_ts"),
+        F.min(F.when(convert_pred, F.col(ts_col))).alias("conv_ts"),
+    )
+    horizon = df.agg(F.max(ts_col).alias("max_ts"))
+    # exact epoch-microsecond arithmetic (bigint on both engines; the
+    # relational._epoch_us idiom — NTZ must go through a timestamp cast)
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    end_us = _us(F.coalesce(F.col("conv_ts"), F.col("max_ts")))
+    dt = end_us - _us(F.col("first_ts"))
+    hour_us = F.lit(3_600_000_000)
+    # exact bigint floor-division (a double quotient can truncate one
+    # ulp under the true integer at exact-multiple boundaries)
+    t = ((dt - dt % hour_us) / hour_us).cast("bigint")
+    u = per.crossJoin(F.broadcast(horizon)).select(
+        t.alias("t"),
+        F.col("conv_ts").isNotNull().cast("int").alias("obs"),
+    )
+    vt = u.groupBy("t").agg(
+        F.count_if(F.col("obs") == 1).alias("d"),
+        F.count_if(F.col("obs") == 0).alias("c"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = F.sum(F.col("d") + F.col("c")).over(w_all) - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+    )
+    pv = vt.select("t", "d", at_risk.alias("n_risk"))
+    lt = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    exhausted = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    surv = F.when(exhausted == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(lt).over(w_cum))
+    )
+    return (
+        pv.select(
+            F.col("t").alias("t_hours"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            F.round(surv, 6).alias("surv"),
+        )
+        .filter(F.col("d_events") > 0)
+    )
+
+
+@query(
+    "q_survival_km",
+    oracle=(
+        "WITH pu AS (SELECT user_id, min(ts) AS f, "
+        "min(ts) FILTER (event_type = 'purchase') AS cv "
+        "FROM events GROUP BY 1), "
+        "mx AS (SELECT max(ts) AS m FROM events), "
+        "u AS (SELECT CAST((epoch_us(coalesce(cv, m)) - epoch_us(f)) "
+        "// 3600000000 AS BIGINT) AS t, "
+        "CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END "
+        "AS obs FROM pu CROSS JOIN mx), "
+        "vt AS (SELECT t, count(*) FILTER (obs = 1) AS d, "
+        "count(*) FILTER (obs = 0) AS c FROM u GROUP BY t), "
+        "pv AS (SELECT t, d, sum(d + c) OVER () - coalesce(sum(d + c) "
+        "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING), 0) AS n_risk FROM vt), "
+        "kv AS (SELECT t, d, n_risk, "
+        "sum(CASE WHEN d > 0 AND d < n_risk THEN "
+        "ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END) "
+        "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+        "ROW) AS cum_log, "
+        "max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) "
+        "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+        "ROW) AS exhausted FROM pv) "
+        "SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk, "
+        "CAST(d AS BIGINT) AS d_events, "
+        "round(CASE WHEN exhausted = 1 THEN 0.0 ELSE exp(cum_log) END, 6) "
+        "AS surv FROM kv WHERE d > 0"
+    ),
+    doc=(
+        "Kaplan-Meier time-to-conversion curve (hours from first event "
+        "to first purchase, never-converters right-censored at the log "
+        "horizon): one subject-keyed conditional-min aggregate + a "
+        "1-row horizon broadcast, then every KM window runs on the "
+        "distinct-duration table (observation-window-bounded); the "
+        "product-limit estimate is exp(running-sum(ln)) with an "
+        "exhausted-risk-set flag instead of ln(0)."
+    ),
+    tags=("agg", "stats", "window", "pipeline"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kaplan_meier_conversion(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        F.col("event_type") == "purchase",
+    )
