@@ -1073,3 +1073,130 @@ def adamic_adar_topk(
 )
 def q_adamic_adar(spark, sf_dir):
     return adamic_adar_topk(_doc_succ_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient distribution — per-node cc = triangles
+# through the node / wedges at the node, summarized as a decile
+# histogram. The node-level refinement of q_triangle_count's global
+# census: "is clustering concentrated in a tight community or spread
+# thin?" Same degree-oriented wedge machinery; the close step carries
+# the wedge CENTER so every triangle attributes to all three corners.
+# ---------------------------------------------------------------------------
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(cc_bucket, n_nodes, mean_cc) over nodes with degree >= 2:
+    bucket = floor(10 * cc) computed in EXACT integer arithmetic
+    ((20 * tri) DIV (deg * (deg - 1))), so no float boundary can flip a
+    node across buckets between engines; mean_cc rounded to 6.
+
+    Scale design: identical degree-orientation wedge join as
+    triangle_stats (out-degree capped at O(sqrt(m)), every unbounded
+    join side pinned shuffle_hash), except the wedge keeps its center
+    node so the closing join emits (center, a, b) triangles; the
+    3-corner explode happens on the TRIANGLE table (output-bounded),
+    then one node-keyed count + one 11-row bucket aggregate.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("da")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("db")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2").hint("shuffle_hash")
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w"))
+    ).select(
+        F.col("o1.u").alias("c"),
+        F.col("o1.w").alias("a"),
+        F.col("o2.w").alias("b"),
+    )
+    tri = wedges.join(e.hint("shuffle_hash"), ["a", "b"])
+    node_tri = (
+        tri.select(F.explode(F.array("c", "a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    per = (
+        deg.filter(F.col("deg") >= 2)
+        .join(node_tri.hint("shuffle_hash"), "v", "left")
+        .select(
+            "deg", F.coalesce(F.col("tri"), F.lit(0)).alias("tri")
+        )
+    )
+    return (
+        per.select(
+            F.expr("CAST((20 * tri) DIV (deg * (deg - 1)) AS INT)").alias(
+                "cc_bucket"
+            ),
+            (
+                2.0 * F.col("tri") / (F.col("deg") * (F.col("deg") - F.lit(1)))
+            ).alias("cc"),
+        )
+        .groupBy("cc_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.avg("cc"), 6).alias("mean_cc"),
+        )
+    )
+
+
+@query(
+    "q_local_cc",
+    oracle=(
+        f"WITH {_succ_edge_cte()}, "
+        "d AS (SELECT v, count(*) AS deg FROM ("
+        "SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "nt AS (SELECT u.v, count(*) AS tri FROM t, "
+        "unnest([t.x, t.y, t.z]) AS u(v) GROUP BY 1), "
+        "p AS (SELECT d.deg, coalesce(nt.tri, 0) AS tri FROM d "
+        "LEFT JOIN nt ON d.v = nt.v WHERE d.deg >= 2) "
+        "SELECT CAST((20 * tri) // (deg * (deg - 1)) AS INT) AS cc_bucket, "
+        "count(*) AS n_nodes, "
+        "round(avg(2.0 * tri / (deg * (deg - 1))), 6) AS mean_cc "
+        "FROM p GROUP BY 1"
+    ),
+    doc=(
+        "Local clustering coefficient decile histogram over the derived "
+        "doc graph: the triangle_stats degree-oriented wedge join with "
+        "the wedge center carried through the close, 3-corner explode "
+        "on the output-bounded triangle table, exact-integer bucket "
+        "assignment ((20*tri) DIV (deg*(deg-1)) — no float boundary), "
+        "11-row final aggregate."
+    ),
+    tags=("graph", "pipeline", "stats"),
+)
+def q_local_cc(spark, sf_dir):
+    return local_clustering(_doc_succ_edges(spark, sf_dir))

@@ -1733,3 +1733,265 @@ def rolling_daily_stats(
 )
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_daily_stats(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over sessions — "users who error in a
+# session also purchase in it?": support / confidence / lift for every
+# ordered event-type pair co-occurring within a session. The classic
+# frequent-itemset primitive at pair depth; baskets come from the same
+# gap-sessionization machinery as q_sessionize.
+# ---------------------------------------------------------------------------
+
+
+def _session_baskets(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    gap: str = "INTERVAL '30' MINUTE",
+) -> DataFrame:
+    """Distinct (user_id, session_idx, item) triples: the basket/item
+    incidence list. Same one-Exchange(user) two-window numbering as
+    sessionize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    marked = df.withColumn(
+        "__new_session",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) - F.lag(ts_col).over(w) > F.expr(gap)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        marked.withColumn(
+            "session_idx",
+            F.sum("__new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .select(
+            F.col(user_col).alias("user_id"),
+            "session_idx",
+            F.col(item_col).alias("item"),
+        )
+        .distinct()
+    )
+
+
+def association_rules(baskets: DataFrame, min_both: int = 2) -> DataFrame:
+    """(antecedent, consequent, n_both, support, confidence, lift) for
+    every ordered item pair co-occurring in >= ``min_both`` baskets,
+    rounded to 6.
+
+    Scale design: pair generation is a self-join on the BASKET key, so
+    fan-out is bounded by items-per-basket squared (the item VOCABULARY
+    within one basket — the standard market-basket bound), never
+    baskets x items. Pair counts and per-item basket counts are two
+    key-bounded aggregates; the rule derivation joins the pair table
+    against the item-count table twice (item-cardinality-bounded sides,
+    shuffle-planned — nothing here is construction-bounded) plus one
+    1-row total broadcast. Support arithmetic is exact integer counts
+    until the final k-row division.
+    """
+    b = baskets.select("user_id", "session_idx", "item")
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.session_idx") == F.col("r.session_idx"))
+            & (F.col("l.item") != F.col("r.item")),
+        )
+        .groupBy(
+            F.col("l.item").alias("antecedent"),
+            F.col("r.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    total = b.agg(
+        F.count_distinct(F.col("user_id"), F.col("session_idx")).alias("n_baskets")
+    )
+    out = (
+        pairs.join(
+            item_n.select(
+                F.col("item").alias("antecedent"), F.col("n_item").alias("n_ant")
+            ),
+            "antecedent",
+        )
+        .join(
+            item_n.select(
+                F.col("item").alias("consequent"), F.col("n_item").alias("n_con")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        F.round(F.col("n_both") / F.col("n_baskets"), 6).alias("support"),
+        F.round(F.col("n_both") / F.col("n_ant"), 6).alias("confidence"),
+        F.round(
+            F.col("n_both")
+            * F.col("n_baskets")
+            / (F.col("n_ant") * F.col("n_con")),
+            6,
+        ).alias("lift"),
+    )
+
+
+_BASKET_CTE = (
+    "m AS (SELECT user_id, ts, event_type, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "> INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_session FROM events), "
+    "n AS (SELECT user_id, event_type AS item, "
+    "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS session_idx FROM m), "
+    "b AS (SELECT DISTINCT user_id, session_idx, item FROM n)"
+)
+
+
+@query(
+    "q_assoc_rules",
+    oracle=(
+        f"WITH {_BASKET_CTE}, "
+        "p AS (SELECT l.item AS antecedent, r.item AS consequent, "
+        "count(*) AS n_both FROM b l JOIN b r "
+        "ON l.user_id = r.user_id AND l.session_idx = r.session_idx "
+        "AND l.item <> r.item GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "i AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1), "
+        "t AS (SELECT count(DISTINCT (user_id, session_idx)) AS n_baskets "
+        "FROM b) "
+        "SELECT antecedent, consequent, n_both, "
+        "round(CAST(n_both AS DOUBLE) / n_baskets, 6) AS support, "
+        "round(CAST(n_both AS DOUBLE) / ia.n_item, 6) AS confidence, "
+        "round(CAST(n_both AS DOUBLE) * n_baskets "
+        "/ (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift "
+        "FROM p JOIN i ia ON p.antecedent = ia.item "
+        "JOIN i ic ON p.consequent = ic.item CROSS JOIN t"
+    ),
+    doc=(
+        "Session-basket association rules (support/confidence/lift per "
+        "ordered event-type pair): basket-keyed self-join bounds pair "
+        "fan-out at per-basket vocabulary squared, then two bounded "
+        "count aggregates + a 1-row total broadcast; exact integer "
+        "counts until the final k-row division."
+    ),
+    tags=("events", "window", "stats", "pipeline"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return association_rules(_session_baskets(T(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via chunk bucketing — "which user sessions were
+# live during an error-burst hour?" An inequality (overlap) join has no
+# equi-key, so the naive plan is a cross product with a range filter —
+# the shape that dies first at scale. The standard fix: explode each
+# interval into the fixed-width time chunks it covers and equi-join on
+# the chunk, turning the range join into a hash join whose fan-out is
+# bounded by interval length / chunk width.
+# ---------------------------------------------------------------------------
+
+
+def interval_overlap_join(
+    sessions: DataFrame,
+    incidents: DataFrame,
+) -> DataFrame:
+    """(win_start, n_err, n_sessions, n_users) per incident hour:
+    sessions whose [session_start, session_end] span overlaps the
+    incident's [win_start, win_start + 1h) window.
+
+    Scale design: each session explodes into the HOUR CHUNKS it covers
+    (``sequence`` of hour-truncated endpoints — fan-out bounded by
+    session duration / 1h, small by the sessionization gap), incidents
+    occupy exactly one chunk each, and the overlap join becomes an
+    EQUI-join on the chunk key (hash-partitionable, AQE-skew-splittable)
+    instead of a cross product with a range filter. Chunk granularity ==
+    window granularity, so every overlapping (session, incident) pair
+    matches on exactly one chunk — no post-join dedup. The final
+    aggregate is incident-cardinality-bounded.
+    """
+    chunks = sessions.select(
+        "user_id",
+        "session_idx",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("session_start")),
+                F.date_trunc("hour", F.col("session_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_start"),
+    )
+    return (
+        chunks.join(incidents, "win_start")
+        .groupBy("win_start")
+        .agg(
+            F.max("n_err").alias("n_err"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _error_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose error count exceeds 1.5x the mean hourly error rate:
+    one hour-keyed count aggregate + a 1-row threshold broadcast (the
+    adaptive cut keeps the incident set a strict minority at any SF)."""
+    ev = T(spark, sf_dir, "events")
+    hours = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    thr = hours.agg((F.avg("n_err") * 1.5).alias("thr"))
+    return hours.crossJoin(F.broadcast(thr)).filter(
+        F.col("n_err") > F.col("thr")
+    ).select("win_start", "n_err")
+
+
+@query(
+    "q_join_interval",
+    oracle=(
+        "WITH m AS (SELECT user_id, ts, value, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "> INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_session "
+        "FROM events), "
+        "n AS (SELECT user_id, ts, "
+        "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS session_idx FROM m), "
+        "s AS (SELECT user_id, session_idx, min(ts) AS session_start, "
+        "max(ts) AS session_end FROM n GROUP BY 1, 2), "
+        "h AS (SELECT date_trunc('hour', ts) AS win_start, count(*) AS "
+        "n_err FROM events WHERE event_type = 'error' GROUP BY 1), "
+        "t AS (SELECT avg(n_err) * 1.5 AS thr FROM h), "
+        "i AS (SELECT win_start, n_err FROM h CROSS JOIN t "
+        "WHERE n_err > thr) "
+        "SELECT i.win_start, CAST(max(i.n_err) AS BIGINT) AS n_err, "
+        "count(*) AS n_sessions, count(DISTINCT s.user_id) AS n_users "
+        "FROM i JOIN s ON s.session_start < i.win_start + INTERVAL 1 HOUR "
+        "AND s.session_end >= i.win_start GROUP BY 1"
+    ),
+    doc=(
+        "Interval-overlap join (sessions live during error-burst "
+        "hours) rewritten as an equi-join: sessions explode into the "
+        "hour chunks they cover (duration-bounded fan-out), incidents "
+        "occupy one chunk, overlap matches on the chunk key — a hash "
+        "join where the naive plan is a cross product with a range "
+        "filter. The oracle runs the inequality join directly."
+    ),
+    tags=("events", "join", "window"),
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(T(spark, sf_dir, "events"))
+    return interval_overlap_join(sess, _error_incidents(spark, sf_dir))
