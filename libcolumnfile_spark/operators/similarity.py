@@ -1997,3 +1997,232 @@ def _silhouette_oracle() -> str:
 def q_silhouette(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     return silhouette_simplified(_spread(emb))
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity — EXTERNAL validity of the seeded coarse quantizer
+# against the embeddings' ground-truth labels: per cluster, the
+# majority label and the fraction of members carrying it. Pairs with
+# q_silhouette (internal geometry) the way precision pairs with margin:
+# "the clusters are tight — but are they the RIGHT clusters?"
+# ---------------------------------------------------------------------------
+
+
+def cluster_purity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_lists: int = _IVF_V_LISTS,
+) -> DataFrame:
+    """(list_id, n, majority_label, purity) per non-empty seeded
+    cluster; purity rounded to 6, majority ties broken by smallest
+    label (engine-deterministic).
+
+    Scale design: assignment is the shared Arrow argmax kernel
+    (seeded_assign_udf — map-only, centroids ride the closure), then
+    everything runs on the (cluster x label)-bounded contingency table:
+    one cell-keyed count exchange, an n_lists-partition row_number
+    window for the majority pick, one cluster-keyed total join. No
+    per-vector shuffle beyond the first count's map-side partials.
+    """
+    base = df.filter(F.col(vec_col).isNotNull())
+    from libcolumnfile_spark.tables import input_keyed_memo
+
+    dim_probe = input_keyed_memo(
+        base, "srp-dim", lambda: base.select(F.size(vec_col).alias("d")).first()
+    )
+    if dim_probe is None:
+        return base.select(
+            F.lit(0).alias("list_id"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0).alias("majority_label"),
+            F.lit(0.0).alias("purity"),
+        ).limit(0)
+    cents = _ivf_seeded_centroids(int(dim_probe["d"]), n_lists)
+    assign = seeded_assign_udf(cents)
+    from pyspark.sql.window import Window
+
+    cells = (
+        base.select(
+            assign(F.col(vec_col)).alias("list_id"),
+            F.col(label_col).alias("label"),
+        )
+        .groupBy("list_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.col("n_cell").desc(), F.col("label").asc()
+    )
+    tot = cells.groupBy("list_id").agg(F.sum("n_cell").alias("n"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "list_id")
+        .select(
+            "list_id",
+            "n",
+            F.col("label").alias("majority_label"),
+            F.round(F.col("n_cell") / F.col("n"), 6).alias("purity"),
+        )
+    )
+
+
+def _cluster_purity_oracle() -> str:
+    cents = _ivf_seeded_centroids(_QUERY_DIM)
+    dots = ", ".join(
+        f"list_inner_product(v, {_duckdb_vec(c)}) AS d{i}" for i, c in enumerate(cents)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(_IVF_V_LISTS)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {best} THEN {i}" for i in range(_IVF_V_LISTS - 1))
+        + f" ELSE {_IVF_V_LISTS - 1} END"
+    )
+    return (
+        "WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings), "
+        f"dd AS (SELECT label, {dots} FROM d), "
+        f"a AS (SELECT label, CAST({case} AS INT) AS list_id FROM dd), "
+        "c AS (SELECT list_id, label, count(*) AS n_cell FROM a "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT list_id, sum(n_cell) AS n FROM c GROUP BY 1), "
+        "r AS (SELECT list_id, label, n_cell, row_number() OVER ("
+        "PARTITION BY list_id ORDER BY n_cell DESC, label) AS rn FROM c) "
+        "SELECT r.list_id, CAST(t.n AS BIGINT) AS n, "
+        "r.label AS majority_label, "
+        "round(CAST(r.n_cell AS DOUBLE) / t.n, 6) AS purity "
+        "FROM r JOIN t USING (list_id) WHERE rn = 1"
+    )
+
+
+@query(
+    "q_cluster_purity",
+    oracle=_cluster_purity_oracle(),
+    doc=(
+        "External cluster validity: per seeded-quantizer cluster, the "
+        "majority ground-truth label and purity — Arrow argmax "
+        "assignment (map-only), then one (cluster x label)-bounded "
+        "contingency exchange + a 16-partition majority window. The "
+        "labeled counterpart of q_silhouette's internal geometry."
+    ),
+    tags=("similarity", "ivf", "eval", "stats"),
+)
+def q_cluster_purity(spark, sf_dir):
+    return cluster_purity(_spread(T(spark, sf_dir, "embeddings")))
+
+
+# ---------------------------------------------------------------------------
+# Fisher separability per embedding dimension — between-class variance
+# over within-class variance of each coordinate against the labels: the
+# supervised feature-scoring pass ("which dimensions carry the label
+# signal?") run before training a probe or pruning dimensions. The
+# whole statistic decomposes into per-(label, dim) count/sum/sum-sq,
+# so it's one wide aggregate — never a per-pair or per-row second pass.
+# ---------------------------------------------------------------------------
+
+
+def fisher_separability(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim, between_var, within_var, fisher) for every embedding
+    dimension, rounded to 6; fisher = between/within (NULL if within
+    degenerates to 0).
+
+    Scale design: ONE label-keyed aggregate carries per-dim partial
+    sums and sum-of-squares with map-side combine — the exchange is
+    n_labels x (2*dim + 1) doubles per task, corpus-size-independent
+    (the q_kmeans_step shape). The per-dim explode happens AFTER
+    aggregation on labels x dim rows, and the variance decomposition
+    (between = (sum s_l^2/n_l - S^2/N)/N, within = (Q - sum s_l^2/n_l)/N)
+    is derived arithmetic on the dim-bounded table.
+    """
+    base = df.filter(F.col(vec_col).isNotNull())
+    from libcolumnfile_spark.tables import input_keyed_memo
+
+    dim_probe = input_keyed_memo(
+        base, "srp-dim", lambda: base.select(F.size(vec_col).alias("d")).first()
+    )
+    if dim_probe is None:
+        return base.select(
+            F.lit(0).alias("dim"),
+            F.lit(0.0).alias("between_var"),
+            F.lit(0.0).alias("within_var"),
+            F.lit(0.0).alias("fisher"),
+        ).limit(0)
+    dim = int(dim_probe["d"])
+    lab = base.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.sum(
+                F.col(vec_col)[i].cast("double") * F.col(vec_col)[i].cast("double")
+            ).alias(f"q{i}")
+            for i in range(dim)
+        ],
+    )
+    sq = F.array(
+        *[
+            F.struct(F.col(f"s{i}").alias("s"), F.col(f"q{i}").alias("q"))
+            for i in range(dim)
+        ]
+    )
+    pl = lab.select("n", F.posexplode(sq).alias("dim", "sq")).select(
+        "n",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("sq.s").alias("s"),
+        F.col("sq.q").alias("q"),
+    )
+    g = pl.groupBy("dim").agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("ssn"),
+    )
+    between = (F.col("ssn") - F.col("ss") * F.col("ss") / F.col("nn")) / F.col("nn")
+    within = (F.col("qq") - F.col("ssn")) / F.col("nn")
+    return g.select(
+        "dim",
+        F.round(between, 6).alias("between_var"),
+        F.round(within, 6).alias("within_var"),
+        F.round(
+            F.when(
+                F.col("qq") - F.col("ssn") > 0,
+                (F.col("ssn") - F.col("ss") * F.col("ss") / F.col("nn"))
+                / (F.col("qq") - F.col("ssn")),
+            ),
+            6,
+        ).alias("fisher"),
+    )
+
+
+@query(
+    "q_fisher_dims",
+    oracle=(
+        "WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "u AS (SELECT label, CAST(t.i AS INT) AS dim, count(*) AS n, "
+        "sum(v[t.i + 1]) AS s, sum(v[t.i + 1] * v[t.i + 1]) AS q "
+        f"FROM d CROSS JOIN generate_series(0, {_QUERY_DIM - 1}) t(i) "
+        "GROUP BY 1, 2), "
+        "g AS (SELECT dim, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq, "
+        "sum(s * s / n) AS ssn FROM u GROUP BY 1) "
+        "SELECT dim, round((ssn - ss * ss / nn) / nn, 6) AS between_var, "
+        "round((qq - ssn) / nn, 6) AS within_var, "
+        "round(CASE WHEN qq - ssn > 0 THEN (ssn - ss * ss / nn) "
+        "/ (qq - ssn) END, 6) AS fisher FROM g"
+    ),
+    doc=(
+        "Per-dimension Fisher separability (between-class / "
+        "within-class variance vs the labels): one label-keyed wide "
+        "aggregate of per-dim sums and sum-squares (exchange = "
+        "labels x (2*dim+1) doubles, corpus-size-independent), per-dim "
+        "explode after aggregation, variance decomposition on the "
+        "dim-bounded table — the supervised feature-scoring pass."
+    ),
+    tags=("similarity", "eval", "stats"),
+)
+def q_fisher_dims(spark, sf_dir):
+    return fisher_separability(T(spark, sf_dir, "embeddings"))
