@@ -2553,3 +2553,157 @@ def q_mix_plan(spark, sf_dir):
     return mixture_plan(
         T(spark, sf_dir, "documents"), _MIX_PLAN_WEIGHTS, _MIX_PLAN_BUDGET
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information value — per-bucket predictive power
+# of a categorical feature against a binary target ("how much does
+# source membership tell you about being English?"). The feature-
+# selection scorecard primitive: WoE is the log-odds shift per bucket,
+# IV the divergence-weighted total; buckets with |WoE| near 0 carry no
+# signal and can be merged.
+# ---------------------------------------------------------------------------
+
+
+def woe_iv(
+    df: DataFrame, bucket_col: str, target_pred
+) -> DataFrame:
+    """(bucket, n_good, n_bad, woe, iv_term) per bucket of
+    ``bucket_col``, target defined by the boolean ``target_pred``;
+    rounded to 6. Laplace-smoothed (+0.5 per cell, +0.5*k on each
+    total) so empty cells yield finite WoE instead of ln(0).
+
+    Scale design: ONE bucket-keyed count aggregate over the data
+    (map-side partials; exchange bounded by bucket cardinality) + one
+    1-row smoothed-totals broadcast; WoE/IV are derived arithmetic on
+    the bucket-bounded table. Counts stay exact integers until the
+    final per-bucket division.
+    """
+    cells = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count_if(target_pred).alias("n_good"),
+        F.count_if(~target_pred).alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").alias("gt"),
+        F.sum("n_bad").alias("bt"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    pg = (F.col("n_good") + 0.5) / (F.col("gt") + 0.5 * F.col("k"))
+    pb = (F.col("n_bad") + 0.5) / (F.col("bt") + 0.5 * F.col("k"))
+    woe = F.log(pg / pb)
+    return j.select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((pg - pb) * woe, 6).alias("iv_term"),
+    )
+
+
+@query(
+    "q_woe_iv",
+    oracle=(
+        "WITH c AS (SELECT source AS bucket, "
+        "count(*) FILTER (lang = 'en') AS n_good, "
+        "count(*) FILTER (lang <> 'en') AS n_bad FROM documents "
+        "GROUP BY 1), "
+        "t AS (SELECT sum(n_good) AS gt, sum(n_bad) AS bt, "
+        "count(*) AS k FROM c) "
+        "SELECT bucket, CAST(n_good AS BIGINT) AS n_good, "
+        "CAST(n_bad AS BIGINT) AS n_bad, "
+        "round(ln(((n_good + 0.5) / (gt + 0.5 * k)) "
+        "/ ((n_bad + 0.5) / (bt + 0.5 * k))), 6) AS woe, "
+        "round((((n_good + 0.5) / (gt + 0.5 * k)) "
+        "- ((n_bad + 0.5) / (bt + 0.5 * k))) "
+        "* ln(((n_good + 0.5) / (gt + 0.5 * k)) "
+        "/ ((n_bad + 0.5) / (bt + 0.5 * k))), 6) AS iv_term "
+        "FROM c CROSS JOIN t"
+    ),
+    doc=(
+        "Weight-of-evidence / information-value scorecard of source "
+        "predicting English: one bucket-keyed count exchange + a 1-row "
+        "smoothed-totals broadcast, WoE/IV derived on the bucket-"
+        "bounded table (Laplace +0.5 keeps empty cells finite) — the "
+        "categorical feature-selection audit."
+    ),
+    tags=("pipeline", "stats", "eval"),
+)
+def q_woe_iv(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return woe_iv(d, "source", F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — assign every document a difficulty bucket (by
+# exact length quintile) and a within-bucket position; the curriculum
+# schedule is the (position, bucket) interleave, feeding the trainer
+# one round of each difficulty tier at a time instead of all-easy-
+# then-all-hard. The deterministic ordering face of the splits family
+# (q_split_assign hashes, q_temporal_split cuts time, this RANKS).
+# ---------------------------------------------------------------------------
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_buckets: int = 5,
+) -> DataFrame:
+    """(doc_id, bucket, pos): difficulty bucket by exact quantile cuts
+    and 1-based position within the bucket (ordered by difficulty,
+    id-tie-broken). Consuming rows sorted by (pos, bucket) yields the
+    round-robin curriculum.
+
+    Scale design: bucket assignment is the equidepth_histogram shape —
+    ONE exact-percentile aggregate broadcasts the interior cuts, the
+    bucket is a map-side array scan (no global ntile window, which
+    would single-partition the corpus). Within-bucket positions come
+    from a row_number window partitioned by bucket: parallelism =
+    n_buckets, the honest cost of a total order per tier — at 100 TB
+    swap in repartitionByRange + per-partition offsets (one count
+    aggregate) for the same positions without the k-partition ceiling.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile(F.col(difficulty_col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "cuts"
+        )
+    )
+    b = df.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(difficulty_col).alias("__d"),
+        F.size(
+            F.filter(F.col("cuts"), lambda c: F.col(difficulty_col) > c)
+        ).cast("int").alias("bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("__d").asc(), F.col("doc_id").asc())
+    return b.select(
+        "doc_id", "bucket", F.row_number().over(w).alias("pos")
+    )
+
+
+@query(
+    "q_curriculum_order",
+    oracle=(
+        "WITH c AS (SELECT quantile_cont(n_chars, [0.2, 0.4, 0.6, 0.8]) "
+        "AS cuts FROM documents), "
+        "b AS (SELECT doc_id, n_chars, "
+        "CAST(len(list_filter(cuts, x -> n_chars > x)) AS INT) AS bucket "
+        "FROM documents CROSS JOIN c) "
+        "SELECT doc_id, bucket, CAST(row_number() OVER (PARTITION BY bucket "
+        "ORDER BY n_chars, doc_id) AS INT) AS pos FROM b"
+    ),
+    doc=(
+        "Curriculum schedule: exact length-quintile difficulty buckets "
+        "(one percentile broadcast + map-side cut scan — no global "
+        "ntile window) and within-bucket rank; sorting by (pos, bucket) "
+        "interleaves one round of each tier — the difficulty-ordered "
+        "counterpart of hash and temporal splits."
+    ),
+    tags=("pipeline", "window", "llm-pipeline"),
+)
+def q_curriculum_order(spark, sf_dir):
+    return curriculum_order(T(spark, sf_dir, "documents"))

@@ -3175,3 +3175,257 @@ def q_threshold_sweep(spark, sf_dir):
     return threshold_sweep(T(spark, sf_dir, "documents"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 retrieval evaluation — graded ranking quality of the BM25
+# scorer per single-term query, with relevance = (capped) raw term
+# frequency. The index-quality eval for the IR family, the way
+# q_ann_recall evaluates the ANN family: "the ranker returns SOMETHING
+# — how close is it to the ideal ordering?"
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+def ndcg_eval(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = _NDCG_K,
+) -> DataFrame:
+    """(term, dcg, idcg, ndcg) per single-term query: NDCG@k of the
+    BM25 ranking against graded relevance rel = min(tf, 4), rounded
+    to 6. Ranking and ideal ordering both tie-break by doc_id on the
+    ROUNDED score, so both engines cut identical top-k sets.
+
+    Scale design: identical map-side scoring pass as bm25_topk (per-
+    term tf is a row-local HOF count; corpus stats are ONE exact 1-row
+    integer agg broadcast back), then the per-(query, doc) candidate
+    list — already filtered to tf > 0 — ranks under two query-
+    partitioned row_number windows and collapses to one k-bounded
+    aggregate per query. Window parallelism equals query-batch
+    cardinality; a huge query batch would swap the windows for the
+    two-phase salted top-k (the q_ann_recall machinery), same
+    semantics.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    branches = []
+    for i, t in enumerate(terms):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        raw = (idf * tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        branches.append(
+            F.struct(
+                F.lit(t).alias("term"),
+                F.least(F.col(f"tf{i}"), F.lit(4)).cast("int").alias("rel"),
+                F.round(raw, 6).alias("score"),
+                (F.col(f"tf{i}") > 0).alias("hit"),
+            )
+        )
+    cand = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.explode(F.array(*branches)).alias("x"))
+        .select("doc_id", "x.term", "x.rel", "x.score", "x.hit")
+        .filter(F.col("hit"))
+    )
+    from pyspark.sql.window import Window
+
+    ws = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wr = Window.partitionBy("term").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ranked = cand.select(
+        "term",
+        "rel",
+        F.row_number().over(ws).alias("rs"),
+        F.row_number().over(wr).alias("rr"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    out = ranked.groupBy("term").agg(
+        F.sum(
+            F.when(F.col("rs") <= k, gain / F.log2(F.col("rs") + 1)).otherwise(0.0)
+        ).alias("dcg_raw"),
+        F.sum(
+            F.when(F.col("rr") <= k, gain / F.log2(F.col("rr") + 1)).otherwise(0.0)
+        ).alias("idcg_raw"),
+    )
+    return out.select(
+        "term",
+        F.round("dcg_raw", 6).alias("dcg"),
+        F.round("idcg_raw", 6).alias("idcg"),
+        F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
+    )
+
+
+def _ndcg_oracle(
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = _NDCG_K,
+) -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, '{t}' AS term, "
+        f"CAST(least(tf{i}, 4) AS INT) AS rel, "
+        f"round((ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)) "
+        f"/ (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl)), "
+        f"6) AS score FROM p CROSS JOIN g WHERE tf{i} > 0"
+        for i, t in enumerate(terms)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        f"p AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t), "
+        "g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, "
+        f"{df_cols} FROM p), "
+        f"u AS ({branches}), "
+        "r AS (SELECT term, rel, "
+        "row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) "
+        "AS rs, "
+        "row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) "
+        "AS rr FROM u), "
+        "d AS (SELECT term, "
+        f"sum(CASE WHEN rs <= {k} THEN (pow(2.0, rel) - 1.0) / log2(rs + 1) "
+        "ELSE 0.0 END) AS dcg_raw, "
+        f"sum(CASE WHEN rr <= {k} THEN (pow(2.0, rel) - 1.0) / log2(rr + 1) "
+        "ELSE 0.0 END) AS idcg_raw FROM r GROUP BY 1) "
+        "SELECT term, round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg, "
+        "round(dcg_raw / idcg_raw, 6) AS ndcg FROM d"
+    )
+
+
+@query(
+    "q_ndcg",
+    oracle=_ndcg_oracle(_BM25_TERMS),
+    doc=(
+        "NDCG@10 of the BM25 ranker per single-term query (relevance = "
+        "capped term frequency): one map-side scoring pass + one exact "
+        "1-row corpus-stats broadcast (the bm25_topk plan), then two "
+        "query-partitioned rank windows over the tf>0 candidate list "
+        "collapse to a k-bounded aggregate per query — the graded "
+        "retrieval-quality eval next to q_ann_recall's recall."
+    ),
+    tags=("text", "similarity", "eval", "llm-pipeline"),
+)
+def q_ndcg(spark, sf_dir):
+    return ndcg_eval(T(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation — per-rule rejection attribution for the
+# gopher_rules gate: how many docs each rule fails, and how many it
+# UNIQUELY fails (would survive every other rule). The "which filter is
+# actually doing the work / which can be dropped" audit run before
+# tightening a pipeline gate; uniquely-failed counts are the marginal
+# value of each rule.
+# ---------------------------------------------------------------------------
+
+
+def filter_ablation(flags: DataFrame) -> DataFrame:
+    """(rule, n_fail, n_fail_only, fail_frac) per gopher rule, from the
+    per-doc flag frame emitted by gopher_rules.
+
+    Scale design: ONE algebraic aggregate computes every rule's fail
+    and unique-fail count in a single pass (count_if columns with
+    map-side combine — the q_threshold_sweep single-exchange shape);
+    the per-rule unpivot explodes 4 structs on the 1-row result. The
+    naive form scans the corpus once per rule arm.
+    """
+    rules = ["ok_count", "ok_len", "ok_stop", "ok_unique"]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in rules:
+        others = [c for c in rules if c != r]
+        aggs.append(F.count_if(~F.col(r)).alias(f"fail_{r}"))
+        only = ~F.col(r)
+        for o in others:
+            only = only & F.col(o)
+        aggs.append(F.count_if(only).alias(f"only_{r}"))
+    s = flags.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(r.replace("ok_", "")).alias("rule"),
+            F.col(f"fail_{r}").alias("n_fail"),
+            F.col(f"only_{r}").alias("n_fail_only"),
+            F.round(F.col(f"fail_{r}") / F.col("n_docs"), 4).alias("fail_frac"),
+        )
+        for r in rules
+    ]
+    return s.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+
+
+@query(
+    "q_filter_ablation",
+    oracle=(
+        f"WITH g AS ({_GOPHER_ORACLE}), "
+        "s AS (SELECT count(*) AS n, "
+        + ", ".join(
+            f"count(*) FILTER (NOT {r}) AS fail_{r}, "
+            f"count(*) FILTER (NOT {r} AND "
+            + " AND ".join(o for o in ["ok_count", "ok_len", "ok_stop", "ok_unique"] if o != r)
+            + f") AS only_{r}"
+            for r in ["ok_count", "ok_len", "ok_stop", "ok_unique"]
+        )
+        + " FROM g) "
+        + " UNION ALL ".join(
+            f"SELECT '{r.replace('ok_', '')}' AS rule, "
+            f"fail_{r} AS n_fail, only_{r} AS n_fail_only, "
+            f"round(CAST(fail_{r} AS DOUBLE) / n, 4) AS fail_frac FROM s"
+            for r in ["ok_count", "ok_len", "ok_stop", "ok_unique"]
+        )
+    ),
+    doc=(
+        "Per-rule rejection attribution for the gopher quality gate "
+        "(fail count, UNIQUE-fail count = the rule's marginal value, "
+        "fail fraction): one algebraic aggregate computes all 4 rule "
+        "arms in a single corpus pass, 4-struct unpivot on the 1-row "
+        "result — the filter-tuning audit."
+    ),
+    tags=("text", "pipeline", "stats", "eval"),
+)
+def q_filter_ablation(spark, sf_dir):
+    return filter_ablation(gopher_rules(_spread(T(spark, sf_dir, "documents"))))
