@@ -55,8 +55,12 @@ _PRIORITY = [
     # (q_join_semi demoted in round 8: the join family keeps 4 in-window
     # reps + 3 TPC-H shapes; the semi arm is exercised inside q_tpch_q21
     # and the ann-recall hit join)
+    # (round 10: q_join_interval supersedes q_join_q5 — the join+agg
+    # shape stays in-window via q_tpch_q3/q21 and q5 stays in every
+    # full audit; the slot goes to the chunk-bucketed interval-overlap
+    # join, the only window rep of the range-join-as-equi-join rewrite)
     "q_join_inner", "q_join_outer", "q_join_asof",
-    "q_join_q5",
+    "q_join_interval",
     # canonical TPC-H shapes (scan-agg, disjunctive-pushdown, and
     # hand-decorrelation reps; the rest of the pack follows after;
     # q_subquery demoted — q_tpch_q21 is the decorrelation rep)
@@ -71,7 +75,12 @@ _PRIORITY = [
     # running ignore-nulls window + lookback horizon, a shape no other
     # in-window query has; the split family keeps q_distribution_match
     # in-window and temporal_split stays in every full audit)
-    "q_window_rank", "q_sessionize", "q_attribution",
+    # (round 10: q_trend_ols and q_survival_km supersede q_attribution —
+    # the running ignore-nulls window stays in every full audit; the
+    # slots go to the two new analytics classes over events: closed-form
+    # OLS regression on the daily series and Kaplan-Meier time-to-
+    # conversion with right-censoring, both cardinality-bounded plans)
+    "q_window_rank", "q_sessionize", "q_trend_ols", "q_survival_km",
     # reshape / scalar / nested (q_json_extract demoted likewise;
     # round 8 demotes q_scalar_str_date — q_explode keeps the slot,
     # string/date scalars stay in the full audit)
@@ -151,11 +160,20 @@ _PRIORITY = [
     # the token-keyed log-ratio join no other window query has; the
     # distribution-matching resampler stays in every full audit and the
     # capping/sampling family keeps q_domain_cap in-window)
-    "q_cdc_apply", "q_dsir_weights", "q_domain_cap",
+    # (round 10: q_assoc_rules supersedes q_domain_cap and the window
+    # drops q_cdc_apply — versioning keeps q_scd2_merge in-window,
+    # sampling keeps q_dsir_weights, both demotees stay in every full
+    # audit; the slot goes to session-basket association rules, the
+    # frequent-itemset class's first window rep)
+    "q_dsir_weights", "q_assoc_rules",
     # round-6/8 rotation: the CCNet perplexity split keeps its slot;
     # round 8 swaps chunking (pure fan-out, covered by pytest + full
     # audit) for vocabulary-coverage analysis (tokenizer OOV eval)
-    "q_vocab_coverage", "q_perplexity_split",
+    # (round 10: q_ndcg supersedes q_vocab_coverage — tokenizer OOV
+    # stays in every full audit next to q_tokenizer_fertility; the slot
+    # goes to the graded retrieval eval, completing the eval triad
+    # ann_recall / dedup_eval / ndcg)
+    "q_ndcg", "q_perplexity_split",
     # round-7 additions rotated into the window: Bloom-prefiltered
     # decontamination, duplicated-span pairs, incremental signature-store
     # dedup; round 8 swaps the graph slot to the doc-scale PageRank
@@ -186,7 +204,11 @@ _PRIORITY = [
     # audit. q_silhouette supersedes q_quantize_int8 as the
     # embedding-quality audit rep — it drives the seeded-centroid Arrow
     # kernel end-to-end; the int8 audit stays in every full audit.)
-    "q_ann_recall", "q_scd2_merge", "q_adamic_adar", "q_silhouette",
+    # (round 10: q_cluster_purity supersedes q_silhouette — both drive
+    # the seeded-quantizer Arrow kernel; purity ALSO exercises the
+    # labeled contingency + majority window, the external-validity face;
+    # silhouette's internal geometry stays in every full audit)
+    "q_ann_recall", "q_scd2_merge", "q_adamic_adar", "q_cluster_purity",
     # demoted just past the window across rounds 5-8 (their families
     # keep in-window reps: q_group_agg, q_stats_agg, q_window_rank,
     # q_explode, q_union_all, q_tpch_q3/q21, q_columnfile_scan,
@@ -196,6 +218,14 @@ _PRIORITY = [
     # FIRST past the window (strong reps, just not hash-oracle-able),
     # followed by the four oracled queries the round-9 rotation demoted
     "q_sim_pq", "q_bpe_train",
+    # round-10 rotation: the six demoted former window occupants first
+    # (each family keeps in-window reps — see the slot comments above),
+    # then the round-10 additions not in the window — all full-oracle,
+    # all in every audit
+    "q_attribution", "q_cdc_apply", "q_domain_cap", "q_join_q5",
+    "q_silhouette", "q_vocab_coverage",
+    "q_auc_roc", "q_fisher_dims", "q_woe_iv", "q_filter_ablation",
+    "q_local_cc", "q_curriculum_order",
     # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
     # window additions): the demoted former window occupants first
     # (each family keeps an in-window rep: graph = pagerank_docs/
