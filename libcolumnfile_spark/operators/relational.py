@@ -1797,7 +1797,10 @@ def association_rules(baskets: DataFrame, min_both: int = 2) -> DataFrame:
     until the final k-row division.
     """
     b = baskets.select("user_id", "session_idx", "item")
-    l, r = b.alias("l"), b.alias("r")
+    # the basket incidence list grows with the corpus (NOT construction-
+    # bounded): pin the self-join shuffle_hash so a size estimate can't
+    # ride it onto the broadcast path at scale (repo broadcast policy)
+    l, r = b.alias("l"), b.alias("r").hint("shuffle_hash")
     pairs = (
         l.join(
             r,

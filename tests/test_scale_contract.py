@@ -257,6 +257,31 @@ CONTRACTS = {
     # (0.6-1.6 s across same-day measurements), so the bound carries the
     # worse denominator's ratio (8.0 observed) plus headroom.
     "q_gap_fill": (8.0, 11.0),
+    # round-10 operators (measured 2026-08-16, tools/scale_probe.py)
+    "q_auc_roc": (1.5, 3.0),        # score-keyed counts + cardinality-
+                                    # bounded running-sum window
+    "q_trend_ols": (1.7, 3.5),      # (type, day) count + type-keyed
+                                    # integer-sum agg: bounded by design
+    "q_survival_km": (1.5, 3.0),    # user-keyed min agg + duration-
+                                    # bounded KM windows
+    "q_assoc_rules": (7.0, 10.5),   # x10 users => x10 baskets; pair
+                                    # fan-out bounded per-basket vocab^2;
+                                    # t1=0.53s floor, x10 absolute 3.7 s
+    "q_join_interval": (6.6, 10.0), # x10 sessions explode x10 chunks
+                                    # (the q_sessionize regime); equi-
+                                    # join stays hash-partitioned
+    "q_local_cc": (2.9, 6.5),       # triangle_count machinery + output-
+                                    # bounded 3-corner explode
+    "q_cluster_purity": (1.1, 3.0), # map-only Arrow kernel + contingency-
+                                    # bounded exchange
+    "q_fisher_dims": (1.5, 3.0),    # ONE label-keyed 129-col agg; t1 is
+                                    # mostly one-time codegen (0.6 s warm)
+    "q_ndcg": (2.0, 3.5),           # bm25 map pass + query-partitioned
+                                    # rank windows on tf>0 candidates
+    "q_filter_ablation": (1.1, 3.0),  # ONE algebraic agg: flat by design
+    "q_woe_iv": (1.9, 3.5),         # bucket-keyed counts + 1-row totals
+    "q_curriculum_order": (2.1, 3.5),  # percentile broadcast + n_buckets-
+                                    # partition rank window
 }
 
 
