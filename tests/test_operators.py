@@ -2687,3 +2687,280 @@ class TestRollingStatsCalendarGaps:
         ]
         df = spark.createDataFrame(rows, ["ts"])
         assert rolling_daily_stats(df, window_days=7).count() == 0
+
+
+class TestAucRoc:
+    def test_perfect_and_random(self, spark):
+        from libcolumnfile_spark.operators.aggregates import auc_roc
+
+        # perfect separation: every positive scores above every negative
+        rows = [(float(i), "pos") for i in range(10, 20)] + [
+            (float(i), "neg") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["score", "label"])
+        r = auc_roc(df, "score", F.col("label") == "pos").collect()[0]
+        assert r["auc"] == 1.0 and r["gini"] == 1.0
+
+    def test_all_tied_is_half(self, spark):
+        from libcolumnfile_spark.operators.aggregates import auc_roc
+
+        rows = [(1.0, "pos")] * 5 + [(1.0, "neg")] * 5
+        df = spark.createDataFrame(rows, ["score", "label"])
+        r = auc_roc(df, "score", F.col("label") == "pos").collect()[0]
+        assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+
+class TestTrendOls:
+    def test_exact_line(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.aggregates import trend_ols
+
+        # y = 2x + 3 exactly: day x has 2x+3 events
+        rows = []
+        for x in range(1, 6):
+            d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=x)
+            rows += [("g", d)] * (2 * x + 3)
+        df = spark.createDataFrame(rows, ["event_type", "ts"])
+        r = trend_ols(df, "event_type", "ts").collect()[0]
+        assert r["slope"] == 2.0 and r["intercept"] == 3.0 and r["r2"] == 1.0
+
+    def test_single_day_degenerate(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.aggregates import trend_ols
+
+        df = spark.createDataFrame(
+            [("g", datetime.datetime(2024, 1, 5))] * 3, ["event_type", "ts"]
+        )
+        r = trend_ols(df, "event_type", "ts").collect()[0]
+        assert r["slope"] is None and r["r2"] is None
+
+
+class TestKaplanMeier:
+    def test_hand_computed_curve(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.aggregates import (
+            kaplan_meier_conversion,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def h(n):
+            return t0 + datetime.timedelta(hours=n)
+
+        # A converts at +1h, B and C at +2h, D never (censored at +5h)
+        rows = [
+            ("A", t0, "view"), ("A", h(1), "purchase"),
+            ("B", t0, "view"), ("B", h(2), "purchase"),
+            ("C", t0, "view"), ("C", h(2), "purchase"),
+            ("D", t0, "view"), ("D", h(5), "view"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        out = {
+            r["t_hours"]: r
+            for r in kaplan_meier_conversion(
+                df, "user_id", "ts", F.col("event_type") == "purchase"
+            ).collect()
+        }
+        # t=1: 4 at risk, 1 converts -> S = 0.75
+        assert out[1]["n_risk"] == 4 and out[1]["d_events"] == 1
+        assert out[1]["surv"] == 0.75
+        # t=2: 3 at risk, 2 convert -> S = 0.75 * (1/3) = 0.25
+        assert out[2]["n_risk"] == 3 and out[2]["d_events"] == 2
+        assert out[2]["surv"] == 0.25
+        # censored user D contributes risk mass but no curve row
+        assert set(out) == {1, 2}
+
+
+class TestAssocRules:
+    def test_support_confidence_lift(self, spark):
+        from libcolumnfile_spark.operators.relational import association_rules
+
+        baskets = spark.createDataFrame(
+            [
+                (1, 1, "a"), (1, 1, "b"),
+                (1, 2, "a"), (1, 2, "b"),
+                (2, 1, "a"),
+                (2, 2, "b"),
+            ],
+            ["user_id", "session_idx", "item"],
+        )
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(baskets, min_both=2).collect()
+        }
+        r = out[("a", "b")]
+        # 4 baskets; a in 3, b in 3, both in 2
+        assert r["n_both"] == 2
+        assert r["support"] == 0.5
+        assert r["confidence"] == round(2 / 3, 6)
+        assert r["lift"] == round(2 * 4 / 9, 6)
+        # symmetric pair counts, asymmetric confidence base
+        assert out[("b", "a")]["n_both"] == 2
+
+
+class TestIntervalOverlapJoin:
+    def test_overlap_semantics(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import (
+            interval_overlap_join,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+        def m(n):
+            return t0 + datetime.timedelta(minutes=n)
+
+        sessions = spark.createDataFrame(
+            [
+                # spans 10:30-11:30 -> overlaps hour 10 AND hour 11
+                (1, 1, m(30), m(90)),
+                # ends exactly AT 11:00 -> still overlaps hour 11 (>=)
+                (2, 1, m(0), m(60)),
+                # entirely inside hour 9 -> no overlap with incidents
+                (3, 1, m(-50), m(-40)),
+            ],
+            ["user_id", "session_idx", "session_start", "session_end"],
+        )
+        incidents = spark.createDataFrame(
+            [(t0 + datetime.timedelta(hours=1), 7)], ["win_start", "n_err"]
+        )
+        out = interval_overlap_join(sessions, incidents).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_sessions"] == 2 and r["n_users"] == 2 and r["n_err"] == 7
+
+
+class TestLocalClustering:
+    def test_triangle_and_path(self, spark):
+        from libcolumnfile_spark.operators.graph import local_clustering
+
+        # triangle 1-2-3 (cc=1 for all three) + pendant path 3-4-5
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+        )
+        out = {r["cc_bucket"]: r for r in local_clustering(edges).collect()}
+        # nodes 1,2 (deg 2, 1 triangle): cc=1 -> bucket 10
+        # node 3 (deg 3, 1 triangle): cc=1/3 -> bucket 3
+        # node 4 (deg 2, 0 triangles): cc=0 -> bucket 0
+        # node 5 has deg 1: excluded
+        assert out[10]["n_nodes"] == 2 and out[10]["mean_cc"] == 1.0
+        assert out[3]["n_nodes"] == 1 and out[3]["mean_cc"] == round(1 / 3, 6)
+        assert out[0]["n_nodes"] == 1 and out[0]["mean_cc"] == 0.0
+
+
+class TestClusterPurity:
+    def test_majority_and_purity(self, spark):
+        from libcolumnfile_spark.operators.similarity import (
+            _ivf_seeded_centroids,
+            cluster_purity,
+        )
+
+        cents = _ivf_seeded_centroids(4, 2)
+        rows = [
+            (1, cents[0], 0),
+            (2, cents[0], 0),
+            (3, cents[0], 1),  # minority label in cluster 0
+            (4, cents[1], 1),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {
+            r["list_id"]: r for r in cluster_purity(df, n_lists=2).collect()
+        }
+        assert out[0]["n"] == 3 and out[0]["majority_label"] == 0
+        assert out[0]["purity"] == round(2 / 3, 6)
+        assert out[1]["n"] == 1 and out[1]["purity"] == 1.0
+
+
+class TestFisherDims:
+    def test_separating_dim_scores_high(self, spark):
+        from libcolumnfile_spark.operators.similarity import (
+            fisher_separability,
+        )
+
+        # dim 0 separates labels; dim 1 is identically distributed
+        rows = [
+            (1, [0.0, 5.0], 0), (2, [1.0, 6.0], 0),
+            (3, [10.0, 5.0], 1), (4, [11.0, 6.0], 1),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {r["dim"]: r for r in fisher_separability(df).collect()}
+        assert out[0]["between_var"] == 25.0 and out[0]["within_var"] == 0.25
+        assert out[0]["fisher"] == 100.0
+        assert out[1]["between_var"] == 0.0 and out[1]["fisher"] == 0.0
+
+
+class TestNdcg:
+    def test_monotone_ranking_is_ideal(self, spark):
+        from libcolumnfile_spark.operators.text import ndcg_eval
+
+        # same doc length, tf 3/2/1: BM25 is monotone in tf at fixed dl,
+        # so the ranking matches the relevance order -> NDCG = 1
+        docs = spark.createDataFrame(
+            [
+                (1, "t t t x x x"),
+                (2, "t t x x x x"),
+                (3, "t x x x x x"),
+                (4, "y y y y y y"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["term"]: r for r in ndcg_eval(docs, ("t",)).collect()}
+        assert out["t"]["ndcg"] == 1.0
+        assert out["t"]["dcg"] == out["t"]["idcg"] > 0
+
+
+class TestFilterAblation:
+    def test_unique_fail_attribution(self, spark):
+        from libcolumnfile_spark.operators.text import filter_ablation
+
+        rows = [
+            (False, True, True, True),   # fails count ONLY
+            (False, False, True, True),  # fails count AND len
+            (True, True, True, True),    # passes all
+            (True, True, True, True),
+        ]
+        flags = spark.createDataFrame(
+            rows, ["ok_count", "ok_len", "ok_stop", "ok_unique"]
+        )
+        out = {r["rule"]: r for r in filter_ablation(flags).collect()}
+        assert out["count"]["n_fail"] == 2 and out["count"]["n_fail_only"] == 1
+        assert out["len"]["n_fail"] == 1 and out["len"]["n_fail_only"] == 0
+        assert out["stop"]["n_fail"] == 0
+        assert out["count"]["fail_frac"] == 0.5
+
+
+class TestWoeIv:
+    def test_mirrored_buckets_antisymmetric(self, spark):
+        from libcolumnfile_spark.operators.pipeline import woe_iv
+
+        rows = [("A", "g")] * 9 + [("A", "b")] * 1 + [("B", "g")] * 1 + [
+            ("B", "b")
+        ] * 9
+        df = spark.createDataFrame(rows, ["bucket", "y"])
+        out = {
+            r["bucket"]: r
+            for r in woe_iv(df, "bucket", F.col("y") == "g").collect()
+        }
+        assert out["A"]["woe"] > 0 > out["B"]["woe"]
+        assert out["A"]["woe"] == -out["B"]["woe"]  # mirrored counts
+        assert out["A"]["iv_term"] == out["B"]["iv_term"] > 0
+
+
+class TestCurriculumOrder:
+    def test_quintiles_and_positions(self, spark):
+        from libcolumnfile_spark.operators.pipeline import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(1, 11)], ["doc_id", "n_chars"]
+        )
+        out = {r["doc_id"]: r for r in curriculum_order(df).collect()}
+        # exact quintile cuts of 1..10 at (2.8, 4.6, 6.4, 8.2)
+        assert [out[i]["bucket"] for i in range(1, 11)] == [
+            0, 0, 1, 1, 2, 2, 3, 3, 4, 4
+        ]
+        assert all(out[i]["pos"] == 1 for i in (1, 3, 5, 7, 9))
+        assert all(out[i]["pos"] == 2 for i in (2, 4, 6, 8, 10))
