@@ -1779,3 +1779,309 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("event_type") == "purchase",
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA one-step forecast — exponentially weighted moving average of the
+# daily volume series per event type, with the next-day forecast and
+# the last-observation residual. The recursive EWMA S_t = a*y_t +
+# (1-a)*S_{t-1} unrolls to a CLOSED-FORM weighted sum, so the
+# "sequential" smoother is one rank window + one weighted aggregate
+# over the day-bounded series — never a driver-side loop.
+# ---------------------------------------------------------------------------
+
+
+def ewma_forecast(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """(grp, n_days, last_y, ewma, resid) per group: the recursive
+    EWMA of the daily count series unrolled as the exact weighted sum
+    S_T = sum_t w_t * y_t with w_t = a*(1-a)^(T-t) for t > 1 and
+    w_1 = (1-a)^(T-1) (the S_1 = y_1 convention), rounded to 6.
+    ``ewma`` is the one-step-ahead forecast; ``resid`` = last_y - ewma
+    of the PRIOR days (forecast error on the most recent observation).
+
+    Scale design: one (group, day) count exchange, a group-partitioned
+    rank window over the DAY-BOUNDED series, then one group-keyed
+    weighted aggregate — weights are derived arithmetic from the rank,
+    so the sequential recursion costs exactly one pass. Identical
+    pow() expression trees on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        df.select(
+            F.col(group_col).alias("grp"), F.to_date(ts_col).alias("d")
+        )
+        .groupBy("grp", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("grp").orderBy("d")
+    wa = Window.partitionBy("grp")
+    r = daily.select(
+        "grp",
+        "y",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(wa).alias("tt"),
+    )
+    a = F.lit(float(alpha))
+    weight = F.when(
+        F.col("t") == 1, F.pow(1.0 - a, F.col("tt") - 1)
+    ).otherwise(a * F.pow(1.0 - a, F.col("tt") - F.col("t")))
+    # prior-EWMA weights (series without the last day) for the residual
+    w_prior = F.when(F.col("t") == F.col("tt"), F.lit(0.0)).otherwise(
+        F.when(F.col("t") == 1, F.pow(1.0 - a, F.col("tt") - 2)).otherwise(
+            a * F.pow(1.0 - a, F.col("tt") - 1 - F.col("t"))
+        )
+    )
+    s = r.groupBy("grp").agg(
+        F.max("tt").alias("n_days"),
+        F.sum(weight * F.col("y")).alias("ewma_raw"),
+        F.sum(w_prior * F.col("y")).alias("prior_raw"),
+        F.max(F.when(F.col("t") == F.col("tt"), F.col("y"))).alias("last_y"),
+    )
+    return s.select(
+        "grp",
+        "n_days",
+        "last_y",
+        F.round("ewma_raw", 6).alias("ewma"),
+        F.round(F.col("last_y") - F.col("prior_raw"), 6).alias("resid"),
+    )
+
+
+@query(
+    "q_ewma_forecast",
+    oracle=(
+        "WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d, "
+        "count(*) AS y FROM events GROUP BY 1, 2), "
+        "r AS (SELECT grp, y, "
+        "row_number() OVER (PARTITION BY grp ORDER BY d) AS t, "
+        "count(*) OVER (PARTITION BY grp) AS tt FROM daily), "
+        "s AS (SELECT grp, max(tt) AS n_days, "
+        "sum((CASE WHEN t = 1 THEN pow(1.0 - 0.3, tt - 1) "
+        "ELSE 0.3 * pow(1.0 - 0.3, tt - t) END) * y) AS ewma_raw, "
+        "sum((CASE WHEN t = tt THEN 0.0 "
+        "WHEN t = 1 THEN pow(1.0 - 0.3, tt - 2) "
+        "ELSE 0.3 * pow(1.0 - 0.3, tt - 1 - t) END) * y) AS prior_raw, "
+        "max(CASE WHEN t = tt THEN y END) AS last_y FROM r GROUP BY grp) "
+        "SELECT grp, CAST(n_days AS BIGINT) AS n_days, "
+        "CAST(last_y AS BIGINT) AS last_y, round(ewma_raw, 6) AS ewma, "
+        "round(last_y - prior_raw, 6) AS resid FROM s"
+    ),
+    doc=(
+        "EWMA one-step volume forecast per event type (alpha=0.3): the "
+        "sequential smoother unrolled to its closed-form weighted sum — "
+        "one (group, day) count exchange, a day-bounded rank window, "
+        "one weighted aggregate; residual vs the prior-days forecast "
+        "comes from the same pass."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_forecast(T(spark, sf_dir, "events"), "event_type", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test — the A/B readout for CONVERSION RATES, closing
+# the test family triad: Welch t (means), Mann-Whitney U (ranks), this
+# (proportions). Cohorts come from the engine-portable md5 user split
+# (the q_sample_hash convention), so assignment is deterministic on
+# both engines.
+# ---------------------------------------------------------------------------
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    id_col: str,
+    success_pred,
+    unit_pred,
+) -> DataFrame:
+    """One-row two-proportion z-test between the md5-even and md5-odd
+    cohorts of ``id_col``: (n_a, x_a, n_b, x_b, p_a, p_b, z) — trial
+    counts, success counts, rates (rounded 6), and the pooled-variance
+    z statistic. ``unit_pred`` selects trial rows, ``success_pred``
+    successes among them.
+
+    Scale design: ONE conditional algebraic aggregate (six count_if
+    columns, map-side combine, 1-row exchange) — counts stay exact
+    integers until the final z derivation. The cohort split is a
+    map-side md5 parity, no shuffle.
+    """
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(2),
+    )
+    t = df.filter(unit_pred).select(
+        b.alias("cohort"), success_pred.cast("int").alias("s")
+    )
+    agg = t.agg(
+        F.count_if(F.col("cohort") == 0).alias("n_a"),
+        F.count_if((F.col("cohort") == 0) & (F.col("s") == 1)).alias("x_a"),
+        F.count_if(F.col("cohort") == 1).alias("n_b"),
+        F.count_if((F.col("cohort") == 1) & (F.col("s") == 1)).alias("x_b"),
+    )
+    pa = F.col("x_a") / F.col("n_a")
+    pb = F.col("x_b") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) / se, 6).alias("z"),
+    )
+
+
+@query(
+    "q_prop_ztest",
+    oracle=(
+        "WITH t AS (SELECT "
+        "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT "
+        "% 2) AS cohort, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s "
+        "FROM events), "
+        "a AS (SELECT count(*) FILTER (cohort = 0) AS n_a, "
+        "count(*) FILTER (cohort = 0 AND s = 1) AS x_a, "
+        "count(*) FILTER (cohort = 1) AS n_b, "
+        "count(*) FILTER (cohort = 1 AND s = 1) AS x_b FROM t) "
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a, "
+        "CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b, "
+        "round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a, "
+        "round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b, "
+        "round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) "
+        "/ sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE)) "
+        "* (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE)) "
+        "* (1.0 / n_a + 1.0 / n_b)), 6) AS z FROM a"
+    ),
+    doc=(
+        "Two-proportion z-test of purchase rate between md5-parity user "
+        "cohorts — the conversion-rate A/B readout closing the triad "
+        "with Welch-t (means) and Mann-Whitney (ranks): ONE conditional "
+        "algebraic aggregate, exact integer counts to a 1-row exchange."
+    ),
+    tags=("agg", "stats", "eval"),
+)
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        ev, "user_id", F.col("event_type") == "purchase", F.lit(True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded HyperLogLog with a FULL SQL oracle — the mergeable-sketch
+# cardinality estimator (Flajolet et al. 2007) built on the engine-
+# portable md5 hash family, so every register value and the final
+# estimate are plain integer/double arithmetic a SQL oracle replicates
+# (the q_sim_ivf_seeded recipe applied to approximate distinct counts;
+# Spark's native approx_count_distinct stays the rows-only declared
+# variant). Self-evaluating: the output row carries the exact distinct
+# count and the relative error next to the estimate.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # registers; std err ~ 1.04/sqrt(m) = 6.5%
+
+
+def hll_seeded(df: DataFrame, col: str, m: int = _HLL_M) -> DataFrame:
+    """One-row (m, n_exact, v_empty, estimate, rel_err): HLL over the
+    md5-derived 60-bit hash of ``col``, register = h mod m, rank =
+    leading zeros of the remaining 52 bits + 1 computed EXACTLY via
+    binary-string length (no float log probing), harmonic-mean estimate
+    with the small-range linear-counting correction.
+
+    Scale design: the register table is ONE m-row-bounded max
+    aggregate with map-side combine — the sketch is mergeable by
+    construction (max of maxes), which is the whole point at 100 TB:
+    per-partition registers union for free in the combiner, the
+    exchange is m rows total. The exact count (carried for self-eval)
+    is the expensive arm — a real deployment drops it and keeps only
+    the sketch. rho uses bin()-string length (identical unpadded
+    semantics on both engines), so registers are engine-exact; only
+    the final harmonic estimate is floats, rounded to 4.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    v = df.select(
+        F.pmod(h, F.lit(m)).alias("reg"),
+        (h - F.pmod(h, F.lit(m))).alias("__num"),
+        F.floor(h / F.lit(m)).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("w")))
+    )
+    regs = v.select("reg", rho.alias("rho")).groupBy("reg").agg(
+        F.max("rho").alias("mx")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = regs.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("ssum"),
+    )
+    exact = df.agg(F.count_distinct(F.col(col)).alias("n_exact"))
+    j = s.crossJoin(F.broadcast(exact))
+    vempty = F.lit(m) - F.col("occupied")
+    raw = F.lit(alpha * m * m) / (F.col("ssum") + vempty)
+    est = F.when(
+        (raw <= 2.5 * m) & (vempty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / vempty),
+    ).otherwise(raw)
+    return j.select(
+        F.lit(m).alias("m"),
+        "n_exact",
+        vempty.cast("bigint").alias("v_empty"),
+        F.round(est, 4).alias("estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _hll_oracle(col: str, table: str, m: int = _HLL_M) -> str:
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return (
+        f"WITH v AS (SELECT ('0x' || substring(md5(CAST({col} AS VARCHAR)), "
+        f"1, 15))::BIGINT AS h FROM {table}), "
+        f"b AS (SELECT h % {m} AS reg, h // {m} AS w FROM v), "
+        "r AS (SELECT reg, CASE WHEN w = 0 THEN 53 "
+        "ELSE 53 - length(bin(w)) END AS rho FROM b), "
+        "regs AS (SELECT reg, max(rho) AS mx FROM r GROUP BY 1), "
+        "s AS (SELECT count(*) AS occupied, sum(pow(2.0, -mx)) AS ssum "
+        "FROM regs), "
+        f"e AS (SELECT count(DISTINCT {col}) AS n_exact FROM {table}), "
+        f"j AS (SELECT occupied, ssum, n_exact, {m} - occupied AS v_empty, "
+        f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / (ssum + {m} - occupied) AS raw "
+        "FROM s CROSS JOIN e), "
+        "f AS (SELECT *, CASE WHEN raw <= 2.5 * "
+        f"{m} AND v_empty > 0 THEN {float(m)!r} * ln({float(m)!r} / v_empty) "
+        "ELSE raw END AS est FROM j) "
+        f"SELECT {m} AS m, CAST(n_exact AS BIGINT) AS n_exact, "
+        "CAST(v_empty AS BIGINT) AS v_empty, round(est, 4) AS estimate, "
+        "round((est - n_exact) / n_exact, 4) AS rel_err FROM f"
+    )
+
+
+@query(
+    "q_hll_seeded",
+    oracle=_hll_oracle("l_orderkey", "lineitem"),
+    doc=(
+        "Oracle-verified HyperLogLog distinct-order estimate over "
+        "lineitem (md5 hash family, 256 registers, exact bin()-string "
+        "leading-zero ranks, linear-counting small-range correction): "
+        "ONE m-row-bounded mergeable max aggregate — per-partition "
+        "registers combine map-side, the exchange is m rows at any "
+        "corpus size; carries exact count + rel_err for self-eval. "
+        "The q_sim_ivf_seeded recipe applied to approx-distinct; "
+        "Spark-native HLL stays the rows-only q_approx_distinct."
+    ),
+    tags=("agg", "sketch", "eval"),
+)
+def q_hll_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_seeded(T(spark, sf_dir, "lineitem"), "l_orderkey")

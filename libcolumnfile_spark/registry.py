@@ -226,6 +226,9 @@ _PRIORITY = [
     "q_silhouette", "q_vocab_coverage",
     "q_auc_roc", "q_fisher_dims", "q_woe_iv", "q_filter_ablation",
     "q_local_cc", "q_curriculum_order",
+    # round-10 batch 2 (past-window; families hold in-window reps:
+    # sketch = q_sketch_freq, stats/AB = q_trend_ols/q_survival_km)
+    "q_ewma_forecast", "q_prop_ztest", "q_hll_seeded",
     # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
     # window additions): the demoted former window occupants first
     # (each family keeps an in-window rep: graph = pagerank_docs/

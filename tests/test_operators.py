@@ -2964,3 +2964,81 @@ class TestCurriculumOrder:
         ]
         assert all(out[i]["pos"] == 1 for i in (1, 3, 5, 7, 9))
         assert all(out[i]["pos"] == 2 for i in (2, 4, 6, 8, 10))
+
+
+class TestEwmaForecast:
+    def test_constant_series_is_exact(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.aggregates import ewma_forecast
+
+        rows = []
+        for x in range(5):
+            d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=x)
+            rows += [("g", d)] * 7
+        df = spark.createDataFrame(rows, ["event_type", "ts"])
+        r = ewma_forecast(df, "event_type", "ts").collect()[0]
+        # EWMA of a constant series is the constant; zero residual
+        assert r["ewma"] == 7.0 and r["resid"] == 0.0 and r["last_y"] == 7
+
+    def test_recursion_matches_closed_form(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.aggregates import ewma_forecast
+
+        ys = [10, 4, 8, 1]
+        rows = []
+        for x, y in enumerate(ys):
+            d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=x)
+            rows += [("g", d)] * y
+        df = spark.createDataFrame(rows, ["event_type", "ts"])
+        r = ewma_forecast(df, "event_type", "ts", alpha=0.3).collect()[0]
+        s = ys[0]
+        for y in ys[1:]:
+            s = 0.3 * y + 0.7 * s
+        assert abs(r["ewma"] - s) < 1e-6
+
+
+class TestPropZtest:
+    def test_counts_partition_and_z_sign(self, spark):
+        from libcolumnfile_spark.operators.aggregates import (
+            two_proportion_ztest,
+        )
+
+        rows = [(i, "purchase" if i % 3 == 0 else "view") for i in range(200)]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        r = two_proportion_ztest(
+            df, "user_id", F.col("event_type") == "purchase", F.lit(True)
+        ).collect()[0]
+        assert r["n_a"] + r["n_b"] == 200
+        assert r["x_a"] + r["x_b"] == len([i for i in range(200) if i % 3 == 0])
+        # z sign matches the rate difference
+        assert (r["z"] > 0) == (r["p_a"] > r["p_b"])
+
+
+class TestHllSeeded:
+    def test_estimate_within_theory(self, spark):
+        from libcolumnfile_spark.operators.aggregates import hll_seeded
+
+        df = spark.createDataFrame([(i,) for i in range(20000)], ["k"])
+        r = hll_seeded(df, "k").collect()[0]
+        assert r["n_exact"] == 20000
+        # 5 sigma of the 6.5% std err
+        assert abs(r["rel_err"]) < 0.33
+
+    def test_linear_counting_small_range(self, spark):
+        from libcolumnfile_spark.operators.aggregates import hll_seeded
+
+        df = spark.createDataFrame([(i,) for i in range(30)], ["k"])
+        r = hll_seeded(df, "k").collect()[0]
+        # small cardinality: linear-counting branch, near-exact
+        assert r["v_empty"] > 0
+        assert abs(r["rel_err"]) < 0.2
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from libcolumnfile_spark.operators.aggregates import hll_seeded
+
+        df = spark.createDataFrame([(i % 50,) for i in range(5000)], ["k"])
+        r = hll_seeded(df, "k").collect()[0]
+        assert r["n_exact"] == 50
+        assert abs(r["rel_err"]) < 0.2

@@ -282,6 +282,13 @@ CONTRACTS = {
     "q_woe_iv": (1.9, 3.5),         # bucket-keyed counts + 1-row totals
     "q_curriculum_order": (2.1, 3.5),  # percentile broadcast + n_buckets-
                                     # partition rank window
+    # round-10 batch 2 (measured 2026-08-16, idle host)
+    "q_ewma_forecast": (1.4, 3.0),  # (group, day) count + day-bounded
+                                    # rank window + weighted agg
+    "q_prop_ztest": (1.5, 3.0),     # ONE conditional algebraic agg
+    "q_hll_seeded": (3.7, 6.0),     # m-row mergeable register agg; the
+                                    # exact-count self-eval arm is the
+                                    # growing side (drop it in prod)
 }
 
 
