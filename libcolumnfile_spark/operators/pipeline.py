@@ -2707,3 +2707,91 @@ def curriculum_order(
 )
 def q_curriculum_order(spark, sf_dir):
     return curriculum_order(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Uniform negative sampling — k deterministic random negatives per
+# document for contrastive/ranking training: slot j's negative is the
+# document at dense index md5(doc_id # j) mod N. The engine-portable
+# md5 convention (q_sample_hash) makes every pick reproducible on any
+# engine; the dual of q_hard_negatives' similarity-mined negatives.
+# ---------------------------------------------------------------------------
+
+
+def negative_sample(
+    df: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, slot, neg_id) — ``k`` uniform negatives per document,
+    drawn by md5 slot hash over the dense doc index; a self-draw
+    deterministically advances one position (so negatives never equal
+    the anchor).
+
+    Scale design: the dense index is a row_number over the id order —
+    at fixture scale one sorted run; at 100 TB swap in
+    repartitionByRange + per-partition offsets (one count aggregate,
+    the q_curriculum_order note) for the same index without the
+    single-partition ceiling. Draws are a pure map fan-out (k structs
+    per row), resolved by ONE index-keyed shuffle join back to the
+    indexed table. Exchange = k x N join rows — linear in output, no
+    pair blowup.
+    """
+    from pyspark.sql.window import Window
+
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    n = ids.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy("doc_id")
+    indexed = ids.withColumn("idx", F.row_number().over(w) - 1)
+    draws = indexed.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "idx",
+        "n_total",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("doc_id"), F.col("slot"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pick = F.pmod(h, F.col("n_total"))
+    # self-draw advances one ring position
+    pick = F.when(
+        pick == F.col("idx"), F.pmod(pick + 1, F.col("n_total"))
+    ).otherwise(pick)
+    probes = draws.select("doc_id", "slot", pick.alias("pidx"))
+    neg = indexed.select(
+        F.col("idx").alias("pidx"), F.col("doc_id").alias("neg_id")
+    )
+    return probes.join(neg, "pidx").select("doc_id", "slot", "neg_id")
+
+
+@query(
+    "q_negative_sample",
+    oracle=(
+        "WITH ids AS (SELECT doc_id, "
+        "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx "
+        "FROM documents), "
+        "n AS (SELECT count(*) AS n_total FROM ids), "
+        "d AS (SELECT doc_id, idx, n_total, u.slot FROM ids CROSS JOIN n "
+        "CROSS JOIN unnest([0, 1, 2]) AS u(slot)), "
+        "p AS (SELECT doc_id, slot, "
+        "CASE WHEN ('0x' || substring(md5(doc_id || '#' || slot), 1, 15))"
+        "::BIGINT % n_total = idx "
+        "THEN (('0x' || substring(md5(doc_id || '#' || slot), 1, 15))"
+        "::BIGINT % n_total + 1) % n_total "
+        "ELSE ('0x' || substring(md5(doc_id || '#' || slot), 1, 15))"
+        "::BIGINT % n_total END AS pidx FROM d) "
+        "SELECT p.doc_id, CAST(p.slot AS INT) AS slot, i.doc_id AS neg_id "
+        "FROM p JOIN ids i ON i.idx = p.pidx"
+    ),
+    doc=(
+        "Deterministic uniform negative sampling (3 per doc) over the "
+        "md5 hash of (doc, slot) mod the dense doc index — pure map "
+        "fan-out + ONE index-keyed join back; self-draws advance one "
+        "ring position; the uniform dual of q_hard_negatives."
+    ),
+    tags=("pipeline", "llm-pipeline"),
+)
+def q_negative_sample(spark, sf_dir):
+    return negative_sample(T(spark, sf_dir, "documents"))

@@ -2226,3 +2226,103 @@ def fisher_separability(
 )
 def q_fisher_dims(spark, sf_dir):
     return fisher_separability(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — for each query vector, the corpus items MOST
+# similar to it with a DIFFERENT label: the negatives that actually
+# teach a contrastive/metric-learning model (uniform random negatives
+# are trivially separable; the hard ones sit just across the boundary).
+# The labeled variant of the kNN join: same broadcast + two-phase
+# salted top-k plan, with the label-mismatch predicate riding the
+# scoring join.
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(q_id, q_label, c_id, c_label, cos_sim, rn) — per query, its
+    top-k most-similar corpus items with a different label.
+
+    Scale design: the knn_join plan with the label predicate fused into
+    the map-side scoring join — query batch broadcast (no corpus
+    shuffle), mismatched-label candidates scored in place, exact
+    two-phase salted top-k (top-k within (q_id, corpus-hash salt), then
+    re-rank survivors) so no q_id window funnels the scored set through
+    n_queries reducers. The predicate PRUNES before ranking: same-label
+    rows never enter the top-k exchange.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos_sim"),
+        )
+    )
+    w1 = Window.partitionBy(
+        "q_id", F.pmod(F.col("c_id"), F.lit(salt_buckets))
+    ).orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    survivors = scored.withColumn("__rn1", F.row_number().over(w1)).filter(
+        F.col("__rn1") <= k
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "q_label", "c_id", "c_label", "cos_sim", "rn")
+    )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS q_id, label AS q_label, "
+        "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8), "
+        "c AS (SELECT vec_id AS c_id, label AS c_label, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 8), "
+        "s AS (SELECT q_id, q_label, c_id, c_label, "
+        "round(list_cosine_similarity(cv, qv), 6) AS cos_sim "
+        "FROM c CROSS JOIN q WHERE c_label <> q_label), "
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rn FROM s) "
+        "SELECT q_id, q_label, c_id, c_label, cos_sim, rn FROM r "
+        "WHERE rn <= 5"
+    ),
+    doc=(
+        "Hard-negative mining for contrastive training: per query, the "
+        "top-5 most-similar corpus vectors with a DIFFERENT label — the "
+        "kNN-join plan (broadcast query batch, map-side scoring, exact "
+        "two-phase salted top-k) with the label-mismatch predicate "
+        "pruning before any ranking exchange."
+    ),
+    tags=("similarity", "llm-pipeline", "eval"),
+)
+def q_hard_negatives(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 8),
+        _spread(emb.filter(F.col("vec_id") >= 8)),
+    )

@@ -229,6 +229,10 @@ _PRIORITY = [
     # round-10 batch 2 (past-window; families hold in-window reps:
     # sketch = q_sketch_freq, stats/AB = q_trend_ols/q_survival_km)
     "q_ewma_forecast", "q_prop_ztest", "q_hll_seeded",
+    # round-10 batch 3 (past-window; similarity = sim_pq_seeded /
+    # sim_pairs_auto in-window, streaming = stream_dedup_fuzzy,
+    # sampling = dsir_weights)
+    "q_hard_negatives", "q_negative_sample", "q_stream_topk",
     # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
     # window additions): the demoted former window occupants first
     # (each family keeps an in-window rep: graph = pagerank_docs/

@@ -371,3 +371,40 @@ def upsert_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def windowed_topk(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    key_col: str = "event_type",
+    k: int = 3,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-tumbling-window top-k keys by count (ties by key) — the
+    trending-now monitor. On a stream, the windowed aggregate runs
+    incrementally under the watermark and the RANK step applies at the
+    sink (complete/foreachBatch — ranking over an aggregate isn't
+    append-mode-expressible by definition, because a late row can
+    reorder the board); on a batch frame the two steps fuse into one
+    plan. The rank window partitions by window start — parallelism is
+    window-count, operating on the already-aggregated (window x key)
+    table, never the raw stream.
+    """
+    from pyspark.sql.window import Window
+
+    d = with_event_time_watermark(df, ts_col, delay)
+    agg = (
+        d.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events")
+    )
+    if agg.isStreaming:
+        return agg  # rank applies at the sink (see docstring)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col(key_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -232,3 +232,29 @@ def q_stream_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.groupBy("sig_key").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
     ).select("doc_id", "dup_count")
+
+
+@query(
+    "q_stream_topk",
+    oracle=(
+        "WITH a AS (SELECT "
+        + _GRID.format(off=0, per=3600)
+        + " AS window_start, event_type, count(*) AS n_events "
+        "FROM events GROUP BY 1, 2), "
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start "
+        "ORDER BY n_events DESC, event_type) AS INT) AS rank FROM a) "
+        "SELECT window_start, event_type, n_events, rank FROM r "
+        "WHERE rank <= 3"
+    ),
+    doc=(
+        "Per-hour top-3 event types (trending-now board), batch face of "
+        "pipelines.windowed_topk: incremental tumbling aggregate under "
+        "the watermark + a window-partitioned rank on the aggregated "
+        "(window x key) table — on a stream the rank applies at the "
+        "sink (complete mode / foreachBatch), exercised in "
+        "tests/test_streaming.py."
+    ),
+    tags=("streaming", "window", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.windowed_topk(T(spark, sf_dir, "events"))

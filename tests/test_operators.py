@@ -3042,3 +3042,47 @@ class TestHllSeeded:
         r = hll_seeded(df, "k").collect()[0]
         assert r["n_exact"] == 50
         assert abs(r["rel_err"]) < 0.2
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks(self, spark):
+        from libcolumnfile_spark.operators.similarity import hard_negatives
+
+        q = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0)], ["vec_id", "embedding", "label"]
+        )
+        c = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0], 0),    # same label: excluded despite cos=1
+                (11, [1.0, 0.1], 1),    # hardest negative
+                (12, [0.0, 1.0], 1),    # orthogonal negative
+                (13, [-1.0, 0.0], 2),   # opposite
+            ],
+            ["vec_id", "embedding", "label"],
+        )
+        out = hard_negatives(q, c, k=2).collect()
+        got = [(r["c_id"], r["rn"]) for r in sorted(out, key=lambda r: r["rn"])]
+        assert got == [(11, 1), (12, 2)]
+        assert all(r["c_label"] != r["q_label"] for r in out)
+
+
+class TestNegativeSample:
+    def test_k_per_doc_never_self(self, spark):
+        from libcolumnfile_spark.operators.pipeline import negative_sample
+
+        df = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+        out = negative_sample(df, k=3).collect()
+        assert len(out) == 60
+        assert all(r["neg_id"] != r["doc_id"] for r in out)
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], set()).add(r["slot"])
+        assert all(v == {0, 1, 2} for v in per.values())
+
+    def test_deterministic(self, spark):
+        from libcolumnfile_spark.operators.pipeline import negative_sample
+
+        df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+        a = sorted(map(tuple, negative_sample(df).collect()))
+        b = sorted(map(tuple, negative_sample(df).collect()))
+        assert a == b

@@ -289,6 +289,14 @@ CONTRACTS = {
     "q_hll_seeded": (3.7, 6.0),     # m-row mergeable register agg; the
                                     # exact-count self-eval arm is the
                                     # growing side (drop it in prod)
+    # round-10 batch 3 (measured 2026-08-16, idle host)
+    "q_hard_negatives": (3.9, 6.5), # broadcast 8-query batch, map-side
+                                    # scoring over x10 corpus, two-phase
+                                    # salted top-k; x10 absolute 3.9 s
+    "q_negative_sample": (2.6, 4.5),  # map fan-out + ONE index join;
+                                    # output grows x10 by construction
+    "q_stream_topk": (2.5, 4.0),    # tumbling agg + (window x key)-
+                                    # bounded rank
 }
 
 

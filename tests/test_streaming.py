@@ -816,3 +816,42 @@ def test_columnfile_stream_torn_tail_failure_injection(spark, tmp_path):
     run_once()
     out = spark.read.parquet(sink)
     assert sorted(r["event_id"] for r in out.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_windowed_topk_stream_sink_rank_equals_batch(spark, events, tmp_path):
+    """windowed_topk on a real stream: the tumbling aggregate runs
+    incrementally (complete mode — a rank over an aggregate is not
+    append-expressible), the rank applies at the sink exactly as the
+    transform's docstring prescribes, and the ranked board equals the
+    fused batch plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    agg = P.windowed_topk(stream)  # streaming face: aggregate only
+    assert agg.isStreaming and "rank" not in agg.columns
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName("topk_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_stream(sq)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    got = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+        for r in spark.sql("SELECT * FROM topk_t")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    want = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+        for r in P.windowed_topk(events).collect()
+    }
+    assert got == want
