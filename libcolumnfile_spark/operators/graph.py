@@ -1200,3 +1200,131 @@ def local_clustering(edges: DataFrame) -> DataFrame:
 )
 def q_local_cc(spark, sf_dir):
     return local_clustering(_doc_succ_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the label-propagation communities — the quality
+# score for the community structure the way silhouette scores clusters:
+# Q = sum_i (e_i/m - (d_i/2m)^2), internal-edge mass minus the degree-
+# model expectation. Completes the graph-eval set: rank (pagerank/hits),
+# local structure (triangles/cc/kcore), communities (label_prop) + now
+# the metric that says whether those communities are real.
+# ---------------------------------------------------------------------------
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One-row (n_communities, n_edges, internal_frac, modularity) of a
+    community assignment over the canonical undirected edge set,
+    rounded to 6.
+
+    Scale design: everything reduces to two community-bounded
+    aggregates — internal-edge counts (one edge pass joining the label
+    vector onto BOTH endpoints, shuffle_hash-pinned: the label vector
+    is |V|-sized, a stats-estimated broadcast dies at real scale) and
+    per-community degree sums (node-keyed degree aggregate joined to
+    labels). The Q sum is derived arithmetic on the community-bounded
+    table; exact integer edge/degree counts until the final division.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    tagged = e.join(la.hint("shuffle_hash"), "a").join(
+        lb.hint("shuffle_hash"), "b"
+    )
+    internal = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dsum = (
+        deg.join(
+            labels.select(F.col("node").alias("v"), "community").hint(
+                "shuffle_hash"
+            ),
+            "v",
+        )
+        .groupBy("community")
+        .agg(F.sum("deg").alias("d_sum"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    per = dsum.join(internal, "community", "left").select(
+        "community",
+        "d_sum",
+        F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+    )
+    s = per.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("m").alias("n_edges"),
+        F.sum("e_in").alias("tot_in"),
+        F.sum(
+            F.col("e_in") / F.col("m")
+            - (F.col("d_sum") / (2.0 * F.col("m"))) ** 2
+        ).alias("q"),
+    )
+    return s.select(
+        "n_communities",
+        "n_edges",
+        F.round(F.col("tot_in") / F.col("n_edges"), 6).alias("internal_frac"),
+        F.round("q", 6).alias("modularity"),
+    )
+
+
+def _modularity_oracle(n_iter: int = 4) -> str:
+    lp = _label_prop_oracle(n_iter)
+    body = lp[len("WITH "):lp.rindex(" SELECT node")]
+    return (
+        "WITH " + body + ", "
+        "e2 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b "
+        "FROM e), "
+        f"lab AS (SELECT node, lbl AS community FROM l{n_iter}), "
+        "tagged AS (SELECT la.community AS ca, lb.community AS cb "
+        "FROM e2 JOIN lab la ON la.node = e2.a "
+        "JOIN lab lb ON lb.node = e2.b), "
+        "i AS (SELECT ca AS community, count(*) AS e_in FROM tagged "
+        "WHERE ca = cb GROUP BY 1), "
+        "d AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM e2 "
+        "UNION ALL SELECT b FROM e2) GROUP BY 1), "
+        "ds AS (SELECT lab.community, sum(d.deg) AS d_sum FROM d "
+        "JOIN lab ON lab.node = d.v GROUP BY 1), "
+        "m AS (SELECT count(*) AS m FROM e2), "
+        "per AS (SELECT ds.community, ds.d_sum, coalesce(i.e_in, 0) AS e_in "
+        "FROM ds LEFT JOIN i ON i.community = ds.community), "
+        "s AS (SELECT count(*) AS n_communities, max(m) AS n_edges, "
+        "sum(e_in) AS tot_in, "
+        "sum(CAST(e_in AS DOUBLE) / m - pow(d_sum / (2.0 * m), 2)) AS q "
+        "FROM per CROSS JOIN m) "
+        "SELECT CAST(n_communities AS BIGINT) AS n_communities, "
+        "CAST(n_edges AS BIGINT) AS n_edges, "
+        "round(CAST(tot_in AS DOUBLE) / n_edges, 6) AS internal_frac, "
+        "round(q, 6) AS modularity FROM s"
+    )
+
+
+@query(
+    "q_modularity",
+    oracle=_modularity_oracle(),
+    doc=(
+        "Newman modularity of the 4-round label-propagation communities "
+        "over the doc-level graph: internal-edge and degree-sum "
+        "aggregates with the |V|-sized label vector joined "
+        "shuffle_hash onto both endpoints, Q derived on the community-"
+        "bounded table — the 'are these communities real?' eval that "
+        "completes rank / structure / community metrics."
+    ),
+    tags=("graph", "pipeline", "eval", "stats"),
+)
+def q_modularity(spark, sf_dir):
+    edges = _doc_id_edges(spark, sf_dir)
+    return modularity(edges, label_propagation(edges))

@@ -233,6 +233,7 @@ _PRIORITY = [
     # sim_pairs_auto in-window, streaming = stream_dedup_fuzzy,
     # sampling = dsir_weights)
     "q_hard_negatives", "q_negative_sample", "q_stream_topk",
+    "q_modularity",
     # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
     # window additions): the demoted former window occupants first
     # (each family keeps an in-window rep: graph = pagerank_docs/

@@ -3086,3 +3086,35 @@ class TestNegativeSample:
         a = sorted(map(tuple, negative_sample(df).collect()))
         b = sorted(map(tuple, negative_sample(df).collect()))
         assert a == b
+
+
+class TestModularity:
+    def test_two_cliques_with_bridge(self, spark):
+        from libcolumnfile_spark.operators.graph import modularity
+
+        # two triangles joined by one bridge edge; communities = cliques
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            ["src", "dst"],
+        )
+        labels = spark.createDataFrame(
+            [(v, 0) for v in (1, 2, 3)] + [(v, 1) for v in (4, 5, 6)],
+            ["node", "community"],
+        )
+        r = modularity(edges, labels).collect()[0]
+        assert r["n_communities"] == 2 and r["n_edges"] == 7
+        # 6 of 7 edges internal
+        assert r["internal_frac"] == round(6 / 7, 6)
+        # Q = sum(e_i/m - (d_i/2m)^2) = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+        assert r["modularity"] == round(6 / 7 - 0.5, 6)
+
+    def test_single_community_zero(self, spark):
+        from libcolumnfile_spark.operators.graph import modularity
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], ["node", "community"]
+        )
+        r = modularity(edges, labels).collect()[0]
+        # everything internal, one community: Q = 1 - 1 = 0
+        assert r["modularity"] == 0.0 and r["internal_frac"] == 1.0
