@@ -297,6 +297,9 @@ CONTRACTS = {
                                     # output grows x10 by construction
     "q_stream_topk": (2.5, 4.0),    # tumbling agg + (window x key)-
                                     # bounded rank
+    "q_modularity": (3.0, 5.5),     # label_prop rounds + two community-
+                                    # bounded aggregates over the
+                                    # |V|-keyed shuffle_hash joins
 }
 
 
