@@ -1328,3 +1328,98 @@ def _modularity_oracle(n_iter: int = 4) -> str:
 def q_modularity(spark, sf_dir):
     edges = _doc_id_edges(spark, sf_dir)
     return modularity(edges, label_propagation(edges))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002) — the Pearson correlation of
+# endpoint degrees across edges: do hubs link to hubs (assortative,
+# r > 0, social graphs) or to leaves (disassortative, r < 0, the web)?
+# The mixing-pattern diagnostic next to reciprocity (spam rings) and
+# clustering (communities); every sum in the formula is an INTEGER
+# moment over edges, so the whole statistic is engine-exact until one
+# final division.
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row (n_edges, r): degree assortativity of the canonical
+    undirected edge set, rounded to 6 (NULL when the degree-product
+    variance degenerates).
+
+    Scale design: one degree aggregate, two |E|-vs-|V| shuffle_hash
+    joins to tag endpoint degrees (the |V|-sized degree vector must
+    not broadcast at scale — triangle_stats policy), then ONE
+    algebraic aggregate of the three integer degree moments
+    (sum jk, sum (j+k), sum (j^2+k^2)); r is derived on the 1-row
+    result: r = (S_jk/M - (S_1/2M)^2) / (S_2/2M - (S_1/2M)^2).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("ja")).hint(
+            "shuffle_hash"
+        ),
+        "a",
+    ).join(
+        deg.select(F.col("v").alias("b"), F.col("deg").alias("jb")).hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("ja") * F.col("jb")).alias("s_jk"),
+        F.sum(F.col("ja") + F.col("jb")).alias("s_1"),
+        F.sum(F.col("ja") * F.col("ja") + F.col("jb") * F.col("jb")).alias(
+            "s_2"
+        ),
+    )
+    m = F.col("m").cast("double")
+    mu = F.col("s_1") / (2.0 * m)
+    num = F.col("s_jk") / m - mu * mu
+    den = F.col("s_2") / (2.0 * m) - mu * mu
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.round(F.when(den > 0, num / den), 6).alias("r"),
+    )
+
+
+@query(
+    "q_assortativity",
+    oracle=(
+        f"WITH {_succ_edge_cte()}, "
+        "d AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM e "
+        "UNION ALL SELECT b FROM e) GROUP BY v), "
+        "ed AS (SELECT da.deg AS ja, db.deg AS jb FROM e "
+        "JOIN d da ON da.v = e.a JOIN d db ON db.v = e.b), "
+        "s AS (SELECT count(*) AS m, sum(ja * jb) AS s_jk, "
+        "sum(ja + jb) AS s_1, sum(ja * ja + jb * jb) AS s_2 FROM ed) "
+        "SELECT CAST(m AS BIGINT) AS n_edges, "
+        "round(CASE WHEN s_2 / (2.0 * m) - pow(s_1 / (2.0 * m), 2) > 0 "
+        "THEN (s_jk / CAST(m AS DOUBLE) - pow(s_1 / (2.0 * m), 2)) "
+        "/ (s_2 / (2.0 * m) - pow(s_1 / (2.0 * m), 2)) END, 6) AS r "
+        "FROM s"
+    ),
+    doc=(
+        "Newman degree assortativity of the doc graph (do hubs link to "
+        "hubs?): degree vector shuffle_hash-joined onto both edge "
+        "endpoints, then ONE algebraic aggregate of three INTEGER "
+        "degree moments — engine-exact until the final 1-row division; "
+        "the mixing-pattern diagnostic next to reciprocity and "
+        "clustering."
+    ),
+    tags=("graph", "stats"),
+)
+def q_assortativity(spark, sf_dir):
+    return degree_assortativity(_doc_succ_edges(spark, sf_dir))

@@ -2795,3 +2795,197 @@ def negative_sample(
 )
 def q_negative_sample(spark, sf_dir):
     return negative_sample(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Population stability index — THE industry drift monitor for a scored
+# population: decile the reference window, measure how the comparison
+# window's mass redistributes across those fixed bins. Complements
+# q_js_divergence (token distributions) and q_corpus_drift (content)
+# with the standard scorecard-monitoring statistic; PSI > 0.2 is the
+# canonical "retrain" alarm.
+# ---------------------------------------------------------------------------
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bucket, n_a, n_b, p_a, p_b, psi_term) per decile bucket of the
+    FIRST-half distribution, comparing first vs second time half;
+    rounded to 6. Laplace +0.5 per cell keeps empty bins finite. Total
+    PSI = sum(psi_term).
+
+    Scale design: one 1-row min/max broadcast splits time exactly in
+    half; decile cuts are ONE exact-percentile aggregate over the
+    reference half broadcast back (the equidepth_histogram shape);
+    bucket assignment is a map-side array scan and the only other
+    exchange is the n_bins-bounded count aggregate. Counts stay exact
+    integers until the final per-bin division.
+    """
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    span = df.agg(
+        F.min(us(ts_col)).alias("mn"), F.max(us(ts_col)).alias("mx")
+    )
+    # exact integer-microsecond midpoint (2*t < mn+mx avoids any
+    # fractional-seconds asymmetry between engines)
+    v = df.crossJoin(F.broadcast(span)).select(
+        F.col(value_col).alias("v"),
+        (2 * us(ts_col) < F.col("mn") + F.col("mx")).cast("int").alias("is_a"),
+    )
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cuts = v.filter(F.col("is_a") == 1).agg(
+        F.percentile(F.col("v"), F.array(*[F.lit(f) for f in fracs])).alias(
+            "cuts"
+        )
+    )
+    b = v.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("cuts"), lambda c: F.col("v") > c))
+        .cast("int")
+        .alias("bucket"),
+        "is_a",
+    )
+    cells = b.groupBy("bucket").agg(
+        F.count_if(F.col("is_a") == 1).alias("n_a"),
+        F.count_if(F.col("is_a") == 0).alias("n_b"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * F.col("k"))
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "q_psi",
+    oracle=(
+        "WITH span AS (SELECT epoch_us(min(ts)) AS mn, "
+        "epoch_us(max(ts)) AS mx FROM events), "
+        "v AS (SELECT value AS v, CASE WHEN 2 * epoch_us(ts) < mn + mx "
+        "THEN 1 ELSE 0 END AS is_a FROM events CROSS JOIN span), "
+        "c AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, "
+        "0.7, 0.8, 0.9]) AS cuts FROM v WHERE is_a = 1), "
+        "b AS (SELECT CAST(len(list_filter(cuts, x -> v > x)) AS INT) "
+        "AS bucket, is_a FROM v CROSS JOIN c), "
+        "cells AS (SELECT bucket, count(*) FILTER (is_a = 1) AS n_a, "
+        "count(*) FILTER (is_a = 0) AS n_b FROM b GROUP BY 1), "
+        "t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k "
+        "FROM cells) "
+        "SELECT bucket, CAST(n_a AS BIGINT) AS n_a, "
+        "CAST(n_b AS BIGINT) AS n_b, "
+        "round((n_a + 0.5) / (ta + 0.5 * k), 6) AS p_a, "
+        "round((n_b + 0.5) / (tb + 0.5 * k), 6) AS p_b, "
+        "round(((n_a + 0.5) / (ta + 0.5 * k) - (n_b + 0.5) "
+        "/ (tb + 0.5 * k)) * ln(((n_a + 0.5) / (ta + 0.5 * k)) "
+        "/ ((n_b + 0.5) / (tb + 0.5 * k))), 6) AS psi_term "
+        "FROM cells CROSS JOIN t"
+    ),
+    doc=(
+        "Population stability index of events.value between the first "
+        "and second time halves over reference-half deciles: one 1-row "
+        "time-split broadcast, ONE exact-percentile cut broadcast, "
+        "map-side bucket scan, n_bins-bounded count aggregate — the "
+        "scorecard drift alarm (PSI > 0.2 = retrain) next to JS-div "
+        "and corpus-drift."
+    ),
+    tags=("pipeline", "stats", "eval"),
+)
+def q_psi(spark, sf_dir):
+    return psi_drift(T(spark, sf_dir, "events"), "value", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Group k-fold assignment — cross-validation folds that keep every
+# document of a SOURCE in the same fold: when duplicates and style
+# cluster by origin, row-hash folds leak near-dup content across the
+# train/eval boundary (exactly what q_split_leakage measures);
+# group-aware folds prevent it by construction. The third member of
+# the split family: hash rows (q_split_assign), cut time
+# (q_temporal_split), hash GROUPS (this).
+# ---------------------------------------------------------------------------
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    k: int = 5,
+) -> DataFrame:
+    """(fold, n_groups, n_docs, doc_frac, weight_frac) per fold; fold =
+    md5(group) mod k, so every group lands wholly in one fold on any
+    engine. Fractions rounded to 6.
+
+    Scale design: the fold is a map-side md5 of the GROUP key (no
+    group table, no join — the assignment rides the row); the report
+    is one k-bounded aggregate + a 1-row totals broadcast. Exact
+    integer doc/weight counts until the final division.
+    """
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col(group_col)), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(k),
+    ).cast("int")
+    cells = (
+        df.select(
+            fold.alias("fold"),
+            F.col(group_col).alias("g"),
+            F.col(weight_col).alias("w"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count_distinct("g").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("wsum"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_docs").alias("td"), F.sum("wsum").alias("tw")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_groups",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("td"), 6).alias("doc_frac"),
+        F.round(F.col("wsum") / F.col("tw"), 6).alias("weight_frac"),
+    )
+
+
+@query(
+    "q_group_kfold",
+    oracle=(
+        "WITH c AS (SELECT CAST(('0x' || substring(md5(source), 1, 8))"
+        "::BIGINT % 5 AS INT) AS fold, source AS g, n_chars AS w "
+        "FROM documents), "
+        "cells AS (SELECT fold, count(DISTINCT g) AS n_groups, "
+        "count(*) AS n_docs, sum(w) AS wsum FROM c GROUP BY 1), "
+        "t AS (SELECT sum(n_docs) AS td, sum(wsum) AS tw FROM cells) "
+        "SELECT fold, CAST(n_groups AS BIGINT) AS n_groups, "
+        "CAST(n_docs AS BIGINT) AS n_docs, "
+        "round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_frac, "
+        "round(CAST(wsum AS DOUBLE) / tw, 6) AS weight_frac "
+        "FROM cells CROSS JOIN t"
+    ),
+    doc=(
+        "Group-aware k-fold assignment (every source wholly in one "
+        "fold — the leakage-safe split when near-dups cluster by "
+        "origin): map-side md5 of the GROUP key, one k-bounded "
+        "aggregate + 1-row totals broadcast; completes the split "
+        "family with hash-rows and cut-time."
+    ),
+    tags=("pipeline", "eval", "llm-pipeline"),
+)
+def q_group_kfold(spark, sf_dir):
+    return group_kfold(T(spark, sf_dir, "documents"))

@@ -1998,3 +1998,77 @@ def _error_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize(T(spark, sf_dir, "events"))
     return interval_overlap_join(sess, _error_incidents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Sequential trigram mining — frequent length-3 event paths over the
+# per-user timeline: the sequential-pattern depth above
+# q_event_transitions' first-order pairs and the ORDERED counterpart of
+# q_assoc_rules' unordered baskets ("view -> click -> purchase" is a
+# funnel; {view, click, purchase} is just a busy session).
+# ---------------------------------------------------------------------------
+
+
+def sequence_trigrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_count: int = 10,
+) -> DataFrame:
+    """(e1, e2, e3, n, support) for every consecutive event-type triple
+    occurring >= ``min_count`` times; support = n / total triples,
+    rounded to 6.
+
+    Scale design: two lead() offsets over ONE user-partitioned window
+    (single Exchange(user), one sort per partition — Catalyst fuses
+    both leads into one WindowExec), then one type^3-bounded count
+    aggregate + a 1-row total broadcast. The per-user total order is
+    (ts, event_id) so ties are engine-deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    t = df.select(
+        F.col(type_col).alias("e1"),
+        F.lead(type_col, 1).over(w).alias("e2"),
+        F.lead(type_col, 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    cnt = t.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    return (
+        cnt.filter(F.col("n") >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "e1", "e2", "e3", "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("support"),
+        )
+    )
+
+
+@query(
+    "q_seq_trigrams",
+    oracle=(
+        "WITH t AS (SELECT event_type AS e1, "
+        "lead(event_type, 1) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS e2, "
+        "lead(event_type, 2) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS e3 FROM events), "
+        "c AS (SELECT e1, e2, e3, count(*) AS n FROM t "
+        "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3), "
+        "s AS (SELECT sum(n) AS total FROM c) "
+        "SELECT e1, e2, e3, n, round(CAST(n AS DOUBLE) / total, 6) "
+        "AS support FROM c CROSS JOIN s WHERE n >= 10"
+    ),
+    doc=(
+        "Frequent consecutive event-type trigrams per user timeline "
+        "(sequential patterns above q_event_transitions' pairs, ordered "
+        "dual of q_assoc_rules): two lead() offsets fused in ONE "
+        "user-partitioned window + a type^3-bounded count aggregate + "
+        "1-row total broadcast."
+    ),
+    tags=("events", "window", "stats", "pipeline"),
+)
+def q_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_trigrams(T(spark, sf_dir, "events"))

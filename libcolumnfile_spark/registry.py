@@ -234,6 +234,10 @@ _PRIORITY = [
     # sampling = dsir_weights)
     "q_hard_negatives", "q_negative_sample", "q_stream_topk",
     "q_modularity",
+    # round-10 batch 4 (past-window; events = trend_ols/survival_km/
+    # assoc_rules in-window, drift = corpus_drift, graph = pagerank_docs/
+    # adamic_adar, splits = dsir_weights/domain_cap)
+    "q_seq_trigrams", "q_psi", "q_assortativity", "q_group_kfold",
     # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
     # window additions): the demoted former window occupants first
     # (each family keeps an in-window rep: graph = pagerank_docs/

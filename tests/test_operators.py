@@ -3118,3 +3118,96 @@ class TestModularity:
         r = modularity(edges, labels).collect()[0]
         # everything internal, one community: Q = 1 - 1 = 0
         assert r["modularity"] == 0.0 and r["internal_frac"] == 1.0
+
+
+class TestSeqTrigrams:
+    def test_consecutive_triples(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import sequence_trigrams
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # user 1: a b c a b c  -> triples: abc, bca, cab, abc
+        for i, e in enumerate("abcabc"):
+            rows.append((1, eid, t0 + datetime.timedelta(minutes=i), e))
+            eid += 1
+        df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+        out = {
+            (r["e1"], r["e2"], r["e3"]): (r["n"], r["support"])
+            for r in sequence_trigrams(df, min_count=1).collect()
+        }
+        assert out[("a", "b", "c")][0] == 2
+        assert out[("b", "c", "a")][0] == 1
+        assert out[("c", "a", "b")][0] == 1
+        assert out[("a", "b", "c")][1] == 0.5  # 2 of 4 triples
+
+
+class TestPsi:
+    def test_identical_halves_near_zero(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.pipeline import psi_drift
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        # same value distribution in both halves -> psi ~ 0
+        for half in range(2):
+            for i in range(100):
+                rows.append(
+                    (t0 + datetime.timedelta(days=half * 10, minutes=i),
+                     float(i % 10))
+                )
+        df = spark.createDataFrame(rows, ["ts", "value"])
+        out = psi_drift(df, "value", "ts").collect()
+        assert abs(sum(r["psi_term"] for r in out)) < 1e-6
+
+    def test_shifted_half_flags(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.pipeline import psi_drift
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(t0 + datetime.timedelta(minutes=i), float(i % 10))
+                for i in range(100)]
+        rows += [(t0 + datetime.timedelta(days=10, minutes=i),
+                  float(i % 10) + 50.0) for i in range(100)]
+        df = spark.createDataFrame(rows, ["ts", "value"])
+        psi = sum(r["psi_term"] for r in psi_drift(df, "value", "ts").collect())
+        assert psi > 0.2  # canonical retrain alarm fires
+
+
+class TestAssortativity:
+    def test_star_is_disassortative(self, spark):
+        from libcolumnfile_spark.operators.graph import degree_assortativity
+
+        # star + one peripheral edge: hubs link to leaves -> r < 0
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)] + [(1, 2)], ["src", "dst"]
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_edges"] == 6 and r["r"] < 0
+
+    def test_regular_graph_degenerate(self, spark):
+        from libcolumnfile_spark.operators.graph import degree_assortativity
+
+        # 4-cycle: all degrees equal -> zero variance -> NULL r
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["r"] is None
+
+
+class TestGroupKfold:
+    def test_groups_never_split(self, spark):
+        from libcolumnfile_spark.operators.pipeline import group_kfold
+        from pyspark.sql import functions as F
+
+        rows = [(f"s{i % 7}", 100 + i) for i in range(70)]
+        df = spark.createDataFrame(rows, ["source", "n_chars"])
+        out = group_kfold(df).collect()
+        assert sum(r["n_docs"] for r in out) == 70
+        assert sum(r["n_groups"] for r in out) == 7  # each source in ONE fold
+        assert abs(sum(r["doc_frac"] for r in out) - 1.0) < 1e-6

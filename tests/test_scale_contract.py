@@ -300,6 +300,15 @@ CONTRACTS = {
     "q_modularity": (3.0, 5.5),     # label_prop rounds + two community-
                                     # bounded aggregates over the
                                     # |V|-keyed shuffle_hash joins
+    # round-10 batch 4 (measured 2026-08-16, idle host)
+    "q_seq_trigrams": (2.0, 3.5),   # ONE user-window (two fused leads)
+                                    # + type^3-bounded count agg
+    "q_psi": (1.4, 3.0),            # 1-row time-split + percentile-cut
+                                    # broadcasts, n_bins-bounded agg
+    "q_assortativity": (4.1, 6.5),  # degree vector shuffle_hash-joined
+                                    # onto both endpoints + 1-row
+                                    # integer-moment agg
+    "q_group_kfold": (1.4, 3.0),    # map-side group md5, k-bounded agg
 }
 
 
