@@ -2072,3 +2072,72 @@ def sequence_trigrams(
 )
 def q_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_trigrams(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap percentiles — p50/p95/p99 of the per-user gap
+# preceding each event, by event type: the operational latency/cadence
+# profile ("how long does a user dwell before purchasing?") that sets
+# sessionization gaps and streaming watermark delays from DATA instead
+# of folklore.
+# ---------------------------------------------------------------------------
+
+
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(event_type, n_gaps, p50_s, p95_s, p99_s) — exact percentiles of
+    the seconds elapsed since the user's previous event, attributed to
+    the LATER event's type; rounded to 4.
+
+    Scale design: one lag() over the user-partitioned (ts, id) window
+    (single Exchange(user)), gaps kept as exact integer microseconds,
+    then one type-bounded exact-percentile aggregate — the percentile
+    state is per-type (the q_percentile trade at 100 TB: pre-bucket
+    gaps to fixed precision to bound the sorted structure).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    g = df.select(
+        F.col(type_col).alias("event_type"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    pct = F.percentile(F.col("gap_us"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(pct[0] / 1e6, 4).alias("p50_s"),
+        F.round(pct[1] / 1e6, 4).alias("p95_s"),
+        F.round(pct[2] / 1e6, 4).alias("p99_s"),
+    )
+
+
+@query(
+    "q_interarrival",
+    oracle=(
+        "WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+        "FROM events), "
+        "q AS (SELECT event_type, count(*) AS n_gaps, "
+        "quantile_cont(gap_us, [0.5, 0.95, 0.99]) AS p FROM g "
+        "WHERE gap_us IS NOT NULL GROUP BY 1) "
+        "SELECT event_type, n_gaps, round(p[1] / 1e6, 4) AS p50_s, "
+        "round(p[2] / 1e6, 4) AS p95_s, round(p[3] / 1e6, 4) AS p99_s "
+        "FROM q"
+    ),
+    doc=(
+        "Per-type inter-arrival percentiles (p50/p95/p99 seconds since "
+        "the user's previous event): one user-partitioned lag window + "
+        "one type-bounded exact-percentile aggregate on integer "
+        "microseconds — the data-driven source for sessionization gaps "
+        "and watermark delays."
+    ),
+    tags=("events", "window", "stats"),
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interarrival_stats(T(spark, sf_dir, "events"))

@@ -3429,3 +3429,105 @@ def filter_ablation(flags: DataFrame) -> DataFrame:
 )
 def q_filter_ablation(spark, sf_dir):
     return filter_ablation(gopher_rules(_spread(T(spark, sf_dir, "documents"))))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via Misra-Gries + exact-recount verify — the top-k
+# sketch completing the bounded-memory summary triad (count-min =
+# frequency, HLL = cardinality, this = heavy hitters). The sketch is
+# only the CANDIDATE GENERATOR: per-partition Misra-Gries summaries
+# merge by counter addition (undercount <= n/k per partition, so any
+# token with global frequency > n/k MUST survive the merge — no false
+# negatives by the standard MG bound), and the final answer is an
+# EXACT recount of the bounded candidate set — which is why the whole
+# operator is SQL-oracle-able even though it runs a sketch.
+# ---------------------------------------------------------------------------
+
+_HH_K = 50
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = _HH_K,
+) -> DataFrame:
+    """(token, n, frac) for every token with frequency strictly above
+    n_total/k, by exact recount of Misra-Gries candidates; frac rounded
+    to 6.
+
+    Scale design: tokens never shuffle raw — each partition keeps a
+    <= k-counter MG summary inside one Arrow-batched mapInPandas pass
+    (state carried across batches of the partition), the merged
+    summary is <= partitions x k rows (construction-bounded, safely
+    broadcast), and the exact recount is a map-side semi-filter +
+    count aggregate over only candidate tokens. The n_total arm is one
+    exact 1-row integer aggregate. At 100 TB the exchange is the
+    summary rows, not the token stream.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"tok": list(counters), "c": list(counters.values())}
+        )
+
+    summary = toks.mapInPandas(_mg, schema="tok string, c long")
+    cand = summary.groupBy("tok").agg(F.sum("c").alias("c")).select("tok")
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * k > F.col("n_total"))
+        .select(
+            F.col("tok").alias("token"),
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("frac"),
+        )
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=(
+        "WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), "
+        "'\\s+')) AS tok FROM documents), "
+        "t2 AS (SELECT tok FROM toks WHERE tok <> ''), "
+        "n AS (SELECT count(*) AS n_total FROM t2), "
+        "c AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1) "
+        f"SELECT tok AS token, cnt AS n, "
+        "round(CAST(cnt AS DOUBLE) / n_total, 6) AS frac "
+        f"FROM c CROSS JOIN n WHERE cnt * {_HH_K} > n_total"
+    ),
+    doc=(
+        "Heavy hitters (tokens above 1/50 of the stream) via per-"
+        "partition Misra-Gries summaries merged by counter addition — "
+        "no-false-negative candidates by the MG bound — then an EXACT "
+        "map-side recount of the bounded candidate set: the top-k "
+        "sketch completing count-min (frequency) and HLL "
+        "(cardinality), exact output so the oracle is plain SQL."
+    ),
+    tags=("text", "sketch", "agg", "llm-pipeline"),
+)
+def q_heavy_hitters(spark, sf_dir):
+    return heavy_hitters(_spread(T(spark, sf_dir, "documents")))

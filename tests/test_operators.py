@@ -3211,3 +3211,51 @@ class TestGroupKfold:
         assert sum(r["n_docs"] for r in out) == 70
         assert sum(r["n_groups"] for r in out) == 7  # each source in ONE fold
         assert abs(sum(r["doc_frac"] for r in out) - 1.0) < 1e-6
+
+
+class TestHeavyHitters:
+    def test_exact_above_threshold(self, spark):
+        from libcolumnfile_spark.operators.text import heavy_hitters
+
+        # 'a' 60x, 'b' 30x, 40 singletons: n=130, n/k at k=50 -> 2.6
+        text_a = " ".join(["a"] * 60)
+        text_b = " ".join(["b"] * 30)
+        text_c = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, text_a), (2, text_b), (3, text_c)], ["doc_id", "text"]
+        )
+        out = {r["token"]: r["n"] for r in heavy_hitters(df, k=50).collect()}
+        assert out == {"a": 60, "b": 30}
+
+    def test_mg_summary_never_misses(self, spark):
+        from libcolumnfile_spark.operators.text import heavy_hitters
+
+        # adversarial: many distinct fillers to churn the MG counters,
+        # one true heavy hitter just over threshold
+        filler = " ".join(f"x{i}" for i in range(500))
+        hot = " ".join(["hot"] * 30)
+        df = spark.createDataFrame(
+            [(1, filler), (2, hot)], ["doc_id", "text"]
+        )
+        # n = 530, k=50 -> threshold 10.6; 'hot' (30) must be found
+        out = {r["token"] for r in heavy_hitters(df, k=50).collect()}
+        assert "hot" in out
+
+
+class TestInterarrival:
+    def test_known_gaps(self, spark):
+        import datetime
+
+        from libcolumnfile_spark.operators.relational import interarrival_stats
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, 0, t0, "view"),
+            (1, 1, t0 + datetime.timedelta(seconds=10), "click"),
+            (1, 2, t0 + datetime.timedelta(seconds=40), "click"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+        out = {r["event_type"]: r for r in interarrival_stats(df).collect()}
+        assert "view" not in out  # first event has no gap
+        assert out["click"]["n_gaps"] == 2
+        assert out["click"]["p50_s"] == 20.0  # median of 10 and 30

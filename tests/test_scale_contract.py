@@ -309,6 +309,13 @@ CONTRACTS = {
                                     # onto both endpoints + 1-row
                                     # integer-moment agg
     "q_group_kfold": (1.4, 3.0),    # map-side group md5, k-bounded agg
+    # round-10 batch 5 (measured 2026-08-16, idle host)
+    "q_heavy_hitters": (1.5, 3.0),  # per-partition MG summaries (no raw
+                                    # token shuffle) + bounded-candidate
+                                    # broadcast + exact recount
+    "q_interarrival": (3.3, 5.5),   # user-window lag + type-bounded
+                                    # exact percentile; x10 users = 10x
+                                    # percentile input, absolute 1.1 s
 }
 
 
