@@ -2085,3 +2085,104 @@ def _hll_oracle(col: str, table: str, m: int = _HLL_M) -> str:
 )
 def q_hll_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_seeded(T(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift curve — the targeting eval that answers "if I
+# act on the top 20% of users by score, what share of converters do I
+# capture?": users ranked by activity score, bucketed into deciles,
+# per-decile capture and lift. Completes the classifier-eval set next
+# to q_auc_roc (global ranking quality) and q_calibration_bins
+# (probability reliability).
+# ---------------------------------------------------------------------------
+
+
+def gains_curve(
+    df: DataFrame,
+    id_col: str,
+    score_expr,
+    pos_pred,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(decile, n, n_pos, pos_rate, cum_capture, lift) per score decile
+    (1 = highest-scored), rounded to 6.
+
+    Scale design: one subject-keyed aggregate builds (score, label) per
+    subject; the decile comes from ntile over the (score desc, id)
+    total order — exact and tie-deterministic, one sorted run over the
+    SUBJECT table (already aggregated, orders of magnitude under the
+    event count; at extreme subject counts swap in broadcast
+    equidepth-percentile cuts, the q_curriculum_order trade). All
+    downstream windows run on the n_bins-row table; counts stay exact
+    integers until the final division.
+    """
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(id_col).alias("sid")).agg(
+        score_expr.alias("score"),
+        F.max(pos_pred.cast("int")).alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("sid").asc())
+    d = per.select(
+        F.ntile(n_bins).over(w).alias("decile"), "pos"
+    )
+    cells = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot_pos = F.sum("n_pos").over(wa)
+    tot_n = F.sum("n").over(wa)
+    return cells.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(F.sum("n_pos").over(wc) / tot_pos, 6).alias("cum_capture"),
+        F.round(
+            (F.col("n_pos") / F.col("n")) / (tot_pos / tot_n), 6
+        ).alias("lift"),
+    )
+
+
+@query(
+    "q_gains_curve",
+    oracle=(
+        "WITH per AS (SELECT user_id AS sid, count(*) AS score, "
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos "
+        "FROM events GROUP BY 1), "
+        "d AS (SELECT ntile(10) OVER (ORDER BY score DESC, sid) AS decile, "
+        "pos FROM per), "
+        "cells AS (SELECT decile, count(*) AS n, sum(pos) AS n_pos "
+        "FROM d GROUP BY 1), "
+        "x AS (SELECT decile, n, n_pos, "
+        "sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS cum_pos, "
+        "sum(n_pos) OVER () AS tot_pos, sum(n) OVER () AS tot_n "
+        "FROM cells) "
+        "SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n, "
+        "CAST(n_pos AS BIGINT) AS n_pos, "
+        "round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate, "
+        "round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_capture, "
+        "round((CAST(n_pos AS DOUBLE) / n) "
+        "/ (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS lift FROM x"
+    ),
+    doc=(
+        "Cumulative gains/lift curve of user activity targeting "
+        "purchase conversion: one user-keyed aggregate, exact "
+        "tie-deterministic ntile over the subject table, every curve "
+        "window on the 10-row decile table — the 'act on the top X%' "
+        "targeting eval completing AUC and calibration."
+    ),
+    tags=("agg", "stats", "eval", "window"),
+)
+def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return gains_curve(
+        ev,
+        "user_id",
+        F.count(F.lit(1)),
+        F.col("event_type") == "purchase",
+    )

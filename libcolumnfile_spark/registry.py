@@ -240,7 +240,7 @@ _PRIORITY = [
     "q_seq_trigrams", "q_psi", "q_assortativity", "q_group_kfold",
     # round-10 batch 5 (past-window; sketch = q_sketch_freq in-window,
     # events = trend_ols/survival_km/assoc_rules/join_interval)
-    "q_heavy_hitters", "q_interarrival",
+    "q_heavy_hitters", "q_interarrival", "q_gains_curve",
     # round-9 session-3 rotation (7-for-7 in-window swap + 13 past-
     # window additions): the demoted former window occupants first
     # (each family keeps an in-window rep: graph = pagerank_docs/

@@ -3259,3 +3259,25 @@ class TestInterarrival:
         assert "view" not in out  # first event has no gap
         assert out["click"]["n_gaps"] == 2
         assert out["click"]["p50_s"] == 20.0  # median of 10 and 30
+
+
+class TestGainsCurve:
+    def test_perfect_targeting(self, spark):
+        from libcolumnfile_spark.operators.aggregates import gains_curve
+
+        # 10 users: ids 0-1 are high-score converters, rest never convert
+        rows = []
+        for u in range(10):
+            n = 20 - u  # score strictly decreasing in user id
+            for i in range(n):
+                rows.append((u, "purchase" if u < 2 and i == 0 else "view"))
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        out = {r["decile"]: r for r in gains_curve(
+            df, "user_id", F.count(F.lit(1)),
+            F.col("event_type") == "purchase").collect()}
+        # top two deciles capture both converters
+        assert out[1]["n_pos"] == 1 and out[2]["n_pos"] == 1
+        assert out[2]["cum_capture"] == 1.0
+        assert out[10]["n_pos"] == 0
+        # lift of a perfect decile = 1/pos_rate_overall = 1/(2/10) = 5
+        assert out[1]["lift"] == 5.0

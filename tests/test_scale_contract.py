@@ -316,6 +316,8 @@ CONTRACTS = {
     "q_interarrival": (3.3, 5.5),   # user-window lag + type-bounded
                                     # exact percentile; x10 users = 10x
                                     # percentile input, absolute 1.1 s
+    "q_gains_curve": (2.0, 3.5),    # user-keyed agg + subject-table
+                                    # ntile + 10-row curve windows
 }
 
 
