@@ -2011,8 +2011,9 @@ def hll_seeded(df: DataFrame, col: str, m: int = _HLL_M) -> DataFrame:
     ).cast("bigint")
     v = df.select(
         F.pmod(h, F.lit(m)).alias("reg"),
-        (h - F.pmod(h, F.lit(m))).alias("__num"),
-        F.floor(h / F.lit(m)).cast("bigint").alias("w"),
+        # exact bigint floor-division: h is 60-bit positive, so the
+        # subtraction form avoids any double-quotient truncation
+        ((h - F.pmod(h, F.lit(m))) / F.lit(m)).cast("bigint").alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(F.col("w")))
