@@ -387,6 +387,32 @@ def _succ_edge_cte() -> str:
     )
 
 
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Canonical self-loop-free a<b edge set, materialized via pin()
+    (persist + release at the next query invocation).
+
+    Every consumer below reads this set 2-4 times (degree aggregate,
+    both endpoint-join sides, the close/count branches). Left lazy,
+    each consumer re-executes the scan + union + least/greatest +
+    distinct subtree: exchange reuse only dedupes byte-identical map
+    sides, the reduce-side distinct re-runs per consumer, and
+    column-pruned variants don't match the exchange at all — one
+    q_triangle_count plan carried 16 separate documents scans
+    (plans/r10/q_triangle_count_before.txt). O(m) rows of two ids,
+    MEMORY_AND_DISK, spills gracefully at scale; the same
+    compute-once discipline pagerank/hits already apply to their
+    aggregated edge lists."""
+    from libcolumnfile_spark.queries import pin
+
+    return pin(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Global triangle census of an undirected graph: n_nodes, n_edges,
     n_wedges, n_triangles, global clustering coefficient.
@@ -402,14 +428,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     canonical edge set on the composite key (shuffle hash both sides;
     nothing here is construction-bounded, so nothing is broadcast).
     """
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
+    e = _canonical_undirected(edges)
+    from libcolumnfile_spark.queries import pin
+
+    # the degree vector feeds both endpoint joins plus a summary
+    # aggregate: pin it (O(|V|)) so the node-keyed aggregate runs once
+    deg = pin(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -440,6 +464,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
     )
+    o = pin(o)  # both wedge self-join sides read it
     o1, o2 = o.alias("o1"), o.alias("o2").hint("shuffle_hash")
     wedges = o1.join(
         o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w"))
@@ -510,13 +535,7 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     diagnostic to run before any node-keyed graph operation — a
     heavy-tail histogram is the signal to salt or orient (see
     triangle_stats) before shuffling on node id."""
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    e = _canonical_undirected(edges)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
@@ -568,13 +587,11 @@ def kcore(
     releases the superseded checkpoint immediately — the same flat-plan
     + eager-release pattern as pagerank above.
     """
-    cur = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    # round 1 consumes the canonical set three times (degree aggregate
+    # + two semi-join probes) before the first checkpoint materializes:
+    # pin it so the scan+union+distinct runs once (later rounds read
+    # checkpointed blocks already)
+    cur = _canonical_undirected(edges)
     prev_ckpt: DataFrame | None = None
     for _ in range(rounds):
         cur = kcore_round(cur, k).localCheckpoint(eager=True)
@@ -1014,13 +1031,7 @@ def adamic_adar_topk(
     ranks on the ROUNDED score with an (a, b) tie-break so the top-k
     boundary is engine-stable.
     """
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    e = _canonical_undirected(edges)
     nbr = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
         e.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -1028,7 +1039,11 @@ def adamic_adar_topk(
     centers = deg.filter(
         (F.col("deg") >= 2) & (F.col("deg") <= deg_cap)
     ).select("v", (1.0 / F.log(F.col("deg"))).alias("sc"))
-    adj = nbr.join(centers.hint("shuffle_hash"), "v")
+    from libcolumnfile_spark.queries import pin
+
+    # both wedge self-join sides read the center-tagged adjacency: pin
+    # it so the nbr-union + degree join runs once
+    adj = pin(nbr.join(centers.hint("shuffle_hash"), "v"))
     x, y = adj.alias("x"), adj.alias("y").hint("shuffle_hash")
     wedges = x.join(
         y, (F.col("x.v") == F.col("y.v")) & (F.col("x.w") < F.col("y.w"))
@@ -1098,14 +1113,12 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     3-corner explode happens on the TRIANGLE table (output-bounded),
     then one node-keyed count + one 11-row bucket aggregate.
     """
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
+    e = _canonical_undirected(edges)
+    from libcolumnfile_spark.queries import pin
+
+    # the degree vector feeds both endpoint joins plus a summary
+    # aggregate: pin it (O(|V|)) so the node-keyed aggregate runs once
+    deg = pin(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -1132,6 +1145,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
     )
+    o = pin(o)  # both wedge self-join sides read it
     o1, o2 = o.alias("o1"), o.alias("o2").hint("shuffle_hash")
     wedges = o1.join(
         o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w"))
@@ -1225,13 +1239,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     labels). The Q sum is derived arithmetic on the community-bounded
     table; exact integer edge/degree counts until the final division.
     """
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    e = _canonical_undirected(edges)
     la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
     lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
     tagged = e.join(la.hint("shuffle_hash"), "a").join(
@@ -1353,14 +1361,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     (sum jk, sum (j+k), sum (j^2+k^2)); r is derived on the 1-row
     result: r = (S_jk/M - (S_1/2M)^2) / (S_2/2M - (S_1/2M)^2).
     """
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
+    e = _canonical_undirected(edges)
+    from libcolumnfile_spark.queries import pin
+
+    # the degree vector feeds both endpoint joins plus a summary
+    # aggregate: pin it (O(|V|)) so the node-keyed aggregate runs once
+    deg = pin(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
