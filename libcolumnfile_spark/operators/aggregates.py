@@ -650,7 +650,12 @@ def _bootstrap_oracle(n_boot: int = 32) -> str:
     tags=("agg", "stats"),
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
+    from libcolumnfile_spark.tables import spread
+
+    # fine-sliced scan: the 8-md5-per-row replicate weighting is the
+    # dominant map cost and orders' coarse layout plans ~5 scan tasks —
+    # CPU-dense per-row work wants the full core count (guide §2.6/§6)
+    o = spread(T(spark, sf_dir, "orders"))
     return bootstrap_ci_mean(o, "o_totalprice", "o_orderkey")
 
 

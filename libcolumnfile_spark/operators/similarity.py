@@ -2128,54 +2128,35 @@ def fisher_separability(
     dimension, rounded to 6; fisher = between/within (NULL if within
     degenerates to 0).
 
-    Scale design: ONE label-keyed aggregate carries per-dim partial
-    sums and sum-of-squares with map-side combine — the exchange is
-    n_labels x (2*dim + 1) doubles per task, corpus-size-independent
-    (the q_kmeans_step shape). The per-dim explode happens AFTER
-    aggregation on labels x dim rows, and the variance decomposition
+    Scale design: posexplode feeding a (label, dim)-keyed aggregate
+    with map-side combine — each task emits at most labels x dims
+    partial rows, so the exchange is corpus-size-independent. The
+    variance decomposition
     (between = (sum s_l^2/n_l - S^2/N)/N, within = (Q - sum s_l^2/n_l)/N)
     is derived arithmetic on the dim-bounded table.
     """
     base = df.filter(F.col(vec_col).isNotNull())
-    from libcolumnfile_spark.tables import input_keyed_memo
-
-    dim_probe = input_keyed_memo(
-        base, "srp-dim", lambda: base.select(F.size(vec_col).alias("d")).first()
-    )
-    if dim_probe is None:
-        return base.select(
-            F.lit(0).alias("dim"),
-            F.lit(0.0).alias("between_var"),
-            F.lit(0.0).alias("within_var"),
-            F.lit(0.0).alias("fisher"),
-        ).limit(0)
-    dim = int(dim_probe["d"])
-    lab = base.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-            for i in range(dim)
-        ],
-        *[
-            F.sum(
-                F.col(vec_col)[i].cast("double") * F.col(vec_col)[i].cast("double")
-            ).alias(f"q{i}")
-            for i in range(dim)
-        ],
-    )
-    sq = F.array(
-        *[
-            F.struct(F.col(f"s{i}").alias("s"), F.col(f"q{i}").alias("q"))
-            for i in range(dim)
-        ]
-    )
-    pl = lab.select("n", F.posexplode(sq).alias("dim", "sq")).select(
-        "n",
+    # posexplode-then-aggregate (the oracle's own shape): one Generate
+    # feeding a (label, dim)-keyed partial aggregate — each task emits
+    # at most labels x dims partial rows, so the exchange stays
+    # corpus-size-independent exactly like the old 129-buffer wide
+    # aggregate, but codegen handles 3 narrow aggregate buffers instead
+    # of a 129-slot row (the wide form ran interpreted and 1.5-2x
+    # slower at sf0.1), and the dim-probe driver action disappears.
+    pl = base.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "label",
         F.col("dim").cast("int").alias("dim"),
-        F.col("sq.s").alias("s"),
-        F.col("sq.q").alias("q"),
+        F.col("x").cast("double").alias("x"),
     )
-    g = pl.groupBy("dim").agg(
+    lab = pl.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    g = lab.groupBy("dim").agg(
         F.sum("n").alias("nn"),
         F.sum("s").alias("ss"),
         F.sum("q").alias("qq"),
@@ -2225,7 +2206,9 @@ def fisher_separability(
     tags=("similarity", "eval", "stats"),
 )
 def q_fisher_dims(spark, sf_dir):
-    return fisher_separability(T(spark, sf_dir, "embeddings"))
+    # fine-sliced scan: embeddings sits below the coarse slice floor
+    # (one scan task) and the 64-way posexplode is the dominant map cost
+    return fisher_separability(_spread(T(spark, sf_dir, "embeddings")))
 
 
 # ---------------------------------------------------------------------------

@@ -2064,33 +2064,52 @@ def ngram_novelty(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     ).filter(F.size("toks") >= n)
-    grams = toks.select(
+    gram_arr = toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                    lambda i: F.array_join(
-                        F.slice(F.col("toks"), i, n), " "
-                    ),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
             )
-        ).alias("gram"),
-    ).select("doc_id", F.md5(F.col("gram")).alias("h"))
-    docfreq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        grams.join(docfreq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("df") == 1).cast("bigint")).alias("n_novel"),
+        ).alias("grams"),
+    )
+    # The tokenize + gram-build + md5 map pass is the dominant cost:
+    # pin the exploded (doc_id, h) table so it runs ONCE (the old shape
+    # re-executed it for the join-back probe side and re-shuffled every
+    # gram row a second time). Both outputs then read the cache: the
+    # per-doc gram count is a doc-keyed count, and the novelty count
+    # rides the single gram-keyed doc-frequency aggregate — a df = 1
+    # gram belongs to exactly one document, so min(doc_id) IS its
+    # owner, and grouping the df = 1 survivors by owner replaces the
+    # old full-gram-table join entirely. One O(tokens) gram-keyed
+    # exchange total, then doc-bounded aggregates.
+    from libcolumnfile_spark.queries import pin
+
+    grams = pin(
+        gram_arr.select("doc_id", F.explode("grams").alias("gram")).select(
+            "doc_id", F.md5(F.col("gram")).alias("h")
         )
+    )
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        counts.join(novel, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
-            "n_novel",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
             F.round(
-                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
             ).alias("novelty"),
         )
     )
@@ -2123,7 +2142,10 @@ def ngram_novelty(
     tags=("text", "dedup", "quality"),
 )
 def q_ngram_novelty(spark, sf_dir):
-    return ngram_novelty(T(spark, sf_dir, "documents"))
+    # fine-sliced scan: the tokenize + 5-gram explode + md5 map stage is
+    # the dominant cost and documents is below the coarse slice floor
+    # (one scan task); _spread fans it out without an exchange
+    return ngram_novelty(_spread(T(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
