@@ -36,6 +36,10 @@ from libcolumnfile_spark.queries import T, query
 
 N_HOSTS = 20  # fixture host-id space for the derived dst (doc_id % N_HOSTS)
 _PR_DAMPING = 0.85
+# below this node count the loop-invariant edge/out-degree join is NOT
+# persisted: every per-round join is a broadcast at the scheduler floor
+# and the cache round-trip costs more than recomputing two tiny frames
+_PR_HOIST_MIN_NODES = 1024
 _PR_ITERS = 3
 
 
@@ -92,7 +96,24 @@ def pagerank(
     # once, truncating lineage back to the document scan
     nodes = nodes.localCheckpoint(eager=True)
     nn = float(nodes.count())  # bounded scalar: one long per graph
-    outd = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # the edge-to-out-degree join is loop-INVARIANT (only ranks changes
+    # per round): materialize it once instead of rebuilding the join —
+    # and its outd-side exchange — inside every iteration. Columns w
+    # and outw stay separate so the per-row contribution arithmetic
+    # (r * w / outw) is byte-identical to the unhoisted form. The
+    # persist is SIZE-GATED on the node count already in hand: on a
+    # trivially small graph (the 20-node host graph) every round is
+    # broadcast joins at the scheduler floor and the extra cache
+    # materialization + per-round InMemoryTableScan costs more than the
+    # re-joined tiny frames (measured A/B at sf0.1: host pagerank
+    # 1.65 -> 2.53 s persisted vs unpersisted, doc pagerank
+    # 4.76 -> 3.32 s the other way); at any real scale nn clears the
+    # gate and the join runs once, not n_iter times.
+    ew = e.join(outd, "src")
+    ew_pinned = nn >= _PR_HOIST_MIN_NODES
+    if ew_pinned:
+        ew = ew.persist()
     ranks = nodes.withColumn("r", F.lit(1.0 / nn))
     # EVERY round's contribution cache is tracked and released — with
     # checkpoint_every > 1 the intermediate rounds' persisted frames
@@ -112,7 +133,7 @@ def pagerank(
     prev_ckpt: DataFrame | None = None
     for t in range(n_iter):
         ranks, round_tmp = pagerank_round(
-            nodes, e, outd, ranks, damping, nn, return_tmp=True
+            nodes, ew, ranks, damping, nn, return_tmp=True
         )
         pending_tmps.append(round_tmp)
         # truncate lineage every checkpoint_every rounds: each round
@@ -142,7 +163,8 @@ def pagerank(
             tmp.unpersist(blocking=False)
         pending_tmps.clear()
     e.unpersist(blocking=False)
-    outd.unpersist(blocking=False)
+    if ew_pinned:
+        ew.unpersist(blocking=False)
     # the node-set checkpoint fed every round's plan; the final
     # checkpointed rank vector no longer references it
     _release_checkpoint(nodes)
@@ -151,8 +173,7 @@ def pagerank(
 
 def pagerank_round(
     nodes: DataFrame,
-    e: DataFrame,
-    outd: DataFrame,
+    ew: DataFrame,
     ranks: DataFrame,
     damping: float,
     nn: float,
@@ -162,7 +183,10 @@ def pagerank_round(
     tests can audit the round's physical shape before the eager
     localCheckpoint in pagerank() hides it): contribution join +
     dst-keyed aggregate, dangling mass by the conservation identity,
-    left join onto the node set.
+    left join onto the node set. ``ew`` is the loop-invariant
+    (src, dst, w, outw) edge/out-degree join, materialized ONCE by the
+    caller — rebuilding it per round cost one extra join (and its
+    exchange) per iteration.
 
     Dangling mass = sum(r) - sum(contrib): summing contrib over all
     destinations telescopes to the rank mass of nodes WITH outlinks
@@ -171,8 +195,7 @@ def pagerank_round(
     aggregates are partial/map-side, where the anti-join was a full
     O(|V|) key shuffle per round."""
     contrib = (
-        e.join(outd, "src")
-        .join(ranks, e["src"] == ranks["node"])
+        ew.join(ranks, ew["src"] == ranks["node"])
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("r") * F.col("w") / F.col("outw")).alias("contrib"))
     )
@@ -844,11 +867,12 @@ def label_propagation(
     where community is the min node-id reachable within ``n_iter`` hops.
 
     Per-round plan: one node-keyed shuffle joining neighbor labels to
-    edges, one node-keyed join for the node's own label, one min
-    aggregate (map-side partial). Both join sides are pinned
-    shuffle_hash — the label vector is |V|-sized, so a stats-estimated
-    broadcast would die at real scale (the q_triangle_count
-    precedent). The label vector localCheckpoints every round (it
+    edges, one min aggregate over the neighbor stream (map-side
+    partial, |E| -> |V| before anything else touches it), then one
+    |V|-vs-|V| join for the node's own label. Both join sides are
+    pinned shuffle_hash — the label vector is |V|-sized, so a
+    stats-estimated broadcast would die at real scale (the
+    q_triangle_count precedent). The label vector localCheckpoints every round (it
     feeds the next round twice) and superseded checkpoints release
     eagerly through the JVM RDD handle, so resident state is one
     |V|-row frame regardless of n_iter.
@@ -874,11 +898,18 @@ def label_propagation(
             ),
             "b",
         )
+        # reduce BEFORE the own-label join: min over edges of
+        # least(lbl, nbl) equals least(lbl, min(nbl)) — lbl is constant
+        # per node and min/least are the same exact string ordering —
+        # so the |E|-row neighbor-label stream collapses to |V| rows in
+        # a map-side partial aggregate and the second join carries |V|,
+        # not |E| (the old form joined every edge row against the label
+        # vector before aggregating).
         new = (
-            nb.select(F.col("a").alias("node"), "nbl")
+            nb.groupBy(F.col("a").alias("node"))
+            .agg(F.min("nbl").alias("nbl"))
             .join(labels.hint("shuffle_hash"), "node")
-            .groupBy("node")
-            .agg(F.min(F.least(F.col("lbl"), F.col("nbl"))).alias("lbl"))
+            .select("node", F.least(F.col("lbl"), F.col("nbl")).alias("lbl"))
         )
         labels = new.localCheckpoint(eager=True)
         _release_checkpoint(prev_ckpt)

@@ -358,9 +358,10 @@ def test_pagerank_dangling_mass_stays_in_plan(spark):
         e.select(F.col("dst").alias("node"))
     ).distinct()
     outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = e.join(outd, "src")
     ranks = nodes.withColumn("r", F.lit(1.0 / 20.0))
     round_plan = plans.formatted_plan(
-        graph.pagerank_round(nodes, e, outd, ranks, 0.85, 20.0)
+        graph.pagerank_round(nodes, ew, ranks, 0.85, 20.0)
     )
     assert "BroadcastExchange" in round_plan  # the 1-row dangling mass
     assert "CartesianProduct" not in round_plan
