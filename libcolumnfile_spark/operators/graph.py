@@ -711,9 +711,10 @@ def hits(
 
     Per-round plan: two node-keyed join+aggregate exchanges (the
     pagerank shape, twice) and two 1-row L1-mass broadcasts — nothing
-    driver-side, nothing row-scale broadcast. The hub vector
-    localCheckpoints each round (it feeds the next round's join) and
-    superseded checkpoints release eagerly via the JVM RDD handle.
+    driver-side, nothing row-scale broadcast. Only the hub vector
+    localCheckpoints (one driver barrier per round; the auth half-step
+    stays lazy inside the hub job) and superseded checkpoints release
+    eagerly via the JVM RDD handle, two-deep (see the loop comment).
     """
     e = edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).agg(
         F.sum(weight_col).cast("double").alias("w")
@@ -728,8 +729,17 @@ def hits(
     nn = float(nodes.count())
     h = nodes.withColumn("h", F.lit(1.0 / nn))
     auth = None
-    prev_h: DataFrame | None = None
-    prev_auth: DataFrame | None = None
+    # ONE checkpoint barrier per round, not two: auth stays LAZY — the
+    # hub checkpoint's job computes both half-steps, with ReuseExchange
+    # deduplicating the repeated byte-identical a_raw subtree inside the
+    # plan. A lazy auth references round t's hub checkpoint even after
+    # round t+1 materializes (the final output joins the last round's
+    # auth), so hub checkpoints are retained TWO deep — release round
+    # t-1's blocks when round t+1 materializes, and drain the tail only
+    # after the output checkpoint has executed. Halves the per-round
+    # driver barriers (2 eager checkpoints -> 1) for the same per-round
+    # exchange set.
+    live_h: list[DataFrame] = []
     for _ in range(n_iter):
         a_raw = (
             e.join(h.withColumnRenamed("node", "src"), "src")
@@ -737,20 +747,9 @@ def hits(
             .agg(F.sum(F.col("h") * F.col("w")).alias("ar"))
         )
         asum = a_raw.agg(F.sum("ar").alias("am"))
-        # auth checkpoints EAGERLY before the hub half-step: it feeds
-        # both h_raw and (in the final round) the output join, and a
-        # lazy auth would still reference round t's h checkpoint after
-        # that checkpoint is released below (observed as
-        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when the output executed)
-        auth = (
-            a_raw.crossJoin(F.broadcast(asum))
-            .select("node", (F.col("ar") / F.col("am")).alias("a"))
-            .localCheckpoint(eager=True)
+        auth = a_raw.crossJoin(F.broadcast(asum)).select(
+            "node", (F.col("ar") / F.col("am")).alias("a")
         )
-        if prev_auth is not None:
-            # round t-1's auth: h_t checkpointed, nothing references it
-            _release_checkpoint(prev_auth)
-        prev_auth = auth
         h_raw = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -766,9 +765,11 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
-        if prev_h is not None:
-            _release_checkpoint(prev_h)
-        prev_h = h
+        live_h.append(h)
+        if len(live_h) > 2:
+            # round t-1's hub: round t's lazy auth (the only reader)
+            # was consumed when round t+1's checkpoint materialized
+            _release_checkpoint(live_h.pop(0))
     out = (
         h.join(auth, "node", "left")
         .select(
@@ -780,8 +781,8 @@ def hits(
     )
     # the output is checkpointed: every intermediate checkpoint is now
     # unreachable from any future plan
-    _release_checkpoint(h)
-    _release_checkpoint(auth)
+    for hh in live_h:
+        _release_checkpoint(hh)
     e.unpersist(blocking=False)
     _release_checkpoint(nodes)
     return out
