@@ -2169,20 +2169,52 @@ def lsh_recall_eval(
         "id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", "bs.band_id", "bs.band_val")
 
-    probes = g.orderBy("id").limit(n_probes)
-    p_grams = probes.select(
-        F.col("id").alias("pid"), F.col("grams").alias("p_grams")
+    # probes feed three consumers (gt arm, candidate arm, output spine):
+    # pin so the TakeOrdered over the cached gram table runs once
+    probes = pin(g.orderBy("id").limit(n_probes))
+    # ground truth via inverted-index intersection instead of a cross
+    # join: the old BroadcastNestedLoopJoin evaluated array_intersect
+    # THREE times per (doc, probe) pair inside the join condition (no
+    # common-subexpression elimination there — plan op (19) in
+    # plans/r10/q_dedup_eval_before.txt). Explode grams once, broadcast-
+    # hash-join on the gram itself against the probes' exploded grams
+    # (n_probes x |grams| rows, construction-bounded), and COUNT matches
+    # per pair — each intersection is computed exactly once as a join
+    # cardinality. Set sizes ride along the exploded rows (constant per
+    # group), so no N-scale size join afterwards; grams are
+    # array_distinct'd upstream, so the match count IS |A∩B|. Pairs with
+    # an empty intersection never appear, which is identical output for
+    # any threshold > 0 (their jaccard is 0).
+    assert threshold > 0, "inverted-index gt arm requires threshold > 0"
+    g_ex = g.select(
+        "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
-    # ground truth: one corpus pass against the broadcast probe arrays
-    gt = (
-        g.crossJoin(F.broadcast(p_grams))
+    p_ex = probes.select(
+        F.col("id").alias("pid"),
+        F.size("grams").alias("psz"),
+        F.explode("grams").alias("gram"),
+    )
+    inter = (
+        g_ex.join(F.broadcast(p_ex), "gram")
         .filter(F.col("id") != F.col("pid"))
-        .select(
-            "pid",
-            "id",
-            F.round(jaccard(F.col("grams"), F.col("p_grams")), 4).alias("j"),
+        .groupBy("pid", "id")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.min("sz").alias("sz"),
+            F.min("psz").alias("psz"),
         )
-        .filter(F.col("j") >= threshold)
+    )
+    # same arithmetic as round(jaccard(...), 4): |A∪B| = sz + psz - i,
+    # always > 0 here (every doc has >= 1 gram)
+    gt = (
+        inter.filter(
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("sz") + F.col("psz") - F.col("i")).cast("double"),
+                4,
+            )
+            >= threshold
+        )
         .select("pid", "id", F.lit(1).alias("is_true"))
     )
     p_bands = bands.join(
@@ -2211,7 +2243,9 @@ def lsh_recall_eval(
     # outcome, not a missing observation
     stats = (
         probes.select(F.col("id").alias("pid"))
-        .join(agg, "pid", "left")
+        # agg is keyed by pid ⊆ probes: <= n_probes rows by construction,
+        # broadcast kills the SortMergeJoin's two sort+exchange pairs
+        .join(F.broadcast(agg), "pid", "left")
         .select(
             F.col("pid").alias("probe_id"),
             F.coalesce("n_true", F.lit(0)).alias("n_true"),
