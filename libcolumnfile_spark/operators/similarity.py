@@ -231,7 +231,7 @@ def cosine_near_pairs(
     unit = F.when(norm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)).otherwise(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * 0.0)
     )
-    if n_planes >= 10:
+    if n_planes >= 6:
         # Adaptive/scale region: the HOF bucket expression interprets
         # n_planes x dim lambda calls per vector (measured 8.9 s for 17
         # planes x 200k vectors, vs 2.4 s for one Arrow numpy kernel).
@@ -240,12 +240,14 @@ def cosine_near_pairs(
         # so units and sign bits are bit-identical to the lsh_bucket
         # path (same argument as the IVF assign kernel; oracle parity
         # re-verified with the kernel forced on the fixed-plane
-        # queries). Oracle-pinned fixed-plane queries (4/6/8 planes)
-        # keep the HOF path — A/B at sf0.1 measured the kernel SLOWER
-        # there (q_sim_pairs 0.59 s -> 0.72 s): 2k vectors don't
-        # amortize the Python worker round trip. The threshold tracks
-        # the adaptive region, where plane counts only exceed 10 when
-        # the corpus is large enough to pay it.
+        # queries). Threshold >= 6: r10 A/B at sf0.1 (2k vectors,
+        # interleaved fresh-JVM medians) measured the kernel FASTER at
+        # 6+ planes — q_dedup_embedding 2.09 -> 1.52 s, q_sim_pairs
+        # 0.91 -> 0.83, q_sim_pairs_probe 1.10 -> 0.95 — the per-vector
+        # interpreted-HOF cost (norm + n_planes dots) overtakes the
+        # Python round trip there; 4-plane queries keep the HOF path
+        # (an earlier 4-plane A/B measured the kernel slower, 0.59 ->
+        # 0.72 s: fewer dots to amortize).
         P = np.array(planes, dtype=np.float64)
 
         @F.pandas_udf("struct<bucket:bigint, v:array<double>>")
