@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.queries import T, pin, query
 from libcolumnfile_spark.tables import maybe_broadcast as _mb
 from libcolumnfile_spark.tables import spread as _spread
 
@@ -368,7 +368,13 @@ def contamination_bloom_screen(
         a, b = ab
         return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)) % F.lit(m)
 
-    bench = (
+    # bench feeds TWO consumers (the bitset build and the exact verify
+    # join); without a persist the benchmark scan + window-gram pipeline
+    # + distinct re-executes per consumer. persist() is MEMORY_AND_DISK:
+    # at registry scale (10^8-10^9 grams, the size this operator exists
+    # for) the compact int64 hashes spill to disk rather than OOM, and
+    # one materialization still beats two full re-derivations.
+    bench = pin(
         gram_rows(benchmark, text_col, id_col, shingle_n)
         .select(md5_gram_hash(F.col("g")).alias("h"))
         .distinct()
@@ -413,11 +419,22 @@ def contamination_bloom_screen(
         hit = F.expr(f"(shiftright(bits{j}, t{j}) & 1) = 1")
         is_cand = hit if is_cand is None else (is_cand & hit)
     flagged = probed.withColumn("_cand", F.coalesce(is_cand, F.lit(False)))
-    counts = (
+    # ONE corpus gram pass: the per-doc counts aggregate ALSO carries the
+    # candidate hashes (collect_list skips the nulls of non-candidates),
+    # so the verify arm replays from the doc-bounded aggregate instead of
+    # re-running the full tokenize+md5+k-probe map pipeline a second time
+    # (the old two-consumer shape executed that corpus-scale map twice).
+    # Shuffle bytes are unchanged: the candidate hashes crossed the wire
+    # anyway as the verify arm's (doc_id, h) rows; now they ride the
+    # counts exchange with map-side partial collect_list. Per-doc array
+    # size is n_candidates (the fp-fraction by design), bounded by the
+    # doc's gram count.
+    counts = pin(
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count_if(F.col("_cand")).alias("n_candidates"),
+            F.collect_list(F.when(F.col("_cand"), F.col("h"))).alias("_cand_hs"),
         )
         .filter(F.col("n_candidates") > 0)
     )
@@ -425,14 +442,14 @@ def contamination_bloom_screen(
     # set shuffles against the fp-fraction candidate stream, never
     # broadcasts (see docstring)
     matched = (
-        flagged.filter(F.col("_cand"))
-        .select("doc_id", "h")
+        counts.select("doc_id", F.explode("_cand_hs").alias("h"))
         .join(bench.hint("shuffle_hash"), "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
     return (
-        counts.join(matched.hint("shuffle_hash"), "doc_id", "left")
+        counts.drop("_cand_hs")
+        .join(matched.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
