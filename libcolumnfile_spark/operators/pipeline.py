@@ -1187,7 +1187,11 @@ def q_corpus_pipeline(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     survivors = exact_dedup(d, ["text"], "doc_id").select("doc_id")
     s = d.join(survivors, "doc_id").select("doc_id", "lang", "text")
-    q = quality_features(s).join(s.select("doc_id", "lang"), "doc_id")
+    # lang rides the feature projection (carry_cols) — the old
+    # quality_features(s).join(s, "doc_id") self-join re-executed the
+    # scan+survivor subtree twice and paid a doc-scale SortMergeJoin
+    # just to re-attach one column
+    q = quality_features(s, carry_cols=("lang",))
     kept = q.filter(F.col("quality") >= 0.5)
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

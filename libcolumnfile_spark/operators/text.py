@@ -104,7 +104,12 @@ def lang_id_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality features: lengths, token stats, punct/space/
     uppercase ratios, and a composite quality score in [0,1].
 
@@ -113,10 +118,17 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     arithmetic in step 2 references each exactly once — Catalyst inlines
     non-attribute subexpressions per reference, which would otherwise
     re-run the regex passes up to 4x per row.
+
+    ``carry_cols`` pass through unchanged — map-side column carriage so a
+    caller needing (features + metadata) never has to join this frame
+    back onto its own input (that join re-executes the input subtree AND
+    pays a row-scale shuffle; q_corpus_pipeline measured 1.44 -> 0.74 s
+    at sf0.1 dropping exactly that self-join).
     """
     t = F.col(text_col)
     counts = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.length(t).cast("bigint").alias("n_chars_calc"),
         occurrence_count(t, " ").alias("__n_spaces"),
         token_count(t).alias("n_tokens"),
@@ -139,6 +151,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return counts.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         "n_chars_calc",
         "n_tokens",
         F.round(avg_token_len, 4).alias("avg_token_len"),
