@@ -1168,8 +1168,12 @@ def q_quality_filter(spark, sf_dir):
     from pyspark.sql import Window
 
     d = T(spark, sf_dir, "documents")
-    q = quality_features(d).select("doc_id", "quality")
-    scored = d.select("doc_id", "lang").join(q, "doc_id")
+    # lang rides the feature projection (carry_cols) — joining the
+    # features back onto d re-executed the scan and paid a doc-scale
+    # shuffle join for one column (same fix as q_corpus_pipeline)
+    scored = quality_features(d, carry_cols=("lang",)).select(
+        "doc_id", "lang", "quality"
+    )
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     return (
         scored.withColumn("prank", F.percent_rank().over(w))
