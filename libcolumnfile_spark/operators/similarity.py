@@ -2094,11 +2094,17 @@ def cluster_purity(
     w = Window.partitionBy("list_id").orderBy(
         F.col("n_cell").desc(), F.col("label").asc()
     )
-    tot = cells.groupBy("list_id").agg(F.sum("n_cell").alias("n"))
+    # cluster totals via an unordered window over the SAME partition key
+    # — not a groupBy + self-join: the inner join inferred
+    # isnotnull(list_id) and pushed it below the aggregate, which
+    # re-evaluated the Arrow assign kernel per row (two ArrowEvalPython
+    # nodes for one UDF, guide §4.4's duplication trap); the window form
+    # shares the one list_id exchange and evaluates the kernel once.
+    wt = Window.partitionBy("list_id")
     return (
         cells.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.sum("n_cell").over(wt))
         .filter(F.col("rn") == 1)
-        .join(tot, "list_id")
         .select(
             "list_id",
             "n",
