@@ -1372,7 +1372,12 @@ def ivf_seeded_topk(
     # first-max-wins like the oracle's CASE) picks identical lists.
     # Cosine scoring of the ~probe/lists survivors stays in Catalyst so
     # round() semantics keep matching the oracle.
-    _assign_list = seeded_assign_udf(cents)
+    # asNondeterministic: the probe filter references the UDF column, and
+    # Catalyst otherwise pushes a copy of the filter below the projection
+    # and evaluates the kernel TWICE per row (guide §4.4's duplication
+    # trap — observed as two ArrowEvalPython nodes). The function is
+    # pure; the marker only forbids the optimizer from duplicating it.
+    _assign_list = seeded_assign_udf(cents).asNondeterministic()
 
     q = _lit_vec(query_vec)
     return (
