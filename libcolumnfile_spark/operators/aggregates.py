@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from libcolumnfile_spark.queries import T, query
+from libcolumnfile_spark.queries import T, pin, query
 
 
 @query(
@@ -405,15 +405,26 @@ def _cms_cell(col, i: int, width: int):
 
 
 def count_min_sketch(
-    items: DataFrame, col: str = "item", depth: int = 3, width: int = 128
+    items: DataFrame,
+    col: str = "item",
+    depth: int = 3,
+    width: int = 128,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (row, bucket, cnt) with up to depth*width rows.
 
     One scan over ``items``: explode each element to its ``depth``
     cells, then a partial+final count — shuffle bounded by the sketch
     dimensions. Absent cells are zero by convention.
+
+    ``weight_col``: build from a pre-aggregated (item, weight) table —
+    sum(weight) per cell is exactly count per cell of the un-aggregated
+    stream (integer sum, associative), so a caller that already holds
+    item counts never re-feeds the raw stream (q_sketch_freq builds from
+    its vocabulary-bounded word counts instead of a second corpus pass).
     """
     cells = items.select(
+        *( [F.col(weight_col).alias("__w")] if weight_col else [] ),
         F.explode(
             F.array(
                 *[
@@ -424,10 +435,11 @@ def count_min_sketch(
                     for i in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
     )
+    agg = F.sum("__w") if weight_col else F.count(F.lit(1))
     return cells.groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
+        agg.alias("cnt")
     )
 
 
@@ -515,21 +527,22 @@ def _sketch_freq_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH, k: int
 )
 def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
-    # the exploded token stream feeds BOTH the sketch build and the
-    # exact top-k verification pass — deliberately UNCACHED: the two
-    # codegen'd scan+explode passes beat materializing a corpus-sized
-    # token stream (measured 0.78 s vs 1.24 s pinned at sf0.1), and at
-    # real scale you would never cache tokens either (the second pass
-    # exists only for the oracle's exact/estimate comparison; production
-    # keeps the sketch alone, one pass)
+    # ONE tokenize+explode pass: aggregate to vocabulary-bounded word
+    # counts first, then derive BOTH the exact top-k and the sketch from
+    # that table (sum of per-word counts per cell == count of tokens per
+    # cell, integer-exact). The old shape ran the corpus scan+explode
+    # twice — once per consumer — because caching the corpus-sized token
+    # stream itself measured slower (0.78 s vs 1.24 s pinned at sf0.1);
+    # the word-count table is the cheap-to-pin proxy (vocab-bounded at
+    # any corpus size), and the sketch's partial aggregate now runs over
+    # vocab rows instead of the full token stream.
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    sketch = count_min_sketch(toks, "tok", _CMS_DEPTH, _CMS_WIDTH)
+    wc = pin(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n")))
+    sketch = count_min_sketch(wc, "tok", _CMS_DEPTH, _CMS_WIDTH, weight_col="exact_n")
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        wc.orderBy(F.col("exact_n").desc(), F.col("tok"))
         .limit(_CMS_TOPK)
     )
     est = cms_estimate(sketch, top.select("tok"), "tok", _CMS_DEPTH, _CMS_WIDTH)
