@@ -3510,8 +3510,13 @@ def heavy_hitters(
     ).filter(F.col("tok") != "")
 
     def _mg(batches):
+        # emits the MG counters PLUS one NULL-token sentinel row carrying
+        # the partition's exact token count, so n_total rides this pass
+        # instead of a third full tokenize scan of the corpus
         counters: dict = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for t in pdf["tok"]:
                 if t in counters:
                     counters[t] += 1
@@ -3524,12 +3529,26 @@ def heavy_hitters(
                     for key in dead:
                         del counters[key]
         yield pd.DataFrame(
-            {"tok": list(counters), "c": list(counters.values())}
+            {"tok": list(counters) + [None], "c": list(counters.values()) + [seen]}
         )
 
+    from libcolumnfile_spark.queries import pin
+
     summary = toks.mapInPandas(_mg, schema="tok string, c long")
-    cand = summary.groupBy("tok").agg(F.sum("c").alias("c")).select("tok")
-    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # BOTH consumers (candidate set, total) read the merged summary —
+    # null key included, its row carrying n_total — through a pinned
+    # aggregate of <= k+1 rows, so the corpus-scale MG map stage
+    # executes ONCE. (Exchange reuse alone does not dedupe it: the
+    # isNull/isNotNull key filters push below the aggregate and diverge
+    # the two subtrees — observed as two MapInPandas nodes — so the
+    # explicit pin is required; it trades away this query's plan
+    # memoization, the right side of the trade since the alternative
+    # re-runs a full corpus pass.)
+    grouped = pin(summary.groupBy("tok").agg(F.sum("c").alias("c")))
+    cand = grouped.filter(F.col("tok").isNotNull()).select("tok")
+    tot = grouped.filter(F.col("tok").isNull()).select(
+        F.col("c").alias("n_total")
+    )
     exact = (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")
