@@ -1754,8 +1754,17 @@ def cooc_pmi(df: DataFrame, text_col: str = "text", min_count: int = 3) -> DataF
     marginal windows would be wrong (marginals must see all pairs), so
     the filter sits after them — it only cuts the output.
     """
-    pc = _bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("pair_cnt")
+    from libcolumnfile_spark.queries import pin
+
+    # pc feeds the 1-row N aggregate AND the marginal windows; without a
+    # persist the corpus-scale bigram Generate+aggregate executes once
+    # per consumer. The pinned frame is bigram-vocabulary-bounded
+    # (Heaps-law sublinear), so the cache cost stays corpus-independent.
+    # (Trades this query's plan memoization for a full corpus pass.)
+    pc = pin(
+        _bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("pair_cnt")
+        )
     )
     n = pc.agg(F.sum("pair_cnt").cast("double").alias("n_bigrams"))
     from pyspark.sql import Window
@@ -1819,8 +1828,15 @@ def bigram_lm(df: DataFrame, text_col: str = "text", min_count: int = 2) -> Data
     w1-keyed window sum for the context marginal, and a 1-row cross join
     carrying V.
     """
-    pc = _bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("pair_cnt")
+    from libcolumnfile_spark.queries import pin
+
+    # same two-consumer shape as cooc_pmi: pc feeds the V-types arm and
+    # the marginal window — pin the vocabulary-bounded aggregate so the
+    # corpus-scale bigram pass executes once
+    pc = pin(
+        _bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("pair_cnt")
+        )
     )
     v = pc.select("w2").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("v_types")
