@@ -1467,22 +1467,36 @@ def scd2_merge(
         differs = d if differs is None else (differs | d)
     changed = (F.col("__m") == 1) & differs
     out_cols = [key_col, *attr_cols, "valid_from", "valid_to"]
-    closed = j.filter(changed).select(
-        F.col(key_col),
-        *[F.col(a) for a in attr_cols],
-        F.col("valid_from"),
+    # the three output arms (closed / kept / opened) are emitted from ONE
+    # pass over the joined stream as a per-row array + explode — filtering
+    # j three times re-executed the whole shuffle join per consumer (3
+    # physical ShuffledHashJoins / 6 table-scale exchange sides observed),
+    # and the join output is the wrong thing to persist at dimension
+    # scale. A changed row explodes to [closed, opened]; the rest to
+    # [kept]. Row multiset identical to the old three-arm union.
+    closed_s = F.struct(
+        F.col(key_col).alias(key_col),
+        *[F.col(a).alias(a) for a in attr_cols],
+        F.col("valid_from").alias("valid_from"),
         F.lit(ts).cast("bigint").alias("valid_to"),
     )
-    kept = j.filter(~F.coalesce(changed, F.lit(False))).select(*out_cols)
-    opened = j.filter(changed).select(
-        F.col(key_col),
+    opened_s = F.struct(
+        F.col(key_col).alias(key_col),
         *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
         F.lit(ts).cast("bigint").alias("valid_from"),
         F.lit(None).cast("bigint").alias("valid_to"),
     )
-    return hist.select(*out_cols).unionByName(closed).unionByName(kept).unionByName(
-        opened
+    kept_s = F.struct(
+        F.col(key_col).alias(key_col),
+        *[F.col(a).alias(a) for a in attr_cols],
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
     )
+    rows = F.when(
+        F.coalesce(changed, F.lit(False)), F.array(closed_s, opened_s)
+    ).otherwise(F.array(kept_s))
+    merged = j.select(F.explode(rows).alias("__r")).select("__r.*")
+    return hist.select(*out_cols).unionByName(merged)
 
 
 @query(

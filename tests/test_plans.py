@@ -408,9 +408,10 @@ def test_scd2_merge_is_one_shuffle_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     n_shj = len(_re.findall(r"\(\d+\) ShuffledHashJoin", plan))
-    # one logical join; it may appear per consumer branch (closed/kept/
-    # opened reuse the subtree), but no OTHER join kind may exist
-    assert n_shj >= 1
+    # exactly ONE physical join since r10: the three output arms are
+    # emitted from a single pass (per-row array + explode), so the
+    # shuffle join no longer re-executes per consumer branch
+    assert n_shj == 1
 
 
 def test_vocab_coverage_vocab_is_broadcast(spark):
