@@ -2097,11 +2097,20 @@ def ngram_novelty(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     ).filter(F.size("toks") >= n)
+    # the sequence upper bound is clamped to >= 1: the explode below makes
+    # Spark infer an isnotnull/size filter over this expression, and
+    # FilterExec hoists IsNotNull conjuncts IN FRONT of the size(toks) >= n
+    # guard — on a short doc the unclamped sequence(1, size-4) runs
+    # DESCENDING and slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.
+    # Clamped rows emit one garbage gram and are then dropped by the
+    # size guard, so output is unchanged (regression-tested).
     gram_arr = toks.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))
+                ),
                 lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
             )
         ).alias("grams"),
