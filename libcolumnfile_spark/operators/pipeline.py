@@ -1118,13 +1118,21 @@ def connected_components(
     tags=("pipeline", "dedup", "iterative"),
 )
 def q_dedup_cc(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        (F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1).alias(
-            "n_tokens"
-        ),
+    # d feeds FIVE consumers (both sides of each star_edges join + the
+    # nodes list); pinned so the full-text length/translate pass runs
+    # once — the cached frame is four compact columns per doc, never the
+    # text. Interleaved A/B at sf0.1: 1.38-1.59 -> 1.17-1.22 s.
+    d = pin(
+        T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.translate(F.col("text"), " ", ""))
+                + 1
+            ).alias("n_tokens"),
+        )
     )
     e1 = star_edges(d, ["lang", "n_chars"])
     e2 = star_edges(d, ["lang", "n_tokens"])
