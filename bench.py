@@ -123,6 +123,48 @@ _PROBE_DRIFT = 1.5
 _REMEASURE_MIN_SEC = 0.75
 _REMEASURE_CAP = 30
 
+# ---------------------------------------------------------------------------
+# End-of-sweep re-measure (round 10). The probe catches SUSTAINED ambient
+# load, but two in-JVM artifacts slip under it because the probe's fixed
+# range-sum plan is insensitive to them:
+#   1. Global JVM warm-up: the first queries of the sweep absorb JIT
+#      tier-up of the whole scheduler/shuffle/codegen stack — one
+#      untimed warm run per query does not cover it. Measured on a
+#      slow-per-core host class: sweep positions 0-1 recorded 17.7x /
+#      18.9x their isolated times (q_adamic_adar 20.7 s vs 0.96,
+#      q_ann_recall 30.0 vs 2.8) with the probe flat at its floor.
+#   2. Single-query GC/codegen bursts mid-sweep (q_dedup_span 3.99
+#      in-sweep vs 1.31 isolated on an idle host, probe clean).
+# Defense: after the sweep, re-measure the slowest _RESWEEP_TOP_K
+# queries plus the first _RESWEEP_HEAD_N sweep positions IN THE SAME
+# JVM (now at peak warmth) with the exact per-query procedure (GC
+# settle, untimed warm run, median of N timed runs); the cleaner
+# (smaller) measurement wins — same policy as the contention
+# re-measure: warm-up debt and GC bursts only ever inflate. The
+# replaced in-sweep values are preserved in the file payload
+# (probe.insweep) so both numbers stay auditable.
+# ---------------------------------------------------------------------------
+_RESWEEP_TOP_K = 24
+_RESWEEP_HEAD_N = 8
+_RESWEEP_MIN_SEC = 0.5
+
+
+def _resweep_candidates(timings: dict[str, float], order: list[str]) -> list[str]:
+    """Slowest _RESWEEP_TOP_K queries plus the first _RESWEEP_HEAD_N sweep
+    positions (global-warm-up absorbers), all >= _RESWEEP_MIN_SEC,
+    slowest-first, deduplicated."""
+    top = [
+        n
+        for n in sorted(timings, key=lambda n: -timings[n])
+        if timings[n] >= _RESWEEP_MIN_SEC
+    ][:_RESWEEP_TOP_K]
+    head = [n for n in order[:_RESWEEP_HEAD_N] if timings.get(n, 0.0) >= _RESWEEP_MIN_SEC]
+    out: list[str] = []
+    for n in top + head:
+        if n not in out:
+            out.append(n)
+    return out
+
 
 def _probe_once(spark) -> float:
     # fixed-shape, data-independent, all-core: measures scheduler + CPU
@@ -162,13 +204,23 @@ def main() -> int:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    # probe floor: warm once (codegen), then median of 3
+    # Opening probe sample: warm once (codegen), then median of 3. The
+    # FLOOR is computed retrospectively as min(series) after the sweep:
+    # on a slow-per-core host the whole JVM keeps warming for the first
+    # ~50 queries, so the opening sample can sit several x above the
+    # steady-state floor — anchoring drift checks to it would blind the
+    # contention defense for the entire sweep (observed: series
+    # 0.85 -> 0.35 -> 0.16 with max_drift capped at 1.0 by
+    # construction). min(series) is the host's demonstrated capability;
+    # every sample is judged against that.
     _probe_once(spark)
-    floor = statistics.median(_probe_once(spark) for _ in range(3))
-    probe_series: list[float] = [round(floor, 4)]
-    suspects: set[str] = set()
+    probe_series: list[float] = [
+        round(statistics.median(_probe_once(spark) for _ in range(3)), 4)
+    ]
+    seg_samples: list[tuple[float, list[str]]] = []
     segment: list[str] = []  # queries since the last probe sample
-    for name in sorted(REGISTRY):
+    sweep_order = sorted(REGISTRY)
+    for name in sweep_order:
         fn = REGISTRY[name].spark_fn
         # settle the allocator BEFORE each query, outside the timed
         # region (JMH-style inter-benchmark GC): a 185-query sweep in
@@ -205,20 +257,69 @@ def main() -> int:
         if len(segment) >= _PROBE_EVERY:
             p = _probe_once(spark)
             probe_series.append(round(p, 4))
-            if p > _PROBE_DRIFT * floor:
-                suspects.update(segment)
+            seg_samples.append((p, segment))
             segment = []
     if segment:
         p = _probe_once(spark)
         probe_series.append(round(p, 4))
-        if p > _PROBE_DRIFT * floor:
-            suspects.update(segment)
+        seg_samples.append((p, segment))
 
-    # a drifted probe BEFORE a segment also taints it (the load was
-    # already there when the segment started): taint both neighbors
+    # retrospective drift verdicts against the min-floor (see above): a
+    # segment whose OPENING or CLOSING probe sample exceeds _PROBE_DRIFT
+    # x the host's best demonstrated floor ran under contention OR
+    # inside the JVM warm-up ramp — both inflate, both deserve a
+    # re-measure. (segment i sits between probe_series[i] and
+    # probe_series[i+1]: a drifted sample taints both neighbors.)
+    floor = min(probe_series)
+    suspects: set[str] = set()
+    for i, (p, seg) in enumerate(seg_samples):
+        if p > _PROBE_DRIFT * floor or probe_series[i] > _PROBE_DRIFT * floor:
+            suspects.update(seg)
+
+    # end-of-sweep in-JVM re-measure (see the _RESWEEP_* block above):
+    # the JVM is now at peak warmth, so a clean pass over the slowest
+    # queries + the warm-up-absorbing head positions separates each
+    # query's real cost from sweep-context artifacts. min() per query:
+    # a re-measure that lands on its own GC burst can't make things
+    # worse than the recorded value.
+    import gc as _gc
+
+    insweep: dict[str, float] = {}
+    resweep: list[str] = []
+    resweep_measured = _resweep_candidates(timings, sweep_order)
+    for name in resweep_measured:
+        fn = REGISTRY[name].spark_fn
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        materialize(fn(spark, sf_dir))
+        samples = []
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        m = round(statistics.median(samples), 3)
+        assert_cache_hygiene(spark, name)
+        spark.catalog.clearCache()
+        if m < timings[name]:
+            insweep[name] = timings[name]
+            timings[name] = m
+            resweep.append(name)
+
+    # fresh-JVM re-measure of the probe-flagged suspects that are still
+    # slow after the resweep (ambient contention affects the in-JVM
+    # resweep too; a fresh process on a recovered host does not). A
+    # post-resweep probe sample decides whether the resweep itself ran
+    # clean: if it did, every resweep-measured query already has a
+    # quiet-host warm measurement and skips the fresh JVM (whose own
+    # cold start only wastes time under the min() policy).
     remeasured: list[str] = []
+    resweep_clean = _probe_once(spark) <= _PROBE_DRIFT * floor
     flagged = sorted(
-        n for n in suspects if timings.get(n, 0.0) >= _REMEASURE_MIN_SEC
+        n
+        for n in suspects
+        if timings.get(n, 0.0) >= _REMEASURE_MIN_SEC
+        and not (resweep_clean and n in resweep_measured)
     )[:_REMEASURE_CAP]
     if flagged:
         spark.sparkContext.setLogLevel("ERROR")
@@ -228,6 +329,7 @@ def main() -> int:
             # ever inflates; a fresh JVM can't make a plan faster than
             # it is
             if t < timings[n]:
+                insweep.setdefault(n, timings[n])
                 timings[n] = t
                 remeasured.append(n)
 
@@ -238,6 +340,10 @@ def main() -> int:
         "max_drift": round(max(probe_series) / floor, 2) if floor else None,
         "suspect": sorted(suspects),
         "remeasured": sorted(remeasured),
+        "resweep": sorted(resweep),
+        # the in-sweep values each re-measure replaced — the audit trail
+        # (file dump only; stdout carries just the counts)
+        "insweep": {k: insweep[k] for k in sorted(insweep)},
     }
     # Full per-query dump for BASELINE.md cross-reference. Default path
     # is the SCRATCH artifact (BENCH_FULL_LAST.json): driver/CI runs
@@ -288,6 +394,7 @@ def format_bench_line(payload: dict, budget: int = 1800) -> str:
             "max_drift": pr.get("max_drift"),
             "suspect_n": len(pr.get("suspect", ())),
             "remeasured_n": len(pr.get("remeasured", ())),
+            "resweep_n": len(pr.get("resweep", ())),
         }
     timings = payload["queries"]
     line = json.dumps(payload, separators=(",", ":"))

