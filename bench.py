@@ -315,11 +315,17 @@ def main() -> int:
     # cold start only wastes time under the min() policy).
     remeasured: list[str] = []
     resweep_clean = _probe_once(spark) <= _PROBE_DRIFT * floor
+    # cap takes the SLOWEST flagged queries (where contaminated seconds
+    # live), not the alphabetically first — an r10 evidence run showed
+    # cheap d-queries crowding q_tpch_q15/q_label_prop out of the cap
     flagged = sorted(
-        n
-        for n in suspects
-        if timings.get(n, 0.0) >= _REMEASURE_MIN_SEC
-        and not (resweep_clean and n in resweep_measured)
+        (
+            n
+            for n in suspects
+            if timings.get(n, 0.0) >= _REMEASURE_MIN_SEC
+            and not (resweep_clean and n in resweep_measured)
+        ),
+        key=lambda n: -timings[n],
     )[:_REMEASURE_CAP]
     if flagged:
         spark.sparkContext.setLogLevel("ERROR")
