@@ -1783,11 +1783,19 @@ def containment_pairs(
         )
     )
     members = keyed.select("sig", "id", "n")
-    reps = keyed.groupBy("sig").agg(
-        # n and hs-as-a-set are sig-determined; min_by pins a
-        # deterministic representative array ordering
-        F.min_by("n", "id").alias("n"),
-        F.min_by("hs", "id").alias("hs"),
+    # pinned: reps feeds FOUR consumers (anchor side a, posting side e,
+    # and both verify sides va/vb), and their column-pruned aggregate
+    # subtrees differ, so without the pin each consumer re-runs the
+    # groupBy(sig) exchange over the cached keyed frame (4 aggregate
+    # shuffles for one logical aggregate — r11 plan audit). O(distinct
+    # sigs) rows, the collapse's whole point is that this is small.
+    reps = pin(
+        keyed.groupBy("sig").agg(
+            # n and hs-as-a-set are sig-determined; min_by pins a
+            # deterministic representative array ordering
+            F.min_by("n", "id").alias("n"),
+            F.min_by("hs", "id").alias("hs"),
+        )
     )
     a = reps.select(
         F.col("sig").alias("sig_a"),

@@ -21,13 +21,40 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
 from libcolumnfile_spark.registry import REGISTRY
 from libcolumnfile_spark.session import get_spark
 
-from tools.scale_probe import BASE, best2, ensure_scaled
+from tools.scale_probe import BASE, ensure_scaled
+
+
+def interleaved_legs(run, base: str, scaled: str, pairs: int = 3):
+    """min-of-N per leg, legs INTERLEAVED (t1, tN, t1, tN, ...).
+
+    The round-10 driver failure mode (ratio 34.09 on a host whose own
+    bench probe drifted 11.9x; r11 reproduction on a loaded host: 4.86
+    with loadavg ramping 0.9 -> 9.3 mid-run vs 1.61/1.78 minutes later,
+    code identical): sequential legs measure the x10 leg entirely AFTER
+    the sf0.1 leg, so time-correlated ambient load lands on the
+    numerator only and the wall ratio explodes with no code change.
+    Alternating the legs makes any load window tax both legs; the ratio
+    of per-leg minima is unchanged on an idle host (min converges to the
+    true time either way), so the contract bounds keep their meaning.
+    """
+    run(base)
+    run(scaled)  # warm both legs: codegen + fixture caches for each plan
+    t1s, tns = [], []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        run(base)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(scaled)
+        tns.append(time.perf_counter() - t0)
+    return min(t1s), min(tns)
 
 
 def main() -> int:
@@ -49,8 +76,7 @@ def main() -> int:
         spark.catalog.clearCache()
         fn(spark, d).write.mode("overwrite").format("noop").save()
 
-    t1 = best2(lambda: run(BASE))
-    tn = best2(lambda: run(scaled))
+    t1, tn = interleaved_legs(run, BASE, scaled)
     print(
         json.dumps(
             {
