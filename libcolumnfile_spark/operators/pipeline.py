@@ -912,12 +912,25 @@ def star_edges(df: DataFrame, group_cols: list[str], id_col: str = "doc_id") -> 
 
     The standard blocking->edges step of a dedup pipeline: a clique per
     group would be O(group^2) edges; linking to the min is equivalent for
-    connectivity and linear. One shuffle on the (small) group key; only
-    (key, id) pairs move, never document bodies.
+    connectivity and linear.
+
+    Plan shape: ONE exchange keyed by the group columns and a window min
+    over the established partitioning — the same-key window needs no
+    second shuffle (guide §2.4), where the previous groupBy+join-back
+    form paid the aggregate exchange AND a join (r11 interleaved A/B on
+    q_dedup_cc: 1.43 -> 1.00 s together with dropping the caller's pin).
+    Only (key, id) pairs move, never document bodies. Skew: a window
+    cannot be AQE-split like a join, but star-contraction groups ARE
+    duplicate clusters — smallish by construction in a near-dup pipeline
+    (a pathologically hot blocking key means boilerplate that upstream
+    filtering owns); if a corpus violates that, the groupBy+join form
+    with AQE skew-join is the drop-in fallback.
     """
-    mins = df.groupBy(*group_cols).agg(F.min(id_col).alias("__mn"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
     return (
-        df.join(mins, group_cols)
+        df.withColumn("__mn", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("__mn"))
         .select(F.col(id_col).alias("src"), F.col("__mn").alias("dst"))
     )
@@ -1118,21 +1131,23 @@ def connected_components(
     tags=("pipeline", "dedup", "iterative"),
 )
 def q_dedup_cc(spark, sf_dir):
-    # d feeds FIVE consumers (both sides of each star_edges join + the
-    # nodes list); pinned so the full-text length/translate pass runs
-    # once — the cached frame is four compact columns per doc, never the
-    # text. Interleaved A/B at sf0.1: 1.38-1.59 -> 1.17-1.22 s.
-    d = pin(
-        T(spark, sf_dir, "documents").select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            (
-                F.length("text")
-                - F.length(F.translate(F.col("text"), " ", ""))
-                + 1
-            ).alias("n_tokens"),
-        )
+    # UNPINNED (r11, reverting the round-10 pin the driver bench said
+    # regressed 0.81x with inverse core scaling): with the window form
+    # of star_edges, d has three single-pass consumers (two windows +
+    # the nodes list) instead of five join sides, and the interleaved
+    # r11 A/B measured the pin as a net LOSS in that shape (pin+window
+    # 1.10 s vs no-pin+window 1.00 s; the old pin+join shape was 1.35) —
+    # the cheap length/translate projection costs less to recompute than
+    # the cache materialization + read.
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.length("text")
+            - F.length(F.translate(F.col("text"), " ", ""))
+            + 1
+        ).alias("n_tokens"),
     )
     e1 = star_edges(d, ["lang", "n_chars"])
     e2 = star_edges(d, ["lang", "n_tokens"])
