@@ -6,6 +6,8 @@ passes with zero shuffle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -169,6 +171,29 @@ _WINNOW_B = 31  # polynomial base
 _WINNOW_P = (1 << 31) - 1
 
 
+# Scratch buffers for the flat-batch winnow kernel, reused across batches
+# AND tasks of a reused Python worker (guide §4.5: module-level state with
+# a PID guard — a forked worker must not inherit a parent's buffers).
+# Reuse is the point: the round-10 flat-batch attempt was rejected because
+# per-batch FRESH multi-MB allocations measured up to ~100x slower on a
+# fault-taxed host class (first-touch page faults); buffers that are
+# allocated once per worker and grown geometrically pay that tax once.
+_WINNOW_SCRATCH: dict = {}
+
+
+def _winnow_buffers(total: int):
+    s = _WINNOW_SCRATCH
+    if s.get("pid") != os.getpid():
+        s.clear()
+        s["pid"] = os.getpid()
+        s["cap"] = 0
+    if s["cap"] < total:
+        s["cap"] = max(total, s["cap"] * 2, 1 << 16)
+        for name in ("c", "g", "t", "p"):
+            s[name] = np.empty(s["cap"], dtype=np.int64)
+    return s["c"], s["g"], s["t"], s["p"]
+
+
 def winnow_prints_kernel(k: int = _WINNOW_K, w: int = _WINNOW_W):
     """Arrow-batched numpy kernel: normalized text -> sorted distinct
     winnowed fingerprint array (array<bigint>).
@@ -185,34 +210,56 @@ def winnow_prints_kernel(k: int = _WINNOW_K, w: int = _WINNOW_W):
     sf0.1 (the same measured trap as the simhash vote); here it is k
     strided whole-batch numpy passes. Map-only, no shuffle; Python sees
     only the text column and returns compact int64 arrays.
+
+    FLAT-batch layout (r11): all docs of a batch concatenate into ONE
+    codepoint array and the k multiply-add passes + w min passes run
+    once over it, instead of ~(k + w + 4) numpy calls per document —
+    the per-call dispatch overhead dominated the old per-doc loop
+    (offline kernel A/B on the sf0.1 corpus: 195 -> 97 ms/batch; exact
+    parity incl. None/short/unicode docs and arbitrary batch splits).
+    Gram windows that straddle a document boundary are computed (cheap)
+    but never read: each doc's slice of the print array stops at its own
+    last valid window (m_i = len_i - k - w + 2), so boundary garbage
+    cannot reach the output — the parity suite pins this. All large
+    intermediates live in _WINNOW_SCRATCH (see above); per-doc
+    allocations are only the unavoidable encode + np.unique outputs.
     """
     coeff = np.array([_WINNOW_B**j for j in range(k)], dtype=np.int64)
 
     @F.pandas_udf("array<bigint>")
     def kernel(texts: pd.Series) -> pd.Series:
         empty = np.empty(0, dtype=np.int64)
+        enc = [s.encode("utf-32-le") if s is not None else b"" for s in texts]
+        lens = np.array([len(b) >> 2 for b in enc], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series([empty] * len(enc))
+        c, g, tb, p = _winnow_buffers(total)
+        raw = np.frombuffer(b"".join(enc), dtype=np.uint32)
+        cv = c[:total]
+        np.copyto(cv, raw)
+        n_total = max(total - (k - 1), 0)
+        gv = g[:n_total]
+        gv[:] = 0
+        for j in range(k):
+            np.multiply(cv[j : j + n_total], coeff[j], out=tb[:n_total])
+            gv += tb[:n_total]
+        gv %= _WINNOW_P
+        m_total = max(n_total - (w - 1), 0)
+        pv = p[:m_total]
+        np.copyto(pv, gv[:m_total])
+        for j in range(1, w):
+            np.minimum(pv, gv[j : j + m_total], out=pv)
+        starts = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
         out = []
-        for s in texts:
-            if s is None:
-                out.append(empty)
-                continue
-            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            n = cps.size - (k - 1)
-            if n <= 0:
-                out.append(empty)
-                continue
-            g = np.zeros(n, dtype=np.int64)
-            for j in range(k):
-                g += cps[j : j + n] * coeff[j]
-            g %= _WINNOW_P
-            m = n - (w - 1)
+        for i in range(len(enc)):
+            m = lens[i] - (k - 1) - (w - 1)
             if m <= 0:
                 out.append(empty)
                 continue
-            prints = g[:m]
-            for j in range(1, w):
-                prints = np.minimum(prints, g[j : j + m])
-            out.append(np.unique(prints))
+            st = starts[i]
+            out.append(np.unique(pv[st : st + m]))
         return pd.Series(out)
 
     return kernel

@@ -486,6 +486,61 @@ class TestWinnowFingerprint:
         assert p[0] == set() and p[1] == set()
         assert len(p[2]) == 1  # 11 chars = k+w-1 -> exactly one window
 
+    def test_flat_batch_matches_scalar_reference(self, spark):
+        # golden parity for the r11 flat-batch kernel: one concatenated
+        # codepoint array per Arrow batch, with gram windows straddling
+        # document boundaries computed but never sliced into any doc's
+        # output. The reference below is an independent pure-Python
+        # per-doc implementation of the same winnowing definition —
+        # adjacent docs are chosen so that boundary-straddling windows
+        # WOULD collide with real prints if the slicing were off by one.
+        k, w, b, p_mod = (
+            text._WINNOW_K,
+            text._WINNOW_W,
+            text._WINNOW_B,
+            text._WINNOW_P,
+        )
+
+        def ref(s):
+            cps = [ord(c) for c in s]
+            n = len(cps) - (k - 1)
+            if n <= 0:
+                return []
+            g = [
+                sum(cps[i + j] * b**j for j in range(k)) % p_mod
+                for i in range(n)
+            ]
+            m = n - (w - 1)
+            if m <= 0:
+                return []
+            return sorted({min(g[i : i + w]) for i in range(m)})
+
+        docs = [
+            None,
+            "",
+            "ab",
+            "abcdefgh",          # n=1, m<=0
+            "abcdefghij",        # m=0 boundary
+            "abcdefghijk",       # m=1
+            "héllo wörld ünïcode text",
+            "abcdefghijkabcdefghijk",  # internal repeat
+            "kjihgfedcba",       # reversed: boundary with the previous doc
+            "zzzzzzzzzzzzzzzz",
+            "the quick brown fox jumps over the lazy dog",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+        )
+        kernel = text.winnow_prints_kernel()
+        got = {
+            r["doc_id"]: list(r["p"])
+            for r in df.select(
+                "doc_id", kernel(F.col("text")).alias("p")
+            ).collect()
+        }
+        for i, s in enumerate(docs):
+            assert got[i] == ref(s or ""), f"doc {i}: {got[i]} != {ref(s or '')}"
+
 
 class TestPassageDedup:
     def test_repeated_passage_kept_once(self, spark):
