@@ -147,6 +147,7 @@ _REMEASURE_CAP = 30
 _RESWEEP_TOP_K = 24
 _RESWEEP_HEAD_N = 8
 _RESWEEP_MIN_SEC = 0.5
+_RESWEEP_PROBE_EVERY = 8
 
 
 def _resweep_candidates(timings: dict[str, float], order: list[str]) -> list[str]:
@@ -287,7 +288,15 @@ def main() -> int:
     insweep: dict[str, float] = {}
     resweep: list[str] = []
     resweep_measured = _resweep_candidates(timings, sweep_order)
-    for name in resweep_measured:
+    # Probe samples interleaved INSIDE the resweep (every _RESWEEP_PROBE_EVERY
+    # queries, r11 / ADVICE r10): a single post-resweep sample missed
+    # contention that started and ended mid-resweep, letting flagged
+    # queries skip the fresh-JVM pass on an inflated value. Each resweep
+    # measurement is judged by its OWN bounding samples, mirroring the
+    # sweep's segment-taint logic.
+    resweep_probes: list[float] = [round(_probe_once(spark), 4)]
+    resweep_bounds: dict[str, int] = {}  # name -> index of its opening sample
+    for i, name in enumerate(resweep_measured):
         fn = REGISTRY[name].spark_fn
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -301,20 +310,34 @@ def main() -> int:
         m = round(statistics.median(samples), 3)
         assert_cache_hygiene(spark, name)
         spark.catalog.clearCache()
+        resweep_bounds[name] = len(resweep_probes) - 1
+        if (i + 1) % _RESWEEP_PROBE_EVERY == 0:
+            resweep_probes.append(round(_probe_once(spark), 4))
         if m < timings[name]:
             insweep[name] = timings[name]
             timings[name] = m
             resweep.append(name)
+    resweep_probes.append(round(_probe_once(spark), 4))
 
     # fresh-JVM re-measure of the probe-flagged suspects that are still
     # slow after the resweep (ambient contention affects the in-JVM
     # resweep too; a fresh process on a recovered host does not). A
-    # post-resweep probe sample decides whether the resweep itself ran
-    # clean: if it did, every resweep-measured query already has a
-    # quiet-host warm measurement and skips the fresh JVM (whose own
-    # cold start only wastes time under the min() policy).
+    # query skips the fresh JVM only when its OWN resweep segment ran
+    # clean (both bounding probe samples within drift of the best floor
+    # seen anywhere this run): it then already has a quiet-host warm
+    # measurement and the fresh JVM's cold start only wastes time under
+    # the min() policy.
     remeasured: list[str] = []
-    resweep_clean = _probe_once(spark) <= _PROBE_DRIFT * floor
+    floor_all = min(floor, min(resweep_probes))
+
+    def _resweep_ctx_clean(n: str) -> bool:
+        i = resweep_bounds.get(n)
+        if i is None:
+            return False
+        lo = resweep_probes[i]
+        hi = resweep_probes[min(i + 1, len(resweep_probes) - 1)]
+        return max(lo, hi) <= _PROBE_DRIFT * floor_all
+
     # cap takes the SLOWEST flagged queries (where contaminated seconds
     # live), not the alphabetically first — an r10 evidence run showed
     # cheap d-queries crowding q_tpch_q15/q_label_prop out of the cap
@@ -323,14 +346,15 @@ def main() -> int:
             n
             for n in suspects
             if timings.get(n, 0.0) >= _REMEASURE_MIN_SEC
-            and not (resweep_clean and n in resweep_measured)
+            and not _resweep_ctx_clean(n)
         ),
         key=lambda n: -timings[n],
     )[:_REMEASURE_CAP]
+    fresh_vals: dict[str, float] = {}
     if flagged:
         spark.sparkContext.setLogLevel("ERROR")
-        clean = _remeasure_isolated(flagged, sf_dir, runs)
-        for n, t in clean.items():
+        fresh_vals = _remeasure_isolated(flagged, sf_dir, runs)
+        for n, t in fresh_vals.items():
             # the cleaner (smaller) measurement wins: contention only
             # ever inflates; a fresh JVM can't make a plan faster than
             # it is
@@ -340,6 +364,33 @@ def main() -> int:
                 remeasured.append(n)
 
     payload = bench_payload(timings, sf)
+    # raw in-sweep total alongside the cleaned headline (r11 / ADVICE
+    # r10): the min-wins replacement passes only ever LOWER `value`, so
+    # cross-commit deltas need the pre-replacement sum as a first-class
+    # field instead of reconstructing it from probe.insweep.
+    raw = dict(timings)
+    raw.update(insweep)
+    payload["value_insweep"] = round(sum(raw.values()), 3)
+    # machine-checkable cleanliness verdict for evidence-sweep commit
+    # gates (r11 / ADVICE r10): every probe-flagged suspect that is
+    # still slow got a clean-context resweep or a fresh-JVM re-measure,
+    # and the resweep itself ended on a quiet host. With the min-floor
+    # semantics max_drift > 1.5 is EXPECTED (it includes the JVM warm-up
+    # ramp), so this — not max_drift — is the commit criterion.
+    slow_suspects = {
+        n for n in suspects if timings.get(n, 0.0) >= _REMEASURE_MIN_SEC
+    }
+    uncovered = sorted(
+        n
+        for n in slow_suspects
+        # covered = clean-context resweep, or an actually-obtained
+        # fresh-JVM measurement (a failed isolated subprocess leaves the
+        # query uncovered — flagged alone is not enough)
+        if not _resweep_ctx_clean(n) and n not in fresh_vals
+    )
+    clean = (
+        resweep_probes[-1] <= _PROBE_DRIFT * floor_all and not uncovered
+    )
     payload["probe"] = {
         "floor_sec": round(floor, 4),
         "series": probe_series,
@@ -347,6 +398,9 @@ def main() -> int:
         "suspect": sorted(suspects),
         "remeasured": sorted(remeasured),
         "resweep": sorted(resweep),
+        "resweep_series": resweep_probes,
+        "clean": clean,
+        "uncovered": uncovered,
         # the in-sweep values each re-measure replaced — the audit trail
         # (file dump only; stdout carries just the counts)
         "insweep": {k: insweep[k] for k in sorted(insweep)},
@@ -377,6 +431,18 @@ def bench_payload(timings: dict[str, float], sf: float) -> dict:
     }
 
 
+# Fixed size of the stdout per-query tail (r11 / VERDICT r10 item 6).
+# The old rule ("drop the fastest until the line fits the budget") made
+# the PRINTED SET a function of the timings themselves: queries that got
+# faster fell off the list and read as "dropped from the bench" in
+# round-over-round diffs (21 phantom drops in PERF_r10). A fixed N with
+# deterministic tie-breaking keeps the set stable unless the registry or
+# the relative ORDER changes; per-query round-over-round comparison
+# should always read BENCH_FULL_LAST.json / BENCH_FULL_LOCAL.json (all
+# queries), never the stdout tail — documented in BASELINE.md.
+_STDOUT_TOP_N = 60
+
+
 def format_bench_line(payload: dict, budget: int = 1800) -> str:
     """ONE stdout JSON line, guaranteed under ``budget`` chars.
 
@@ -385,10 +451,11 @@ def format_bench_line(payload: dict, budget: int = 1800) -> str:
     the 104-query line was longer than that). Budget 1800 keeps the
     whole line inside the capture window with margin. Field order is
     totals-first so even a pathological truncation keeps the headline.
-    If the per-query map doesn't fit, drop the FASTEST entries (they
-    are scheduling floor, not signal) and record both the omitted count
-    and the omitted seconds so value == sum(queries) + omitted_sec.
-    The full per-query map is always in BENCH_FULL_LOCAL.json.
+    The per-query map prints the slowest _STDOUT_TOP_N entries (ties
+    broken by name — deterministic), with the omitted count and omitted
+    seconds recorded so value == sum(queries) + omitted_sec; the budget
+    loop below only trims further in the pathological case where even N
+    entries overflow. The full per-query map is always in the file dump.
     """
     payload = dict(payload)
     if isinstance(payload.get("probe"), dict):
@@ -398,22 +465,32 @@ def format_bench_line(payload: dict, budget: int = 1800) -> str:
         payload["probe"] = {
             "floor_sec": pr.get("floor_sec"),
             "max_drift": pr.get("max_drift"),
+            "clean": pr.get("clean"),
             "suspect_n": len(pr.get("suspect", ())),
             "remeasured_n": len(pr.get("remeasured", ())),
             "resweep_n": len(pr.get("resweep", ())),
         }
     timings = payload["queries"]
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > budget:
-        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-        while len(line) > budget and keep:
-            keep.popitem()  # fastest remaining (dict sorted slowest-first)
-            payload["queries"] = dict(keep)
+
+    def trim(n_keep: int) -> str:
+        keep = dict(
+            sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:n_keep]
+        )
+        payload["queries"] = keep
+        if len(keep) < len(timings):
             payload["queries_omitted"] = len(timings) - len(keep)
             payload["omitted_sec"] = round(
                 sum(v for k, v in timings.items() if k not in keep), 3
             )
-            line = json.dumps(payload, separators=(",", ":"))
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = json.dumps(payload, separators=(",", ":"))
+    n_keep = min(_STDOUT_TOP_N, len(timings))
+    if len(line) > budget:
+        line = trim(n_keep)
+    while len(line) > budget and n_keep > 0:
+        n_keep -= 1
+        line = trim(n_keep)
     return line
 
 

@@ -108,6 +108,7 @@ def test_probe_block_compacts_on_stdout():
         "remeasured": ["q_some_longish_query_name_001"],
         "resweep": [f"q_some_longish_query_name_{i:03d}" for i in range(24)],
         "insweep": {f"q_some_longish_query_name_{i:03d}": 9.9 for i in range(24)},
+        "clean": True,
     }
     line = format_bench_line(payload)
     assert len(line) <= 1800
@@ -115,6 +116,7 @@ def test_probe_block_compacts_on_stdout():
     assert d["probe"] == {
         "floor_sec": 0.08,
         "max_drift": 1.49,
+        "clean": True,
         "suspect_n": 40,
         "remeasured_n": 1,
         "resweep_n": 24,
@@ -148,3 +150,48 @@ def test_resweep_candidates_head_and_top():
     assert all(timings[n] >= _RESWEEP_MIN_SEC for n in cands)
     # fast head positions (0.1-0.17 s) are NOT dragged in
     assert "q_000" not in cands
+
+
+def test_stdout_tail_is_fixed_top_n():
+    """r11 / VERDICT r10 item 6: the printed per-query set is the slowest
+    _STDOUT_TOP_N with name tie-breaking — NOT 'whatever fits the char
+    budget' — so a query that merely got faster relative to others cannot
+    silently appear/disappear with the budget. Perturbing timings OUTSIDE
+    the top-N must not change the printed set."""
+    import json as _json
+
+    from bench import _STDOUT_TOP_N, bench_payload, format_bench_line
+
+    n = 278
+    timings = {f"q_{i:03d}": 2.0 - i * 0.005 for i in range(n)}
+    d1 = _json.loads(format_bench_line(bench_payload(timings, 0.1)))
+    assert len(d1["queries"]) == _STDOUT_TOP_N
+    assert d1["queries_omitted"] == n - _STDOUT_TOP_N
+    # perturb entries far below the cutoff: printed set must be identical
+    for i in range(200, 278):
+        timings[f"q_{i:03d}"] *= 0.5
+    d2 = _json.loads(format_bench_line(bench_payload(timings, 0.1)))
+    assert set(d1["queries"]) == set(d2["queries"])
+    # ties broken deterministically by name
+    tied = {f"q_{i:03d}": 1.0 for i in range(n)}
+    da = _json.loads(format_bench_line(bench_payload(tied, 0.1)))
+    db = _json.loads(format_bench_line(bench_payload(dict(reversed(list(tied.items()))), 0.1)))
+    assert list(da["queries"]) == list(db["queries"]) == sorted(tied)[:_STDOUT_TOP_N]
+
+
+def test_value_insweep_restores_raw_total():
+    """r11 / ADVICE r10: the raw in-sweep sum rides the payload as a
+    first-class field; value (cleaned) <= value_insweep (raw) and the
+    difference is exactly the insweep replacements."""
+    # simulated: main() computes value_insweep from timings + insweep;
+    # replicate its arithmetic here against bench_payload
+    from bench import bench_payload
+
+    timings = {"q_a": 1.0, "q_b": 2.0, "q_c": 0.5}
+    insweep = {"q_b": 3.5}  # q_b was resweep-replaced from 3.5 -> 2.0
+    payload = bench_payload(timings, 0.1)
+    raw = dict(timings)
+    raw.update(insweep)
+    payload["value_insweep"] = round(sum(raw.values()), 3)
+    assert payload["value"] == 3.5
+    assert payload["value_insweep"] == 5.0

@@ -372,6 +372,17 @@ def test_x10_ratio_contract_isolated(name):
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         last = json.loads(line)
         if last["ratio"] <= bound:
+            if attempt > 0:
+                # retry-pass visibility (r11 / ADVICE r10): chronic
+                # near-bound drift must not hide inside silent retries
+                import warnings
+
+                warnings.warn(
+                    f"scale contract {name} passed only on retry "
+                    f"(attempt {attempt + 1}: ratio {last['ratio']:.2f} "
+                    f"vs bound {bound}) — watch for near-bound drift",
+                    stacklevel=1,
+                )
             return
     r = last
     assert r["ratio"] <= bound, (
@@ -412,6 +423,15 @@ def test_x10_ratio_contract(spark, x10, name):
         t10 = best2(lambda: run(x10))
         ratio = t10 / t1
         if ratio <= bound:
+            if _attempt > 0:
+                # retry-pass visibility (r11 / ADVICE r10)
+                import warnings
+
+                warnings.warn(
+                    f"scale contract {name} passed only on in-suite retry "
+                    f"(ratio {ratio:.2f} vs bound {bound})",
+                    stacklevel=1,
+                )
             return
         last = (ratio, t1, t10)
     ratio, t1, t10 = last
@@ -451,6 +471,17 @@ def test_x10_ratio_contract(spark, x10, name):
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             if r["ratio"] <= bound:
+                # retry-pass visibility (r11 / ADVICE r10): a contract
+                # that needed the isolated arbiter is worth a look even
+                # though it passed
+                import warnings
+
+                warnings.warn(
+                    f"scale contract {name} passed only via the isolated "
+                    f"arbiter (ratio {r['ratio']:.2f} vs bound {bound}; "
+                    f"in-suite ratio was {ratio:.2f})",
+                    stacklevel=1,
+                )
                 return
             ratio, t1, t10 = r["ratio"], r["t1"], r["tN"]
     except (subprocess.TimeoutExpired, IndexError, KeyError,
