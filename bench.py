@@ -122,6 +122,20 @@ _PROBE_EVERY = 20
 _PROBE_DRIFT = 1.5
 _REMEASURE_MIN_SEC = 0.75
 _REMEASURE_CAP = 30
+# The fixed probe costs ~60-100 ms on an idle local[32] (_probe_once):
+# 32 scheduled tasks put a physical floor under it. CLEANLINESS contexts
+# (the resweep-segment verdicts and the final `clean` gate) are judged
+# against max(min-floor, _PROBE_IDLE_SEC): one anomalously fast sample
+# must not set the quiet bar below the probe's idle cost and fail every
+# idle-band sample after it (r11 final sweep: a 0.0339 flier in an
+# otherwise 0.048-0.09 idle-band series turned a quiet sweep into
+# clean=false). The SUSPECT flagging and max_drift stay keyed to the raw
+# min-floor — more re-measures and a visible warm-up ramp are the
+# conservative direction. `clean` additionally requires the raw floor
+# itself within _PROBE_IDLE_CAP x idle: a uniformly contended sweep (no
+# sample ever near idle) cannot be called clean via the clamp.
+_PROBE_IDLE_SEC = 0.06
+_PROBE_IDLE_CAP = 2.0
 
 # ---------------------------------------------------------------------------
 # End-of-sweep re-measure (round 10). The probe catches SUSTAINED ambient
@@ -329,6 +343,9 @@ def main() -> int:
     # the min() policy.
     remeasured: list[str] = []
     floor_all = min(floor, min(resweep_probes))
+    # quiet bar for cleanliness verdicts: clamped from below at the
+    # probe's physical idle cost (see _PROBE_IDLE_SEC)
+    floor_ctx = max(floor_all, _PROBE_IDLE_SEC)
 
     def _resweep_ctx_clean(n: str) -> bool:
         i = resweep_bounds.get(n)
@@ -336,7 +353,7 @@ def main() -> int:
             return False
         lo = resweep_probes[i]
         hi = resweep_probes[min(i + 1, len(resweep_probes) - 1)]
-        return max(lo, hi) <= _PROBE_DRIFT * floor_all
+        return max(lo, hi) <= _PROBE_DRIFT * floor_ctx
 
     # cap takes the SLOWEST flagged queries (where contaminated seconds
     # live), not the alphabetically first — an r10 evidence run showed
@@ -389,7 +406,9 @@ def main() -> int:
         if not _resweep_ctx_clean(n) and n not in fresh_vals
     )
     clean = (
-        resweep_probes[-1] <= _PROBE_DRIFT * floor_all and not uncovered
+        floor_all <= _PROBE_IDLE_CAP * _PROBE_IDLE_SEC
+        and resweep_probes[-1] <= _PROBE_DRIFT * floor_ctx
+        and not uncovered
     )
     payload["probe"] = {
         "floor_sec": round(floor, 4),
