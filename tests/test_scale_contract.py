@@ -22,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 
 from libcolumnfile_spark.registry import REGISTRY
 
-from tools.scale_probe import BASE, best2, ensure_x10
+from tools.scale_probe import BASE, ensure_x10
 
 # query -> (measured x10 ratio, contract bound)
 #
@@ -429,6 +429,35 @@ def x10(spark):
     return ensure_x10(spark)
 
 
+def _interleaved_best2(run, base, scaled):
+    """min-of-2 per leg, legs INTERLEAVED (t1, tN, t1, tN) — the same
+    run count as the old best2-per-leg (warm + 2 timed runs each) but a
+    time-correlated ambient load window now taxes BOTH legs instead of
+    landing entirely on the x10 numerator. Sequential legs were the
+    r11 in-suite flake mechanism: under a load window the in-suite
+    ratio read 5-9x while the isolated arbiter minutes later read
+    1.7-3.9x on identical code (q_hll_seeded 8.87 vs 1.97,
+    q_attribution 7.88 vs 3.52 — _work/pytest_full_r11d.log), because
+    the x10 leg runs entirely AFTER the t1 leg and absorbs the window
+    alone. Interleaving is the same fix tools/isolated_ratio.py's legs
+    got this round; idle-host semantics are unchanged (min per leg
+    converges to the same value), so the bounds keep their meaning.
+    """
+    import time
+
+    run(base)
+    run(scaled)  # warm both plans: codegen + fixture caches
+    t1s, tns = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(base)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(scaled)
+        tns.append(time.perf_counter() - t0)
+    return min(t1s), min(tns)
+
+
 @pytest.mark.parametrize("name", sorted(CONTRACTS))
 def test_x10_ratio_contract(spark, x10, name):
     fn = REGISTRY[name].spark_fn
@@ -449,8 +478,7 @@ def test_x10_ratio_contract(spark, x10, name):
     # absorbs one-off host spikes — a genuine superlinear regression
     # sits ~10x past the bound and fails both attempts
     for _attempt in range(2):
-        t1 = best2(lambda: run(BASE))
-        t10 = best2(lambda: run(x10))
+        t1, t10 = _interleaved_best2(run, BASE, x10)
         ratio = t10 / t1
         if ratio <= bound:
             if _attempt > 0:
